@@ -1,0 +1,100 @@
+"""Engine configuration.
+
+Mirrors the reference's tuning surface (``/root/reference/configs/base.yaml``)
+as a plain frozen dataclass passed explicitly into stages — no global config
+singleton (the reference uses one: ``configs/config_manager.py:15-22``).
+Defaults are the reference's shipped values.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class GroupingConfig:
+    """Thresholds of the 5-step graph grouping.
+
+    Reference: ``/root/reference/configs/base.yaml:48-55`` and
+    ``src/grouping/grouping_logic.py:24-31``.
+    """
+
+    high_overlap_threshold: float = 0.1      # IoU for "high_overlap" connect rule
+    high_iou_threshold: float = 0.95         # IoU for keep-larger-instead-of-merge
+    contained_box_threshold: float = 0.9     # IoL for Step-0 containment suppression
+    vertical_alignment_factor: float = 0.2   # horizontal text: max |cy1-cy2| = min_h * f
+    horizontal_alignment_factor: float = 0.2 # vertical text: max |cx1-cx2| = min_w * f
+    proximity_factor: float = 1.0            # max gap = max_dimension * f
+    neighborhood_expansion_factor: float = 1.0
+
+
+@dataclass(frozen=True)
+class TilingConfig:
+    """Sliding-window tiling parameters.
+
+    Reference: ``/root/reference/configs/base.yaml:12-16`` and
+    ``src/data_loader/sahi_slicer.py:40-51`` (validation: overlap in (0,1),
+    tile_size >= 64).
+    """
+
+    tile_size: int = 720
+    overlap_ratio: float = 0.1
+
+    def __post_init__(self) -> None:
+        if not 0 < self.overlap_ratio < 1:
+            raise ValueError("Overlap ratio must be between 0 and 1")
+        if self.tile_size < 64:
+            raise ValueError("Tile size too small (min 64px)")
+
+
+@dataclass(frozen=True)
+class RecognitionConfig:
+    """Recognition fallback-chain parameters.
+
+    Reference: ``/root/reference/configs/base.yaml:43`` (confidence gate) and
+    ``src/text_detection/text_recognition.py:111-131`` (primary OCR, then if
+    confidence < gate: rotate-if-vertical and run fallback OCR; keep fallback
+    result only when it produced non-empty text).
+    """
+
+    confidence_threshold: float = 0.95
+
+
+@dataclass(frozen=True)
+class ReadingOrderConfig:
+    """Deterministic reading-order sort (north-star addition; the reference's
+    output order is incidental filesystem-glob order, SURVEY.md §2.6).
+
+    Boxes are clustered into lines when their y-anchors differ by less than
+    ``line_tolerance_factor`` x the smaller box height; lines sort by y, boxes
+    within a line by x. Vertical (rot=90) boxes anchor at their top edge.
+    """
+
+    line_tolerance_factor: float = 0.5
+
+
+@dataclass(frozen=True)
+class ExtractConfig:
+    """Top-level engine configuration for the extraction pipeline."""
+
+    tiling: TilingConfig = field(default_factory=TilingConfig)
+    grouping: GroupingConfig = field(default_factory=GroupingConfig)
+    recognition: RecognitionConfig = field(default_factory=RecognitionConfig)
+    reading_order: ReadingOrderConfig = field(default_factory=ReadingOrderConfig)
+
+    crop_padding: int = 10           # base.yaml:74, cropping_Images.py:44-47
+    image_dpi: int = 600             # base.yaml:59; pixel->PDF-point scale 72/dpi
+
+    # Ray execution knobs. Actor pools AUTOSCALE between (1, max); max=None
+    # derives from the cluster CPU count at pipeline build so the two pools
+    # plus the stateless task stages can never deadlock a small cluster
+    # (each pool gets ~1/3 of the CPUs, min 1).
+    detect_batch_size: int = 64      # tiles per detector-actor call
+    recognize_batch_size: int = 256  # crops per recognizer-actor call
+    detect_concurrency: int | None = None    # max detector actors (None = auto)
+    recognize_concurrency: int | None = None  # max recognizer actors (None = auto)
+    tile_rows_per_block: int = 128   # cap tile rows per block (a 720^2 tile ~0.5 MB)
+
+    # Skew: images whose detection count exceeds this take the two-phase
+    # (spatial-cell salted) grouping path instead of the direct O(n^2) one.
+    salted_grouping_threshold: int = 3000

@@ -1,0 +1,63 @@
+"""Pixel text-region detector for value-coded rasters.
+
+Stands in for the reference's CRAFT/EasyOCR detection
+(``/root/reference/src/text_detection/text_detection.py:49-104``): it reads
+tile pixels and returns axis-aligned boxes of non-background regions. On the
+fixture codec (solid rectangles on a uniform background, ``media/codec.py``)
+this is an *exact* detector, so the downstream pipeline — orientation
+heuristic, cross-tile grouping, cropping, recognition — runs on genuinely
+detected-from-pixels regions. A real CRAFT model would slot in behind the
+same actor interface (``stages/cv.PixelDetector``).
+
+Algorithm: single-pass run-merging connected components. Distinct fixture
+strings never touch, and every region is a solid rectangle, so each run of a
+row overlaps at most one component from the previous row.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..media.codec import BACKGROUND
+
+
+def detect_rects(img: np.ndarray, bg: int = BACKGROUND) -> np.ndarray:
+    """Bounding boxes of non-bg connected regions -> (n,4) int64
+    [x1, y1, x2, y2) sorted by (y1, x1)."""
+    fg = img != bg
+    row_any = fg.any(axis=1)
+    comp: dict[int, list[int]] = {}
+    prev: list[tuple[int, int, int]] = []   # (start, end, comp_id) runs of prev row
+    prev_row = -2
+    next_id = 0
+    for r in np.flatnonzero(row_any):
+        r = int(r)
+        if r != prev_row + 1:   # >=1 empty row breaks continuity
+            prev = []
+        prev_row = r
+        d = np.diff(np.concatenate(([0], fg[r].view(np.int8), [0])))
+        starts = np.flatnonzero(d == 1)
+        ends = np.flatnonzero(d == -1)
+        cur: list[tuple[int, int, int]] = []
+        for s, e in zip(starts.tolist(), ends.tolist()):
+            cid = -1
+            for ps, pe, pid in prev:
+                if ps < e and s < pe:
+                    cid = pid
+                    break
+            if cid < 0:
+                cid = next_id
+                next_id += 1
+                comp[cid] = [s, r, e, r + 1]
+            else:
+                b = comp[cid]
+                b[0] = min(b[0], s)
+                b[2] = max(b[2], e)
+                b[3] = r + 1
+            cur.append((s, e, cid))
+        prev = cur
+    if not comp:
+        return np.zeros((0, 4), dtype=np.int64)
+    boxes = np.array([[b[0], b[1], b[2], b[3]] for b in comp.values()], dtype=np.int64)
+    order = np.lexsort((boxes[:, 0], boxes[:, 1]))
+    return boxes[order]
