@@ -1,44 +1,94 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()``     — flagship extraction pipeline on sf0.001.
+* ``queries()``   — one callable per implemented operator/pipeline
+  (SURVEY.md §2 + the training-data operators), each ``f(sf_dir)``.
+* ``oracle_sql()``— DuckDB-equivalent SQL per query where the operator is
+  SQL-expressible; approximate / pixel-pipeline operators are rows-only.
 """
 
 from __future__ import annotations
 
+import sys
+import pathlib
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+
+from p_id_text_extraction_ray.pipelines import dedup as D
+from p_id_text_extraction_ray.pipelines import relational as R
+from p_id_text_extraction_ray.pipelines import similarity as S
+from p_id_text_extraction_ray.pipelines import textstats as T
+from p_id_text_extraction_ray.pipelines.flagship import pid_extract
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (interleaved table
+    derived deterministically from its documents table)."""
+    return pid_extract("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core
+        "q1_pricing_summary": R.q1_pricing_summary,
+        "q3_shipping_priority": R.q3_shipping_priority,
+        "q5_local_supplier_volume": R.q5_local_supplier_volume,
+        "q6_revenue_forecast": R.q6_revenue_forecast,
+        "top_orders_by_price": R.top_orders_by_price,
+        "distinct_segments": R.distinct_segments,
+        "nation_region_join": R.nation_region_join,
+        "segment_order_value": R.segment_order_value,
+        "events_hourly": R.events_hourly,
+        "events_sessionize": R.events_sessionize,
+        # dedup suite
+        "dedup_exact": D.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": D.dedup_minhash_lsh,
+        "dedup_simhash": D.dedup_simhash,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        # similarity search
+        "ann_topk_bruteforce": S.ann_topk_bruteforce,
+        "ann_lsh_topk": S.ann_lsh_topk,
+        # text analysis
+        "doc_token_stats": T.doc_token_stats,
+        "lang_id_pred": T.lang_id_pred,
+        "tag_extract": T.tag_extract,
+        "quality_filter_docs": T.quality_filter_docs,
+        "doc_fingerprints": T.doc_fingerprints,
+        "text_clean": T.text_clean,
+        # flagship extraction (pixel pipeline; rows-only)
+        "pid_extract": pid_extract,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": R.Q1_SQL,
+        "q3_shipping_priority": R.Q3_SQL,
+        "q5_local_supplier_volume": R.Q5_SQL,
+        "q6_revenue_forecast": R.Q6_SQL,
+        "top_orders_by_price": R.TOP_ORDERS_SQL,
+        "distinct_segments": R.DISTINCT_SEGMENTS_SQL,
+        "nation_region_join": R.NATION_REGION_SQL,
+        "segment_order_value": R.SEGMENT_ORDER_VALUE_SQL,
+        "events_hourly": R.EVENTS_HOURLY_SQL,
+        "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
+        "dedup_exact": D.DEDUP_EXACT_SQL,
+        "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
+        "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
+        "ann_topk_bruteforce": S.ANN_TOPK_SQL,
+        "doc_token_stats": T.DOC_TOKEN_STATS_SQL,
+        "lang_id_pred": T.LANG_ID_SQL,
+        "tag_extract": T.TAG_EXTRACT_SQL,
+        "quality_filter_docs": T.QUALITY_FILTER_SQL,
+        "text_clean": T.TEXT_CLEAN_SQL,
+        # rows-only (approximate or non-SQL-expressible):
+        # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, doc_fingerprints,
+        # events_sessionize is SQL-expressible and included above.
+        # pid_extract (pixel pipeline)
+    }

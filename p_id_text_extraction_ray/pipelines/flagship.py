@@ -1,0 +1,74 @@
+"""Flagship wiring: derive an interleaved text+media doc table from the
+``documents`` testdata table and run the extraction pipeline on it.
+
+The driver's tables are text-only, so the interleaved table of
+``BASELINE.json.input_hint`` shape is synthesized deterministically from
+them (per round-1 instructions): every document becomes a text span, and
+every 5th document also carries an image span whose rendered strings are a
+pure function of its doc_id. Media + docs are cached per (sf_dir) under
+/tmp so repeated driver calls reuse them.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import ExtractConfig
+from ..fixtures.generate import _render_media  # deterministic renderer
+from ..media.store import FileMediaStore
+
+_SPAN_TYPE = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                                 ("media_ref", pa.string()), ("offset", pa.int32())]))
+
+
+def build_interleaved_docs(sf_dir: str, cache_root: str = "/tmp/pid_docs_cache"
+                           ) -> tuple[str, str]:
+    """Returns (docs_parquet_path, media_root); cached per sf_dir."""
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(cache_root, key)
+    docs_path = os.path.join(root, "docs.parquet")
+    media_root = os.path.join(root, "media")
+    marker = os.path.join(root, ".done")
+    if os.path.exists(marker):
+        return docs_path, media_root
+
+    os.makedirs(root, exist_ok=True)
+    src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    store = FileMediaStore(media_root)
+
+    doc_ids: list[str] = []
+    spans_col: list[list[dict]] = []
+    for did, text in zip(src.column("doc_id").to_pylist(),
+                         src.column("text").to_pylist()):
+        name = f"DOC-{did:06d}"
+        spans = [{"kind": "text", "text": text, "media_ref": "", "offset": 0}]
+        if did % 5 == 0:
+            ref = f"media/{name}.pidr"
+            rng = np.random.default_rng(did + 1)
+            blob, _rows = _render_media(rng, 980, 700, n_strings=6)
+            store.put(ref, blob)
+            spans.append({"kind": "image", "text": "", "media_ref": ref,
+                          "offset": 1})
+        doc_ids.append(name)
+        spans_col.append(spans)
+
+    pq.write_table(pa.table({"doc_id": pa.array(doc_ids, pa.string()),
+                             "spans": pa.array(spans_col, _SPAN_TYPE)}), docs_path)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return docs_path, media_root
+
+
+def pid_extract(sf_dir: str, cfg: ExtractConfig | None = None):
+    """The full extraction pipeline over the derived interleaved table."""
+    import ray.data as rd
+    from .extract import extract_spans
+
+    docs_path, media_root = build_interleaved_docs(sf_dir)
+    return extract_spans(rd.read_parquet(docs_path), media_root, cfg)

@@ -1,0 +1,457 @@
+"""Relational pipelines over the TPC-H-ish testdata tables.
+
+These exercise the engine's general data-processing surface — filters,
+projections, computed columns, grouped aggregation with partial pre-
+aggregation, broadcast joins, sort/limit, distinct, and a sessionization
+window — all as Ray Data pipelines with DuckDB-checkable semantics
+(``__ray_entry__.oracle_sql``).
+
+Scale conventions used throughout:
+* **Prune at the read**: every ``read_parquet`` passes ``columns=[...]``.
+* **Pre-aggregate**: wide groupbys are fed per-batch partials (one row per
+  key per batch) so the shuffle moves partial sums, not raw rows.
+* **Broadcast the small side**: dimension lookups (customer segment, nation,
+  filtered order keys) are collected to a dict once and captured by the
+  batch fn closure — no shuffle join. Sides grow with the dimension tables
+  (thousands to tens of thousands of keys), never with the fact table.
+* **Round once at the end**: float aggregates are rounded (2 or 6 dp) in
+  both the Ray result and the SQL oracle so summation order can't flip the
+  value hash.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import cents
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str]):
+    import ray.data as rd
+    return rd.read_parquet(_pq(sf_dir, name), columns=columns)
+
+
+def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
+    i = t.schema.get_field_index(col)
+    return t.set_column(i, col, pc.round(t.column(col), ndigits=nd))
+
+
+# ---------------------------------------------------------------- q1
+
+Q1_CUTOFF = "1998-09-02"
+
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary with per-batch partial aggregation."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("l_shipdate"),
+                                   pa.scalar(pd.Timestamp(Q1_CUTOFF))))
+        # Exact integer-cents money math (see _util.cents): sums become
+        # independent of summation order, so the value hash matches DuckDB
+        # bit-for-bit.
+        ep_c = cents(t.column("l_extendedprice").to_numpy())
+        disc_c = cents(t.column("l_discount").to_numpy())
+        df = pd.DataFrame({
+            "l_returnflag": t.column("l_returnflag").to_pandas(),
+            "l_linestatus": t.column("l_linestatus").to_pandas(),
+            "q": t.column("l_quantity").to_numpy(),
+            "bp_c": ep_c,
+            "dp_c": ep_c * (100 - disc_c),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sq=("q", "sum"), sb=("bp_c", "sum"), sd=("dp_c", "sum"), n=("q", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["l_returnflag", "l_linestatus"]) \
+            .aggregate(Sum("sq", alias_name="sum_qty"),
+                       Sum("sb", alias_name="sb_c"),
+                       Sum("sd", alias_name="sd_c"),
+                       Sum("n", alias_name="count_order"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("avg_qty", pc.round(
+            pc.divide(t.column("sum_qty"), pc.cast(t.column("count_order"),
+                                                   pa.float64())), ndigits=6))
+        t = t.append_column("sum_base_price", pc.divide(
+            pc.cast(t.column("sb_c"), pa.float64()), pa.scalar(100.0)))
+        t = t.append_column("sum_disc_price", pc.divide(
+            pc.cast(t.column("sd_c"), pa.float64()), pa.scalar(10000.0)))
+        t = t.drop_columns(["sb_c", "sd_c"])
+        return t.set_column(t.schema.get_field_index("count_order"), "count_order",
+                            pc.cast(t.column("count_order"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                   AS sum_qty,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+                                                         AS sum_base_price,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+                                                         AS sum_disc_price,
+       round(sum(l_quantity) / count(*), 6)              AS avg_qty,
+       count(*)                                          AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- q3
+
+Q3_DATE = "1998-03-15"
+Q3_SEGMENT = "BUILDING"
+
+
+def q3_shipping_priority(sf_dir: str):
+    """Top-10 open orders by revenue for one market segment.
+
+    Broadcast semi-join: BUILDING customer keys -> filtered order map
+    (orderkey -> orderdate) -> vectorized lookup inside the lineitem scan;
+    only per-orderkey revenue partials enter the shuffle.
+    """
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = set(
+        cust.map_batches(
+            lambda t: t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow").to_pandas()["c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    odf = orders.map_batches(
+        lambda t: t.filter(pc.less(t.column("o_orderdate"),
+                                   pa.scalar(pd.Timestamp(Q3_DATE)))),
+        batch_format="pyarrow").to_pandas()
+    odf = odf[odf["o_custkey"].isin(ckeys)]
+    omap = pd.Series(odf["o_orderdate"].values, index=odf["o_orderkey"].values)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["l_shipdate"] > pd.Timestamp(Q3_DATE)]
+        df = df[df["l_orderkey"].isin(omap.index)]
+        if not len(df):
+            return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                                 "rev_c": pd.Series([], dtype="int64")})
+        rev_c = cents(df["l_extendedprice"]) * (100 - cents(df["l_discount"]))
+        g = pd.Series(rev_c).groupby(df["l_orderkey"].values).sum().reset_index()
+        g.columns = ["o_orderkey", "rev_c"]
+        return g
+
+    top = (li.map_batches(partial, batch_format="pandas")
+             .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
+             .sort("rev_c", descending=True).limit(10))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("revenue", pc.divide(
+            pc.cast(t.column("rev_c"), pa.float64()), pa.scalar(10000.0)))
+        dates = pa.array([omap[k] for k in t.column("o_orderkey").to_pylist()],
+                         pa.timestamp("us"))
+        return t.drop_columns(["rev_c"]).append_column("o_orderdate", dates)
+
+    return top.map_batches(finish, batch_format="pyarrow")
+
+
+Q3_SQL = f"""
+SELECT o_orderkey,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue,
+       o_orderdate
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate  > TIMESTAMP '{Q3_DATE}'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- q5
+
+Q5_REGION = "ASIA"
+Q5_YEAR_LO, Q5_YEAR_HI = "1996-01-01", "1997-01-01"
+
+
+def q5_local_supplier_volume(sf_dir: str):
+    """Revenue by nation where customer and supplier share the nation,
+    region-restricted. All four dimension sides broadcast; the lineitem
+    scan does dict lookups and pre-aggregates per nation per batch."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as pq
+    nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    asia_keys = set(reg[reg["r_name"] == Q5_REGION]["r_regionkey"])
+    nat = nat[nat["n_regionkey"].isin(asia_keys)]
+    nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nat = pd.Series(cust["c_nationkey"].values, index=cust["c_custkey"].values)
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp_nat = pd.Series(supp["s_nationkey"].values, index=supp["s_suppkey"].values)
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    odf = orders.map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("o_orderdate"), pa.scalar(pd.Timestamp(Q5_YEAR_LO))),
+            pc.less(t.column("o_orderdate"), pa.scalar(pd.Timestamp(Q5_YEAR_HI))))),
+        batch_format="pyarrow").to_pandas()
+    order_cust = pd.Series(odf["o_custkey"].values, index=odf["o_orderkey"].values)
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        ck = df["l_orderkey"].map(order_cust)
+        cn = ck.map(cust_nat)
+        sn = df["l_suppkey"].map(supp_nat)
+        mask = cn.notna() & sn.notna() & (cn == sn) & cn.isin(nation_name)
+        df = df[mask]
+        if not len(df):
+            return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
+                                 "rev_c": pd.Series([], dtype="int64")})
+        names = cn[mask].map(nation_name)
+        rev_c = cents(df["l_extendedprice"]) * (100 - cents(df["l_discount"]))
+        g = pd.Series(rev_c).groupby(names.values).sum().reset_index()
+        g.columns = ["n_name", "rev_c"]
+        return g
+
+    agg = (li.map_batches(partial, batch_format="pandas")
+             .groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c")))
+    return agg.map_batches(
+        lambda t: t.append_column("revenue", pc.divide(
+            pc.cast(t.column("rev_c"), pa.float64()),
+            pa.scalar(10000.0))).drop_columns(["rev_c"]),
+        batch_format="pyarrow")
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0 AS revenue
+FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_YEAR_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_YEAR_HI}'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------- q6
+
+def q6_revenue_forecast(sf_dir: str):
+    """Global filtered aggregate; one partial sum per batch, tiny shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1996-01-01"))),
+            pc.less(t.column("l_shipdate"), pa.scalar(pd.Timestamp("1997-01-01")))),
+            pc.and_(
+                pc.and_(pc.greater_equal(t.column("l_discount"), pa.scalar(0.05)),
+                        pc.less_equal(t.column("l_discount"), pa.scalar(0.07))),
+                pc.less(t.column("l_quantity"), pa.scalar(24.0))))
+        t = t.filter(m)
+        rev_c = int((cents(t.column("l_extendedprice").to_numpy())
+                     * cents(t.column("l_discount").to_numpy())).sum())
+        return pa.table({"rev_c": pa.array([rev_c], pa.int64())})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .aggregate(Sum("rev_c", alias_name="rev_c"))
+    return pa.table({"revenue": pa.array([agg["rev_c"] / 10000.0], pa.float64())})
+
+
+Q6_SQL = """
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------- misc ops
+
+def top_orders_by_price(sf_dir: str):
+    """Global sort + limit (top-k)."""
+    return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]) \
+        .sort("o_totalprice", descending=True).limit(20)
+
+
+TOP_ORDERS_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC LIMIT 20
+"""
+
+
+def distinct_segments(sf_dir: str):
+    """Distinct values of one column (``Dataset.unique`` shuffle)."""
+    ds = _read(sf_dir, "customer", ["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+DISTINCT_SEGMENTS_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def nation_region_join(sf_dir: str):
+    """Broadcast hash join of two dimension tables."""
+    import pyarrow.parquet as pq
+    reg = pq.read_table(_pq(sf_dir, "region")).to_pandas()
+    rmap = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+
+    def join(t: pa.Table) -> pa.Table:
+        names = pa.array([rmap.get(k) for k in t.column("n_regionkey").to_pylist()],
+                         pa.string())
+        return t.select(["n_nationkey", "n_name"]).append_column("r_name", names)
+
+    return nat.map_batches(join, batch_format="pyarrow")
+
+
+NATION_REGION_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM nation JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def segment_order_value(sf_dir: str):
+    """Fact->dimension broadcast join + grouped aggregate."""
+    from ray.data.aggregate import Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = pd.Series(cust["c_mktsegment"].values, index=cust["c_custkey"].values)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df["o_custkey"].map(seg)
+        tp_c = pd.Series(cents(df["o_totalprice"]))
+        g = pd.DataFrame({"seg": s.values, "tp_c": tp_c.values}) \
+            .groupby("seg").agg(tp=("tp_c", "sum"), n=("tp_c", "size")).reset_index()
+        g.columns = ["c_mktsegment", "tp_c", "n"]
+        return g
+
+    agg = (orders.map_batches(partial, batch_format="pandas")
+           .groupby("c_mktsegment")
+           .aggregate(Sum("tp_c", alias_name="tp_c"),
+                      Sum("n", alias_name="n_orders")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("total_price", pc.divide(
+            pc.cast(t.column("tp_c"), pa.float64()), pa.scalar(100.0)))
+        t = t.drop_columns(["tp_c"])
+        return t.set_column(t.schema.get_field_index("n_orders"), "n_orders",
+                            pc.cast(t.column("n_orders"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+SEGMENT_ORDER_VALUE_SQL = """
+SELECT c_mktsegment,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: count + sum(value) per (event_type, hour)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(hour=df["ts"].dt.floor("h"), v_c=cents(df["value"]))
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("v_c", "size"), v=("v_c", "sum"))
+        return g
+
+    agg = (ev.map_batches(partial, batch_format="pandas")
+           .groupby(["event_type", "hour"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("v", alias_name="v_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("sum_value", pc.divide(
+            pc.cast(t.column("v_c"), pa.float64()), pa.scalar(100.0)))
+        t = t.drop_columns(["v_c"])
+        return t.set_column(t.schema.get_field_index("n_events"), "n_events",
+                            pc.cast(t.column("n_events"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+SESSION_GAP_MIN = 30
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows per user (gap > 30 min splits): Ray Data has no
+    event-time windows, so this is the documented groupby(key).map_groups
+    pattern over ts-sorted per-user groups (ray_guide.md 'Streaming-shaped
+    workloads'). Ordering assumption: per-user rows sorted inside the fn."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("ts")
+        gaps = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
+        return pd.DataFrame({
+            "user_id": [df["user_id"].iloc[0]],
+            "n_sessions": [int(gaps.sum()) + 1],
+            "n_events": [len(df)],
+        })
+
+    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events)
+SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
+FROM gapped GROUP BY user_id
+"""

@@ -1,0 +1,145 @@
+"""Similarity search over the ``embeddings`` table.
+
+* ``ann_topk_bruteforce`` — exact cosine top-k: the query matrix is
+  broadcast (``ray.put`` once, read per batch), every batch computes a
+  (batch x queries) matmul and emits only its per-batch top-k candidates,
+  and a final tiny ``groupby(query_id)`` reduces candidates to the global
+  top-k. The shuffle carries k rows per query per batch — never the
+  vectors.
+* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets
+  restrict each query's scan to its own bucket (approximate; recall is
+  pytest-checked against brute force).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+TOP_K = 5
+N_QUERIES = 4           # queries = embeddings with vec_id < N_QUERIES
+LSH_PLANES = 8
+LSH_SEED = 42
+
+
+def _load_queries(sf_dir: str):
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    mask = ids < N_QUERIES
+    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[mask]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    return ids[mask], q / qn[:, None]
+
+
+def ann_topk_bruteforce(sf_dir: str):
+    """Exact cosine top-5 per query vector (self excluded).
+    Output: (query_id, rank, vec_id, cosine)."""
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir)
+    q_ref = ray.put((qids, qmat))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, Q = ray.get(q_ref)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        sims = (v / nv[:, None]) @ Q.T          # (batch, n_queries)
+        vids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(ids_q):
+            s = sims[:, j].copy()
+            s[vids == qid] = -np.inf            # exclude self
+            take = min(TOP_K, len(s))
+            top = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": vids[top],
+                                     "sim": s[top]}))
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[np.isfinite(df["sim"])]
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64),
+                       cosine=np.round(df["sim"].to_numpy(), 6))
+        return df[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (ds.map_batches(block_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(reduce_topk, batch_format="pandas"))
+
+
+ANN_TOPK_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q FROM embeddings
+  WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT query_id, e.vec_id,
+         list_cosine_similarity(q, e.embedding::DOUBLE[]) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(q, e.embedding::DOUBLE[])
+                            DESC, e.vec_id) AS rank
+  FROM queries CROSS JOIN embeddings e WHERE e.vec_id != query_id)
+SELECT query_id, rank, vec_id, round(sim, 6) AS cosine
+FROM sims WHERE rank <= {TOP_K}
+"""
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed approximate cosine top-5: random-hyperplane signatures
+    partition vectors into buckets; each query scans only its bucket (and
+    is padded back to brute force inside the bucket). Rows-only driver
+    check (approximate); recall vs brute force is pytest-asserted."""
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir)
+    dim = qmat.shape[1]
+    rng = np.random.default_rng(LSH_SEED)
+    planes = rng.standard_normal((dim, LSH_PLANES))
+    qsig = (qmat @ planes > 0) @ (1 << np.arange(LSH_PLANES))
+    q_ref = ray.put((qids, qmat, qsig))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, Q, sig_q = ray.get(q_ref)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        vn = v / nv[:, None]
+        sig_v = (vn @ planes > 0) @ (1 << np.arange(LSH_PLANES))
+        vids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(ids_q):
+            in_bucket = (sig_v == sig_q[j]) & (vids != qid)
+            if not in_bucket.any():
+                continue
+            s = vn[in_bucket] @ Q[j]
+            bids = vids[in_bucket]
+            take = min(TOP_K, len(s))
+            top = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": bids[top],
+                                     "sim": s[top]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64),
+                       cosine=np.round(df["sim"].to_numpy(), 6))
+        return df[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (ds.map_batches(bucket_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(reduce_topk, batch_format="pandas"))

@@ -1,0 +1,161 @@
+"""Text-analysis pipelines over the ``documents`` table: token/quality
+stats, language ID, ISA tag extraction, quality filtering, fingerprints,
+and the boilerplate-clean projection. All vectorized ``map_batches`` over
+Arrow string kernels (``functions/textops.py``)."""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions import textops as T
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                           columns=list(columns))
+
+
+def doc_token_stats(sf_dir: str):
+    """Integer token/quality features per document."""
+
+    def feats(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        f = T.quality_features(texts)
+        cols = {"doc_id": t.column("doc_id")}
+        for k in ("n_chars", "n_words", "n_punct", "n_stop", "n_digit"):
+            cols[k] = pc.cast(f[k], pa.int64())
+        return pa.table(cols)
+
+    return _docs(sf_dir).map_batches(feats, batch_format="pyarrow")
+
+
+DOC_TOKEN_STATS_SQL = r"""
+SELECT doc_id,
+       length(text)                                   AS n_chars,
+       len(regexp_extract_all(text, '\w+'))           AS n_words,
+       len(regexp_extract_all(text, '[^\w\s]'))       AS n_punct,
+       len(regexp_extract_all(lower(text),
+           '\b(the|a|and|of|to|in|is)\b'))            AS n_stop,
+       len(regexp_extract_all(text, '[0-9]'))         AS n_digit
+FROM documents
+"""
+
+
+def lang_id_pred(sf_dir: str):
+    """Marker-stopword language prediction per doc."""
+
+    def pred(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "lang_pred": T.lang_id(t.column("text").combine_chunks())})
+
+    return _docs(sf_dir).map_batches(pred, batch_format="pyarrow")
+
+
+def _lang_count_sql(lang: str) -> str:
+    words = "|".join(T.LANG_MARKERS[lang])
+    return rf"len(regexp_extract_all(lower(text), '\b({words})\b'))"
+
+
+LANG_ID_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         {_lang_count_sql('en')} AS en, {_lang_count_sql('de')} AS de,
+         {_lang_count_sql('fr')} AS fr, {_lang_count_sql('es')} AS es
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+            WHEN en = greatest(en, de, fr, es) THEN 'en'
+            WHEN de = greatest(de, fr, es) THEN 'de'
+            WHEN fr = greatest(fr, es) THEN 'fr'
+            ELSE 'es' END AS lang_pred
+FROM c
+"""
+
+
+def tag_extract(sf_dir: str):
+    """ISA instrument tags embedded in document text -> (doc_id, tag) rows."""
+    pattern = re.compile(T.ISA_TAG_FIND_PATTERN)
+
+    def extract(df: pd.DataFrame) -> pa.Table:
+        ids, tags = [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            for m in pattern.findall(text):
+                ids.append(int(did))
+                tags.append(m)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "tag": pa.array(tags, pa.string())})
+
+    from ._util import collect_with_schema
+    schema = pa.schema([("doc_id", pa.int64()), ("tag", pa.string())])
+    return collect_with_schema(
+        _docs(sf_dir).map_batches(extract, batch_format="pandas"), schema)
+
+
+TAG_EXTRACT_SQL = r"""
+SELECT doc_id, unnest(regexp_extract_all(text, '\b[A-Z]{1,4}-[0-9]{1,5}[A-Z]?\b')) AS tag
+FROM documents
+"""
+
+
+QUALITY_MIN_WORDS = 30
+QUALITY_MAX_WORDS = 60
+
+
+def quality_filter_docs(sf_dir: str):
+    """Quality gate: keep docs with a mid-range token count (the integer-
+    exact stand-in for length/punct/stopword-ratio quality scoring)."""
+
+    def gate(t: pa.Table) -> pa.Table:
+        texts = t.column("text").combine_chunks()
+        n = pc.cast(T.token_count(texts), pa.int64())
+        keep = pc.and_(pc.greater_equal(n, QUALITY_MIN_WORDS),
+                       pc.less_equal(n, QUALITY_MAX_WORDS))
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "n_words": n}).filter(keep)
+
+    return _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+
+QUALITY_FILTER_SQL = rf"""
+SELECT doc_id, len(regexp_extract_all(text, '\w+')) AS n_words
+FROM documents
+WHERE len(regexp_extract_all(text, '\w+'))
+      BETWEEN {QUALITY_MIN_WORDS} AND {QUALITY_MAX_WORDS}
+"""
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash content fingerprints (rows-only: the 64-bit Horner hash
+    has no DuckDB equivalent)."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "fingerprint": T.fingerprint_column(
+                             t.column("text").combine_chunks())})
+
+    return _docs(sf_dir).map_batches(fp, batch_format="pyarrow")
+
+
+def text_clean(sf_dir: str):
+    """Whitespace-normalized text projection (the text path's clean kernel
+    applied to a real corpus; newline-free docs reduce to normalize)."""
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "clean_text": T.clean_text_column(
+                             t.column("text").combine_chunks())})
+
+    return _docs(sf_dir).map_batches(clean, batch_format="pyarrow")
+
+
+TEXT_CLEAN_SQL = r"""
+SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
+FROM documents
+"""

@@ -1,0 +1,103 @@
+"""Dedup + similarity pipelines on planted duplicates (the testdata corpus
+has no near-dups, so these fixtures make the operators' behavior visible)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+BASE = ("the quick brown fox jumps over the lazy dog while the "
+        "operator watches the process line with great care and patience").split()
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("planted"))
+    texts = {
+        0: " ".join(BASE),
+        1: " ".join(BASE),                      # exact dup of 0
+        2: " ".join(BASE[:-2] + ["calm", "focus"]),   # near-dup of 0
+        3: " ".join(reversed(BASE)),            # same words, different shingles
+        4: "completely different content about valves pumps and reflux drums",
+        5: "unrelated text mentioning compressors turbines and heat exchangers",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+    }), os.path.join(root, "documents.parquet"))
+
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((6, 16)).astype(np.float32)
+    vecs[1] = vecs[0]                            # exact dup vector
+    vecs[2] = vecs[0] + rng.standard_normal(16).astype(np.float32) * 0.01
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    }), os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_dedup_exact_planted(ray_session, planted_dir):
+    from p_id_text_extraction_ray.pipelines.dedup import dedup_exact
+    df = dedup_exact(planted_dir).to_pandas()
+    # 6 docs, one exact pair -> 5 content hashes; doc 1 deduped into doc 0
+    assert len(df) == 5
+    assert 1 not in set(df["doc_id"])
+    assert 0 in set(df["doc_id"])
+
+
+def test_dedup_ngram_jaccard_planted(ray_session, planted_dir):
+    from p_id_text_extraction_ray.pipelines.dedup import dedup_ngram_jaccard
+    df = dedup_ngram_jaccard(planted_dir)
+    pairs = set(zip(df["doc_a"], df["doc_b"]))
+    assert (0, 1) in pairs                      # exact dup -> jaccard 1.0
+    j01 = df[(df["doc_a"] == 0) & (df["doc_b"] == 1)]["jaccard"].iloc[0]
+    assert j01 == 1.0
+    assert (0, 2) in pairs                      # near-dup above threshold
+    assert not any(a in (4, 5) or b in (4, 5) for a, b in pairs)
+
+
+def test_dedup_minhash_lsh_subset_of_exact(ray_session, planted_dir):
+    from p_id_text_extraction_ray.pipelines.dedup import (dedup_minhash_lsh,
+                                                          dedup_ngram_jaccard)
+    lsh = dedup_minhash_lsh(planted_dir)
+    exact = dedup_ngram_jaccard(planted_dir)
+    lsh_pairs = set(zip(lsh["doc_a"], lsh["doc_b"]))
+    exact_pairs = set(zip(exact["doc_a"], exact["doc_b"]))
+    assert lsh_pairs <= exact_pairs             # verified candidates only
+    assert (0, 1) in lsh_pairs                  # identical docs always recalled
+
+
+def test_dedup_simhash_planted(ray_session, planted_dir):
+    from p_id_text_extraction_ray.pipelines.dedup import dedup_simhash
+    df = dedup_simhash(planted_dir).to_pandas()
+    pairs = set(zip(df["doc_a"], df["doc_b"]))
+    assert (0, 1) in pairs
+    assert df[(df["doc_a"] == 0) & (df["doc_b"] == 1)]["hamming"].iloc[0] == 0
+
+
+def test_dedup_embedding_cosine_planted(ray_session, planted_dir):
+    from p_id_text_extraction_ray.pipelines.dedup import dedup_embedding_cosine
+    df = dedup_embedding_cosine(planted_dir)
+    pairs = set(zip(df["vec_a"], df["vec_b"]))
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert df[(df["vec_a"] == 0) & (df["vec_b"] == 1)]["cosine"].iloc[0] == 1.0
+
+
+def test_ann_lsh_recalls_exact_duplicate(ray_session, planted_dir):
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_lsh_topk, ann_topk_bruteforce)
+    brute = ann_topk_bruteforce(planted_dir).to_pandas()
+    lsh = ann_lsh_topk(planted_dir).to_pandas()
+    # identical vectors share every hyperplane signature -> always recalled
+    b0 = brute[(brute["query_id"] == 0) & (brute["rank"] == 1)]["vec_id"].iloc[0]
+    assert b0 == 1
+    l0 = lsh[lsh["query_id"] == 0]
+    assert 1 in set(l0["vec_id"])
+    # LSH results are a subset of the candidate universe with correct sims
+    merged = lsh.merge(brute, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
+    assert np.allclose(merged["cosine_l"], merged["cosine_b"])
