@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Plain run: executes the headline extraction pipeline over a deterministic
+bench fixture (2000 interleaved docs, shared media pool) plus a
+representative query set over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1), then prints ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+``--scaling``: runs the plain bench twice in fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on the same input and reports both headline times
+plus scaling efficiency = (t8 / t32) / (32/8)  (1.0 = linear).
+
+Env: GRAFT_SF_DIR, RAY_GRAFT_CPUS (default 32), GRAFT_BENCH_DOCS (default
+2000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_FIXTURE_ROOT = "/tmp/pid_bench_fixture_v2"
+BENCH_SEED = 42
+# Every image span gets its own rendered image: the CV path then does real
+# per-doc work (decode+tile+detect+recognize per unique image) and the
+# scaling measurement reflects compute, not fixed overheads.
+MEDIA_POOL = 0
+
+
+def _ensure_bench_fixture(n_docs: int):
+    from p_id_text_extraction_ray.fixtures.generate import generate_fixture
+
+    root = f"{BENCH_FIXTURE_ROOT}_{n_docs}"
+    marker = os.path.join(root, ".done")
+    if not os.path.exists(marker):
+        generate_fixture(root, n_docs=n_docs, seed=BENCH_SEED,
+                         media_pool=MEDIA_POOL)
+        with open(marker, "w") as f:
+            f.write("ok")
+    from p_id_text_extraction_ray.fixtures.generate import FixturePaths
+    return FixturePaths(root=root, docs=os.path.join(root, "docs.parquet"),
+                        oracle=os.path.join(root, "oracle.parquet"),
+                        golden=os.path.join(root, "golden.parquet"),
+                        media_root=os.path.join(root, "media"))
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_BENCH_DOCS", "6000"))
+
+    import ray
+    import ray.data as rd
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
+                 logging_level="ERROR")
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    fix = _ensure_bench_fixture(n_docs)
+
+    # Warm (untimed): OS page cache for all inputs AND a small end-to-end
+    # extraction pass so Ray worker processes and both actor pools exist
+    # before the timed run — we measure compute + shuffle, not process
+    # spawn or cold disk reads.
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings",
+              "events", "nation", "region", "supplier"):
+        rd.read_parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    subprocess.run(["bash", "-c",
+                    f"cat {fix.media_root}/media/*/* > /dev/null 2>&1 || true"])
+
+    from p_id_text_extraction_ray.pipelines.extract import extract_spans
+    extract_spans(rd.read_parquet(fix.docs).limit(64), fix.media_root).count()
+
+    times: dict[str, float] = {}
+
+    # --- headline: flagship extraction over the bench fixture
+    t0 = time.perf_counter()
+    out = extract_spans(rd.read_parquet(fix.docs), fix.media_root)
+    n_spans = out.count()
+    headline = time.perf_counter() - t0
+    times["pid_extract"] = round(headline, 3)
+
+    # --- representative query set over sf_dir
+    import __ray_entry__ as E
+    queries = E.queries()
+    for name in ("q1_pricing_summary", "q3_shipping_priority",
+                 "q6_revenue_forecast", "events_hourly", "dedup_exact",
+                 "dedup_minhash_lsh", "ann_topk_bruteforce",
+                 "doc_token_stats"):
+        t0 = time.perf_counter()
+        res = queries[name](sf_dir)
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res = res.to_pandas()  # Dataset -> consume
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "headline extraction wall time (2000 interleaved docs, "
+                  "shared media pool) + query suite",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "num_cpus": ncpu,
+        "bench_docs": n_docs,
+        "spans_out": int(n_spans),
+        "docs_per_sec": round(n_docs / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    return {
+        "metric": "headline extraction scaling (same input, fresh sessions)",
+        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "unit": "sec", "bench_docs": r_lo["bench_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

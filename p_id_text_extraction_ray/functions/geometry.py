@@ -265,11 +265,127 @@ class GroupedBoxes:
     rot: np.ndarray            # (g,) int8 rotation of the first surviving member
     tile_ords: list[np.ndarray]  # per group: sorted unique source tile ordinals
     is_grouped: np.ndarray     # (g,) bool: merged from >1 box
+    # smallest input-box index of each group (canonical output-order key)
+    group_keys: np.ndarray = None  # type: ignore[assignment]
     # metrics (reference grouping_logic.py:966-989 equivalents)
     n_before: int = 0
     n_suppressed: int = 0
     n_after: int = 0
     n_merges: int = 0
+
+
+def interaction_components(boxes: np.ndarray, p: ConnectParams) -> np.ndarray:
+    """Conservative spatial decomposition for dense images (skew valve).
+
+    Two boxes can interact (suppression needs rectangle overlap; connection
+    needs IoU>0 or the neighborhood+gap rules, all bounded by one box
+    dimension) only if their rectangles, each expanded by its own
+    ``max(w, h) * reach``, intersect. Components of that conservative graph
+    are independent grouping subproblems: every suppression pair and every
+    connection pair lies within one component, and the greedy suppression
+    order restricted to a component equals the global order restricted to
+    it — so solving components independently reproduces the global result
+    exactly (SURVEY.md §4.2 "exact cross-boundary merge").
+
+    Candidate pairs come from uniform grid binning (bin = p95 expanded
+    size), so cost is O(n x local density), not O(n^2).
+    """
+    n = len(boxes)
+    b = np.asarray(boxes, dtype=np.float64)
+    reach = max(1.0, p.proximity_factor,
+                p.neighborhood_expansion_factor / 2 + 0.5)
+    dim = np.maximum(b[:, 2] - b[:, 0], b[:, 3] - b[:, 1])
+    e = np.empty_like(b)
+    e[:, 0] = b[:, 0] - dim * reach
+    e[:, 1] = b[:, 1] - dim * reach
+    e[:, 2] = b[:, 2] + dim * reach
+    e[:, 3] = b[:, 3] + dim * reach
+
+    cell = max(8.0, float(np.percentile(e[:, 2] - e[:, 0], 95)))
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    def union(a: int, c: int) -> None:
+        ra, rc = find(a), find(c)
+        if ra != rc:
+            if ra < rc:
+                parent[rc] = ra
+            else:
+                parent[ra] = rc
+
+    bins: dict[tuple[int, int], list[int]] = {}
+    gx0 = np.floor(e[:, 0] / cell).astype(np.int64)
+    gy0 = np.floor(e[:, 1] / cell).astype(np.int64)
+    gx1 = np.floor(e[:, 2] / cell).astype(np.int64)
+    gy1 = np.floor(e[:, 3] / cell).astype(np.int64)
+    for i in range(n):
+        for bx in range(gx0[i], gx1[i] + 1):
+            for by in range(gy0[i], gy1[i] + 1):
+                bins.setdefault((bx, by), []).append(i)
+    for members in bins.values():
+        if len(members) < 2:
+            continue
+        m = np.array(members)
+        sub = e[m]
+        # pairwise expanded-rect intersection within the bin
+        for k in range(len(m)):
+            hit = ((sub[k, 0] < sub[:, 2]) & (sub[:, 0] < sub[k, 2]) &
+                   (sub[k, 1] < sub[:, 3]) & (sub[:, 1] < sub[k, 3]))
+            for j in np.nonzero(hit)[0]:
+                if j > k:
+                    union(int(m[k]), int(m[j]))
+    return np.array([find(x) for x in range(n)], dtype=np.int64)
+
+
+def group_boxes_large(boxes: np.ndarray, rot: np.ndarray, tile_ord: np.ndarray,
+                      p: ConnectParams,
+                      contained_box_threshold: float = 0.9) -> GroupedBoxes:
+    """Exact grouping for dense images: decompose via interaction
+    components, run the full 5-step algorithm per component, concatenate.
+    Output component order: ascending smallest original index (matches the
+    canonical order of the direct path)."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    n = len(boxes)
+    if n == 0:
+        return group_boxes(boxes, rot, tile_ord, p, contained_box_threshold)
+    labels = interaction_components(boxes, p)
+    rot = np.asarray(rot)
+    tile_ord = np.asarray(tile_ord)
+    order = np.argsort(labels, kind="stable")
+    sorted_labels = labels[order]
+    starts = np.append(np.unique(sorted_labels, return_index=True)[1],
+                       len(sorted_labels))
+    parts: list[GroupedBoxes] = []
+    keys: list[np.ndarray] = []
+    totals = dict(n_before=0, n_suppressed=0, n_after=0, n_merges=0)
+    for gi in range(len(starts) - 1):
+        members = np.sort(order[starts[gi]:starts[gi + 1]])
+        g = group_boxes(boxes[members], rot[members], tile_ord[members], p,
+                        contained_box_threshold)
+        parts.append(g)
+        keys.append(members[g.group_keys])
+        totals["n_before"] += g.n_before
+        totals["n_suppressed"] += g.n_suppressed
+        totals["n_after"] += g.n_after
+        totals["n_merges"] += g.n_merges
+    all_keys = np.concatenate(keys)
+    # Restore the global canonical output order (ascending min member index)
+    perm = np.argsort(all_keys, kind="stable")
+    tile_lists = [t for g in parts for t in g.tile_ords]
+    return GroupedBoxes(
+        boxes=np.concatenate([g.boxes for g in parts])[perm],
+        rot=np.concatenate([g.rot for g in parts])[perm],
+        tile_ords=[tile_lists[i] for i in perm],
+        is_grouped=np.concatenate([g.is_grouped for g in parts])[perm],
+        group_keys=all_keys[perm],
+        **totals)
 
 
 def group_boxes(boxes: np.ndarray, rot: np.ndarray, tile_ord: np.ndarray,
@@ -284,7 +400,8 @@ def group_boxes(boxes: np.ndarray, rot: np.ndarray, tile_ord: np.ndarray,
     n = len(boxes)
     if n == 0:
         return GroupedBoxes(np.zeros((0, 4), dtype=np.int64), np.zeros(0, dtype=np.int8),
-                            [], np.zeros(0, dtype=bool))
+                            [], np.zeros(0, dtype=bool),
+                            group_keys=np.zeros(0, dtype=np.int64))
 
     keep = suppress_contained(boxes, contained_box_threshold)
     kept_idx = np.nonzero(keep)[0]
@@ -317,6 +434,9 @@ def group_boxes(boxes: np.ndarray, rot: np.ndarray, tile_ord: np.ndarray,
         g_isg[gi] = len(surv) > 1
         n_merges += max(0, len(surv) - 1)
 
-    return GroupedBoxes(g_boxes, g_rot, g_tiles, g_isg,
+    # Map each group's key back to its smallest ORIGINAL input index (the
+    # component label is an index into the suppression-filtered subset).
+    group_keys = kept_idx[uniq]
+    return GroupedBoxes(g_boxes, g_rot, g_tiles, g_isg, group_keys=group_keys,
                         n_before=n, n_suppressed=int(n - keep.sum()),
                         n_after=len(uniq), n_merges=n_merges)

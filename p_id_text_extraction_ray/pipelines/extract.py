@@ -4,23 +4,29 @@ One streaming DAG (SURVEY.md §7.0):
 
     read docs (doc_id, spans[])
       ├─ TEXT branch:  explode -> route text  -> clean (boilerplate strip)
-      └─ IMAGE branch: explode -> route image -> tile -> detect (actor pool)
-           -> groupby(img_key).map_groups(group)   [shuffle #1 — coords only]
+      └─ IMAGE branch: explode -> route image
+           -> unique media_refs (groupby(media_ref) count)   [shuffle #1, tiny rows]
+           -> tile -> detect (actor pool)
+           -> groupby(media_ref).map_groups(group)           [shuffle #2 — coords only]
            -> crop -> recognize (actor pool) -> classify
-      -> union -> groupby(doc_id).map_groups(reassemble)  [shuffle #2]
+           -> join back to (doc_id, offset) spans on media_ref
+                                                             [shuffle #3 — co-partitioned]
+      -> union -> groupby(doc_id).map_groups(reassemble)     [shuffle #4]
 
 Scale notes:
+* The CV path processes each DISTINCT image once; popular media_refs
+  (boilerplate diagrams, repeated attachments) cost one decode/detect/
+  recognize regardless of how many documents reference them. The join back
+  to spans is an equi-key groupby(media_ref) over tiny coordinate/text
+  rows. A media_ref referenced by millions of docs would skew the join
+  group; rows are so small (recognized text + coords) that the fan-out is
+  memory-bound only in pathological cases — salt by doc-hash there.
 * The two branches each consume the (lazy) exploded spans, so the input is
-  read twice; both branches prune to their own columns immediately. At
-  cluster scale the alternative is a materialize() barrier of the whole
-  exploded table — re-reading a column-pruned Parquet/Lance input streams
-  and is the cheaper choice.
-* Shuffle #1 moves detection *coordinates*, never pixels; the crop stage
-  re-resolves ``media_ref`` from the store (SURVEY.md §7.3).
-* Shuffle keys: ``img_key`` = (doc_id, offset) for grouping (finer than
-  doc_id: each image span groups independently — also the first skew
-  valve, since a many-image doc spreads over many groups), then ``doc_id``
-  for reassembly.
+  read twice; both branches prune immediately. The alternative is a
+  materialize() barrier of the whole exploded table — re-reading a
+  column-pruned Parquet/Lance input streams and is cheaper.
+* No shuffle ever carries pixels: tiles and crops flow forward through the
+  object store between adjacent stages only (SURVEY.md §7.3).
 """
 
 from __future__ import annotations
@@ -29,11 +35,48 @@ from typing import TYPE_CHECKING
 
 from ..config import ExtractConfig
 from ..stages.assemble import reassemble_doc
-from ..stages.cv import CropStage, PixelDetector, StubRecognizer, TileStage, make_group_fn
+from ..stages.cv import (CropStage, DetectStage, PixelDetector, StubRecognizer,
+                         join_spans_to_media, make_group_fn, tag_media_rows,
+                         tag_span_rows)
 from ..stages.spans import clean_text_spans, explode_spans, route_image, route_text
 
 if TYPE_CHECKING:
     import ray.data
+
+
+def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
+                       cfg: ExtractConfig,
+                       detector_cls=PixelDetector,
+                       detector_args: tuple = ()) -> "ray.data.Dataset":
+    """CV path over unique media_ref rows -> recognized per-media rows."""
+    # Pool sizing: tiling+detection dominates CV compute (and Ray fuses the
+    # tile task stage into the detector actor pool), so the detector pool
+    # gets half the cluster; recognition a quarter; the rest stays free for
+    # the stateless task stages and shuffles. Pools autoscale from 1 so a
+    # tiny cluster can't deadlock on pending actors.
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    det_max = cfg.detect_concurrency or max(1, cpus // 2)
+    rec_max = cfg.recognize_concurrency or max(1, cpus // 4)
+
+    # Split the (small) unique-ref rows into many blocks so the actor pool
+    # gets fine-grained, well-balanced work units — the upstream aggregate
+    # emits few large blocks otherwise and the pool load-skews.
+    n_work_blocks = max(64, cpus * 8)
+    detections = uniq_refs.repartition(n_work_blocks).map_batches(
+        DetectStage,
+        fn_constructor_args=(media_root, cfg, detector_cls, detector_args),
+        batch_format="pyarrow", batch_size=4,
+        concurrency=(1, det_max), num_cpus=1)
+    grouped = detections.groupby("media_ref").map_groups(
+        make_group_fn(cfg), batch_format="pyarrow")
+    crops = grouped.map_batches(
+        CropStage(media_root, cfg), batch_format="pyarrow",
+        batch_size=cfg.recognize_batch_size)
+    return crops.map_batches(
+        StubRecognizer, fn_constructor_args=(cfg,),
+        batch_format="pyarrow", batch_size=cfg.recognize_batch_size,
+        concurrency=(1, rec_max), num_cpus=1)
 
 
 def extract_spans(docs: "ray.data.Dataset", media_root: str,
@@ -41,16 +84,9 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
                   detector_cls=PixelDetector,
                   detector_args: tuple = ()) -> "ray.data.Dataset":
     """Build the lazy extraction Dataset. Does NOT call ray.init()."""
-    cfg = cfg or ExtractConfig()
+    from ray.data.aggregate import Count
 
-    # Autoscaling actor-pool caps: ~1/3 of the cluster's CPUs each (min 1),
-    # leaving headroom for the stateless task stages and the shuffles. Pools
-    # start at 1 actor and grow only while CPUs are free, so an 8-CPU
-    # cluster cannot deadlock on pending actors.
-    import ray
-    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    det_max = cfg.detect_concurrency or max(1, cpus // 3)
-    rec_max = cfg.recognize_concurrency or max(1, cpus // 3)
+    cfg = cfg or ExtractConfig()
 
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
 
@@ -59,23 +95,16 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
                  .map_batches(clean_text_spans, batch_format="pyarrow"))
 
     img_spans = spans.map_batches(route_image, batch_format="pyarrow")
-    tiles = img_spans.map_batches(
-        TileStage(media_root, cfg), batch_format="pyarrow",
-        batch_size=8)  # few image rows per task: each fans out to many tiles
-    detections = tiles.map_batches(
-        detector_cls, fn_constructor_args=detector_args or (cfg,),
-        batch_format="pyarrow", batch_size=cfg.detect_batch_size,
-        concurrency=(1, det_max), num_cpus=1)
-    grouped = detections.groupby("img_key").map_groups(
-        make_group_fn(cfg), batch_format="pyarrow")
-    crops = grouped.map_batches(
-        CropStage(media_root, cfg), batch_format="pyarrow",
-        batch_size=cfg.recognize_batch_size)
-    img_rows = crops.map_batches(
-        StubRecognizer, fn_constructor_args=(cfg,),
-        batch_format="pyarrow", batch_size=cfg.recognize_batch_size,
-        concurrency=(1, rec_max), num_cpus=1)
+    uniq_refs = (img_spans.groupby("media_ref")
+                 .aggregate(Count(alias_name="n_spans")))
+    media_rows = extract_media_rows(uniq_refs, media_root, cfg,
+                                    detector_cls, detector_args)
 
-    all_rows = text_rows.union(img_rows)
+    joined = (media_rows.map_batches(tag_media_rows, batch_format="pyarrow")
+              .union(img_spans.map_batches(tag_span_rows, batch_format="pyarrow"))
+              .groupby("media_ref")
+              .map_groups(join_spans_to_media, batch_format="pyarrow"))
+
+    all_rows = text_rows.union(joined)
     return all_rows.groupby("doc_id").map_groups(
         reassemble_doc, batch_format="pyarrow")

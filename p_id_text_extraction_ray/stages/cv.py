@@ -1,18 +1,25 @@
-"""CV-path stages: tile, detect, group, crop, recognize.
+"""CV-path stages: tile, detect, group, crop, recognize, span-join.
 
 Execution shapes (SURVEY.md §7.0):
 
+* The CV path is keyed by **media_ref** and processes each distinct image
+  exactly once: image spans reduce to unique refs
+  (``groupby(media_ref).aggregate(Count)``), the CV stages run per unique
+  image, and a final co-partitioned join on ``media_ref`` re-attaches
+  (doc_id, offset) to every span that referenced the image. Shared media
+  (boilerplate diagrams, repeated attachments — FIXTURES.md §5 bench shape)
+  costs one decode+detect+recognize, not one per referencing span.
 * ``TileStage`` / ``CropStage`` — stateless ``map_batches`` callables that
-  resolve ``media_ref`` bytes from the media store at the last moment; only
-  coordinates ever enter a shuffle, pixels flow forward through the object
-  store (SURVEY.md §7.3 "never shuffle pixel payloads").
+  resolve media bytes from the store at the last moment; only coordinates
+  enter shuffles, pixels flow forward through the object store
+  (SURVEY.md §7.3 "never shuffle pixel payloads").
 * ``PixelDetector`` / ``StubRecognizer`` — callable classes for
-  ``map_batches(Cls, concurrency=N)`` actor pools: model-shaped state is
-  constructed once per actor in ``__init__`` (the reference constructs its
-  EasyOCR/TrOCR models once per run: ``run_pipeline.py:154``,
-  ``text_recognition.py:37-51``), batches stream through ``__call__``.
-* ``group_image_boxes`` — the per-image ``map_groups`` function behind THE
-  shuffle (``groupby(img_key)``), reproducing the reference's 5-step
+  ``map_batches(Cls, concurrency=(1, n))`` actor pools: model-shaped state
+  is constructed once per actor in ``__init__`` (the reference constructs
+  its EasyOCR/TrOCR models once per run: ``run_pipeline.py:154``,
+  ``text_recognition.py:37-51``).
+* ``group_image_boxes`` — the per-image ``map_groups`` function behind the
+  ``groupby(media_ref)`` shuffle, reproducing the reference's 5-step
   grouping (``src/grouping/grouping_logic.py:653-799``) via the vectorized
   kernels in ``functions/geometry.py``.
 """
@@ -24,20 +31,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..config import ExtractConfig
-from ..functions.geometry import ConnectParams, group_boxes
+from ..functions.geometry import ConnectParams, group_boxes, group_boxes_large
 from ..functions.rectdetect import detect_rects
 from ..functions.reading_order import reading_order_ranks
 from ..functions.textops import classify_kinds
 from ..functions.tiling import tile_windows
 from ..media.codec import BACKGROUND, CELL_W, decode_image
 from ..media.store import FileMediaStore
-from .spans import SPAN_ROW_SCHEMA
+from .spans import SPAN_ROW_FIELDS, SPAN_ROW_SCHEMA
 
 DETECTION_SCHEMA = pa.schema([
-    ("img_key", pa.string()),          # doc_id \x1f offset — the shuffle key
-    ("doc_id", pa.string()),
-    ("offset", pa.int32()),
-    ("media_ref", pa.string()),
+    ("media_ref", pa.string()),        # the shuffle key
     ("tile_ord", pa.int32()),
     ("img_w", pa.int32()), ("img_h", pa.int32()),
     ("x_min", pa.int32()), ("y_min", pa.int32()),   # GLOBAL image coords
@@ -46,9 +50,6 @@ DETECTION_SCHEMA = pa.schema([
 ])
 
 GROUPED_SCHEMA = pa.schema([
-    ("img_key", pa.string()),
-    ("doc_id", pa.string()),
-    ("offset", pa.int32()),
     ("media_ref", pa.string()),
     ("rank", pa.int32()),              # reading-order rank within the image
     ("x_min", pa.int32()), ("y_min", pa.int32()),
@@ -59,10 +60,14 @@ GROUPED_SCHEMA = pa.schema([
     ("is_grouped", pa.bool_()),
 ])
 
+# Recognized rows per unique media: SPAN_ROW fields minus doc identity.
+MEDIA_ROW_SCHEMA = pa.schema([(n, t) for n, t in SPAN_ROW_FIELDS
+                              if n not in ("doc_id", "offset")])
 
-def make_img_key(doc_id: pa.Array, offset: pa.Array) -> pa.Array:
-    return pc.binary_join_element_wise(
-        doc_id, pc.cast(offset, pa.string()), "\x1f")
+
+def _np_tile(buf, h: int, w: int) -> np.ndarray:
+    """Zero-copy uint8 view over an Arrow binary cell."""
+    return np.frombuffer(buf.as_buffer(), dtype=np.uint8).reshape(h, w)
 
 
 class TileStage:
@@ -71,7 +76,7 @@ class TileStage:
     Mirrors the reference slicer's placement exactly
     (``src/data_loader/sahi_slicer.py:79-138`` via ``functions/tiling.py``)
     but keeps tiles in-flight as Arrow binary rows instead of PNG files
-    (eliminating S3/S4 of SURVEY.md §2.1).
+    (eliminating S3/S4 of SURVEY.md §2.1). Input rows: unique media_refs.
     """
 
     def __init__(self, media_root: str, cfg: ExtractConfig):
@@ -80,43 +85,27 @@ class TileStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.cfg.tiling
-        out: dict[str, list] = {k: [] for k in
-                                ("doc_id", "offset", "media_ref", "tile_ord",
-                                 "img_w", "img_h", "tx1", "ty1", "tx2", "ty2", "tile")}
-        cache: dict[str, np.ndarray] = {}
-        for doc_id, offset, ref in zip(batch.column("doc_id").to_pylist(),
-                                       batch.column("offset").to_pylist(),
-                                       batch.column("media_ref").to_pylist()):
-            img = cache.get(ref)
-            if img is None:
-                img = decode_image(self.store.get(ref))
-                cache[ref] = img
+        refs_out: list[str] = []
+        ords: list[int] = []
+        dims: list[tuple[int, int, int, int, int, int]] = []
+        payloads: list[bytes] = []
+        for ref in batch.column("media_ref").to_pylist():
+            img = decode_image(self.store.get(ref))
             h, w = img.shape
             windows = tile_windows(w, h, t.tile_size, t.overlap_ratio)
             for ord_, (x1, y1, x2, y2) in enumerate(windows.tolist()):
-                out["doc_id"].append(doc_id)
-                out["offset"].append(offset)
-                out["media_ref"].append(ref)
-                out["tile_ord"].append(ord_)
-                out["img_w"].append(w)
-                out["img_h"].append(h)
-                out["tx1"].append(x1)
-                out["ty1"].append(y1)
-                out["tx2"].append(x2)
-                out["ty2"].append(y2)
-                out["tile"].append(np.ascontiguousarray(img[y1:y2, x1:x2]).tobytes())
+                refs_out.append(ref)
+                ords.append(ord_)
+                dims.append((w, h, x1, y1, x2, y2))
+                payloads.append(np.ascontiguousarray(img[y1:y2, x1:x2]).tobytes())
+        d = np.array(dims, dtype=np.int32).reshape(-1, 6)
         return pa.table({
-            "doc_id": pa.array(out["doc_id"], pa.string()),
-            "offset": pa.array(out["offset"], pa.int32()),
-            "media_ref": pa.array(out["media_ref"], pa.string()),
-            "tile_ord": pa.array(out["tile_ord"], pa.int32()),
-            "img_w": pa.array(out["img_w"], pa.int32()),
-            "img_h": pa.array(out["img_h"], pa.int32()),
-            "tx1": pa.array(out["tx1"], pa.int32()),
-            "ty1": pa.array(out["ty1"], pa.int32()),
-            "tx2": pa.array(out["tx2"], pa.int32()),
-            "ty2": pa.array(out["ty2"], pa.int32()),
-            "tile": pa.array(out["tile"], pa.binary()),
+            "media_ref": pa.array(refs_out, pa.string()),
+            "tile_ord": pa.array(ords, pa.int32()),
+            "img_w": pa.array(d[:, 0]), "img_h": pa.array(d[:, 1]),
+            "tx1": pa.array(d[:, 2]), "ty1": pa.array(d[:, 3]),
+            "tx2": pa.array(d[:, 4]), "ty2": pa.array(d[:, 5]),
+            "tile": pa.array(payloads, pa.binary()),
         })
 
 
@@ -127,66 +116,78 @@ class PixelDetector:
     Replaces the reference's per-tile EasyOCR CRAFT ``detect``
     (``text_detection.py:49-104``) with the pixel rect detector; the
     orientation heuristic is the reference's (90 iff taller than wide,
-    ``text_detection.py:106-115``) applied to each detected fragment. The
-    local->global translation the reference defers to the grouping step
-    (``grouping_logic.py:94-116``) is fused here (SURVEY.md M6: do it
-    eagerly), so the shuffle carries final coordinates.
-
-    Detections within a tile are emitted sorted by (y, x) — the canonical
-    order that replaces the reference's glob-order nondeterminism.
+    ``text_detection.py:106-115``) applied per detected fragment. The
+    local->global translation the reference defers to grouping
+    (``grouping_logic.py:94-116``) is fused here (SURVEY.md M6), so the
+    shuffle carries final coordinates. Detections within a tile are emitted
+    sorted by (y, x) — the canonical order replacing the reference's glob
+    order.
     """
 
     def __init__(self, cfg: ExtractConfig | None = None):
         self.cfg = cfg or ExtractConfig()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        cols: dict[str, list] = {k: [] for k in
-                                 ("doc_id", "offset", "media_ref", "tile_ord",
-                                  "img_w", "img_h", "x_min", "y_min", "x_max",
-                                  "y_max", "rot")}
-        tiles = batch.column("tile").to_pylist()
-        tx1 = batch.column("tx1").to_pylist()
-        ty1 = batch.column("ty1").to_pylist()
-        tx2 = batch.column("tx2").to_pylist()
-        ty2 = batch.column("ty2").to_pylist()
-        meta = {k: batch.column(k).to_pylist()
-                for k in ("doc_id", "offset", "media_ref", "tile_ord", "img_w", "img_h")}
-        for i in range(n):
-            th, tw = ty2[i] - ty1[i], tx2[i] - tx1[i]
-            tile = np.frombuffer(tiles[i], dtype=np.uint8).reshape(th, tw)
+        tile_col = batch.column("tile").combine_chunks()
+        tx1 = batch.column("tx1").to_numpy()
+        ty1 = batch.column("ty1").to_numpy()
+        tx2 = batch.column("tx2").to_numpy()
+        ty2 = batch.column("ty2").to_numpy()
+        refs = batch.column("media_ref").to_pylist()
+        ords = batch.column("tile_ord").to_numpy()
+        img_w = batch.column("img_w").to_numpy()
+        img_h = batch.column("img_h").to_numpy()
+
+        out_boxes: list[np.ndarray] = []
+        out_meta: list[tuple[int, int]] = []   # (row index, n boxes)
+        for i in range(len(batch)):
+            tile = _np_tile(tile_col[i], int(ty2[i] - ty1[i]), int(tx2[i] - tx1[i]))
             boxes = detect_rects(tile)
-            if not len(boxes):
-                continue
-            gx1 = boxes[:, 0] + tx1[i]
-            gy1 = boxes[:, 1] + ty1[i]
-            gx2 = boxes[:, 2] + tx1[i]
-            gy2 = boxes[:, 3] + ty1[i]
-            rot = np.where((boxes[:, 3] - boxes[:, 1]) > (boxes[:, 2] - boxes[:, 0]),
-                           90, 0).astype(np.int8)
-            for k in ("doc_id", "offset", "media_ref", "tile_ord", "img_w", "img_h"):
-                cols[k].extend([meta[k][i]] * len(boxes))
-            cols["x_min"].extend(gx1.tolist())
-            cols["y_min"].extend(gy1.tolist())
-            cols["x_max"].extend(gx2.tolist())
-            cols["y_max"].extend(gy2.tolist())
-            cols["rot"].extend(rot.tolist())
-        doc = pa.array(cols["doc_id"], pa.string())
-        off = pa.array(cols["offset"], pa.int32())
+            if len(boxes):
+                boxes = boxes + np.array([tx1[i], ty1[i], tx1[i], ty1[i]])
+                out_boxes.append(boxes)
+                out_meta.append((i, len(boxes)))
+        if not out_boxes:
+            return pa.table({f.name: pa.array([], f.type) for f in DETECTION_SCHEMA},
+                            schema=DETECTION_SCHEMA)
+        all_boxes = np.concatenate(out_boxes)
+        idx = np.concatenate([np.full(n, i) for i, n in out_meta])
+        rot = np.where((all_boxes[:, 3] - all_boxes[:, 1]) >
+                       (all_boxes[:, 2] - all_boxes[:, 0]), 90, 0).astype(np.int8)
         return pa.table({
-            "img_key": make_img_key(doc, off),
-            "doc_id": doc,
-            "offset": off,
-            "media_ref": pa.array(cols["media_ref"], pa.string()),
-            "tile_ord": pa.array(cols["tile_ord"], pa.int32()),
-            "img_w": pa.array(cols["img_w"], pa.int32()),
-            "img_h": pa.array(cols["img_h"], pa.int32()),
-            "x_min": pa.array(cols["x_min"], pa.int32()),
-            "y_min": pa.array(cols["y_min"], pa.int32()),
-            "x_max": pa.array(cols["x_max"], pa.int32()),
-            "y_max": pa.array(cols["y_max"], pa.int32()),
-            "rot": pa.array(cols["rot"], pa.int8()),
+            "media_ref": pa.array([refs[i] for i in idx], pa.string()),
+            "tile_ord": pa.array(ords[idx].astype(np.int32)),
+            "img_w": pa.array(img_w[idx].astype(np.int32)),
+            "img_h": pa.array(img_h[idx].astype(np.int32)),
+            "x_min": pa.array(all_boxes[:, 0].astype(np.int32)),
+            "y_min": pa.array(all_boxes[:, 1].astype(np.int32)),
+            "x_max": pa.array(all_boxes[:, 2].astype(np.int32)),
+            "y_max": pa.array(all_boxes[:, 3].astype(np.int32)),
+            "rot": pa.array(rot),
         }, schema=DETECTION_SCHEMA)
+
+
+class DetectStage:
+    """Fused decode+tile+detect actor stage: unique media rows -> detection
+    rows.
+
+    Tiling and detection are deliberately one actor stage: tile pixel
+    payloads stream decode->detect inside the actor process and never enter
+    the object store (they are ~2.2x the source bytes; shipping them is
+    pure memory-bandwidth tax — SURVEY.md §7.3). The tiling math and the
+    detector remain separate, individually-tested components
+    (``TileStage``/``PixelDetector``); this class is their composition. A
+    GPU detector would keep the same shape with ``num_gpus`` on the pool.
+    """
+
+    def __init__(self, media_root: str, cfg: ExtractConfig,
+                 detector_cls=None, detector_args: tuple = ()):
+        self.tile = TileStage(media_root, cfg)
+        cls = detector_cls or PixelDetector
+        self.det = cls(*(detector_args or (cfg,)))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.det(self.tile(batch))
 
 
 class OracleDetector:
@@ -202,12 +203,11 @@ class OracleDetector:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cols: dict[str, list] = {k: [] for k in
-                                 ("doc_id", "offset", "media_ref", "tile_ord",
-                                  "img_w", "img_h", "x_min", "y_min", "x_max",
-                                  "y_max", "rot")}
+                                 ("media_ref", "tile_ord", "img_w", "img_h",
+                                  "x_min", "y_min", "x_max", "y_max", "rot")}
         meta = {k: batch.column(k).to_pylist()
-                for k in ("doc_id", "offset", "media_ref", "tile_ord",
-                          "img_w", "img_h", "tx1", "ty1", "tx2", "ty2")}
+                for k in ("media_ref", "tile_ord", "img_w", "img_h",
+                          "tx1", "ty1", "tx2", "ty2")}
         for i in range(len(batch)):
             entry = self.oracle.get(meta["media_ref"][i])
             if entry is None:
@@ -223,18 +223,14 @@ class OracleDetector:
             frag = frag[order]
             rot = np.where((frag[:, 3] - frag[:, 1]) > (frag[:, 2] - frag[:, 0]),
                            90, 0).astype(np.int8)
-            for k in ("doc_id", "offset", "media_ref", "tile_ord", "img_w", "img_h"):
+            for k in ("media_ref", "tile_ord", "img_w", "img_h"):
                 cols[k].extend([meta[k][i]] * len(frag))
             cols["x_min"].extend(frag[:, 0].tolist())
             cols["y_min"].extend(frag[:, 1].tolist())
             cols["x_max"].extend(frag[:, 2].tolist())
             cols["y_max"].extend(frag[:, 3].tolist())
             cols["rot"].extend(rot.tolist())
-        doc = pa.array(cols["doc_id"], pa.string())
-        off = pa.array(cols["offset"], pa.int32())
         return pa.table({
-            "img_key": make_img_key(doc, off),
-            "doc_id": doc, "offset": off,
             "media_ref": pa.array(cols["media_ref"], pa.string()),
             "tile_ord": pa.array(cols["tile_ord"], pa.int32()),
             "img_w": pa.array(cols["img_w"], pa.int32()),
@@ -272,24 +268,23 @@ def make_group_fn(cfg: ExtractConfig):
         # Canonical input order (replaces the reference's glob order):
         # tile ordinal asc, then y, then x.
         order = np.lexsort((boxes[:, 0], boxes[:, 1], tord))
-        g = group_boxes(boxes[order], rot[order], tord[order], p, contained)
+        # Dense images take the exact spatial-decomposition path: O(n x
+        # local density) instead of O(n^2) pair checks (SURVEY.md §4.2).
+        fn = group_boxes_large if len(order) > cfg.salted_grouping_threshold \
+            else group_boxes
+        g = fn(boxes[order], rot[order], tord[order], p, contained)
         ranks = reading_order_ranks(g.boxes, g.rot, tol)
         ng = len(g.boxes)
-        doc_id = t.column("doc_id").to_pylist()[0]
-        offset = int(t.column("offset").to_pylist()[0])
         return pa.table({
-            "img_key": pa.array([t.column("img_key").to_pylist()[0]] * ng),
-            "doc_id": pa.array([doc_id] * ng, pa.string()),
-            "offset": pa.array([offset] * ng, pa.int32()),
-            "media_ref": pa.array([t.column("media_ref").to_pylist()[0]] * ng, pa.string()),
+            "media_ref": pa.array([t.column("media_ref")[0].as_py()] * ng, pa.string()),
             "rank": pa.array(ranks, pa.int32()),
             "x_min": pa.array(g.boxes[:, 0], pa.int32()),
             "y_min": pa.array(g.boxes[:, 1], pa.int32()),
             "x_max": pa.array(g.boxes[:, 2], pa.int32()),
             "y_max": pa.array(g.boxes[:, 3], pa.int32()),
             "rot": pa.array(g.rot, pa.int8()),
-            "img_w": pa.array([int(t.column("img_w").to_pylist()[0])] * ng, pa.int32()),
-            "img_h": pa.array([int(t.column("img_h").to_pylist()[0])] * ng, pa.int32()),
+            "img_w": pa.array([int(t.column("img_w")[0].as_py())] * ng, pa.int32()),
+            "img_h": pa.array([int(t.column("img_h")[0].as_py())] * ng, pa.int32()),
             "n_src_tiles": pa.array([len(x) for x in g.tile_ords], pa.int32()),
             "is_grouped": pa.array(g.is_grouped, pa.bool_()),
         }, schema=GROUPED_SCHEMA)
@@ -302,7 +297,9 @@ class CropStage:
 
     Reference semantics (``src/cropping/cropping_Images.py:35-68``): pad by
     ``crop_padding``, clamp to the image, skip zero-size crops. Crop bytes
-    ride in-row to the recognizer (S7 of SURVEY.md §2.1 eliminated).
+    ride in-row to the recognizer (S7 of SURVEY.md §2.1 eliminated). Rows
+    arrive clustered by media_ref (the grouping shuffle's output order), so
+    the per-batch decode cache hits.
     """
 
     def __init__(self, media_root: str, cfg: ExtractConfig):
@@ -316,20 +313,20 @@ class CropStage:
         ch: list[int] = []
         keep: list[bool] = []
         refs = batch.column("media_ref").to_pylist()
-        x1 = batch.column("x_min").to_pylist()
-        y1 = batch.column("y_min").to_pylist()
-        x2 = batch.column("x_max").to_pylist()
-        y2 = batch.column("y_max").to_pylist()
+        x1 = batch.column("x_min").to_numpy()
+        y1 = batch.column("y_min").to_numpy()
+        x2 = batch.column("x_max").to_numpy()
+        y2 = batch.column("y_max").to_numpy()
         for i in range(len(batch)):
             img = cache.get(refs[i])
             if img is None:
                 img = decode_image(self.store.get(refs[i]))
                 cache[refs[i]] = img
             h, w = img.shape
-            a = max(0, x1[i] - self.pad)
-            b = max(0, y1[i] - self.pad)
-            c = min(w, x2[i] + self.pad)
-            d = min(h, y2[i] + self.pad)
+            a = max(0, int(x1[i]) - self.pad)
+            b = max(0, int(y1[i]) - self.pad)
+            c = min(w, int(x2[i]) + self.pad)
+            d = min(h, int(y2[i]) + self.pad)
             crop = img[b:d, a:c]
             if crop.size == 0:
                 keep.append(False)
@@ -352,12 +349,12 @@ class StubRecognizer:
     non-empty text. Rows whose final text is empty are dropped
     (``text_recognition.py:174``).
 
-    The "models" decode the value-coded pixels (``media/codec.py``):
-    the primary reads horizontally and scores confidence by cell
-    homogeneity (vertical text therefore scores low and exercises the
-    fallback, like low-confidence TrOCR), the fallback reads after rotation.
-    Real TrOCR/EasyOCR would load here in ``__init__`` behind the same
-    interface.
+    The "models" decode the value-coded pixels (``media/codec.py``): the
+    primary reads horizontally and scores confidence by cell homogeneity
+    (vertical text scores low and exercises the fallback, like
+    low-confidence TrOCR); the fallback reads after rotation. Real
+    TrOCR/EasyOCR would load here in ``__init__`` behind the same
+    interface. Output rows are per unique media (MEDIA_ROW_SCHEMA).
     """
 
     def __init__(self, cfg: ExtractConfig | None = None):
@@ -399,20 +396,20 @@ class StubRecognizer:
         return text, (1.0 if text else 0.0)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        crops = batch.column("crop").to_pylist()
-        chs = batch.column("crop_h").to_pylist()
-        cws = batch.column("crop_w").to_pylist()
-        rots = batch.column("rot").to_pylist()
+        crop_col = batch.column("crop").combine_chunks()
+        chs = batch.column("crop_h").to_numpy()
+        cws = batch.column("crop_w").to_numpy()
+        rots = batch.column("rot").to_numpy()
         texts: list[str] = []
         confs: list[float] = []
         methods: list[str] = []
         keep: list[bool] = []
         for i in range(len(batch)):
-            crop = np.frombuffer(crops[i], dtype=np.uint8).reshape(chs[i], cws[i])
+            crop = _np_tile(crop_col[i], int(chs[i]), int(cws[i]))
             text, conf = self._primary(crop)
             method = "TrOCR"
             if conf < self.gate:
-                fb_text, fb_conf = self._fallback(crop, rots[i])
+                fb_text, fb_conf = self._fallback(crop, int(rots[i]))
                 if fb_text:
                     text, conf, method = fb_text, fb_conf, "EasyOCR"
             if not text:
@@ -424,10 +421,7 @@ class StubRecognizer:
             methods.append(method)
         t = batch.filter(pa.array(keep))
         text_arr = pa.array(texts, pa.string())
-        n = len(t)
         return pa.table({
-            "doc_id": t.column("doc_id"),
-            "offset": t.column("offset"),
             "rank": t.column("rank"),
             "kind": classify_kinds(text_arr),
             "text": text_arr,
@@ -437,4 +431,68 @@ class StubRecognizer:
             "rot": t.column("rot"),
             "confidence": pa.array(confs, pa.float64()),
             "method": pa.array(methods, pa.string()),
-        }, schema=SPAN_ROW_SCHEMA)
+        }, schema=MEDIA_ROW_SCHEMA)
+
+
+# ---------------------------------------------------------------- span join
+
+_JOIN_SCHEMA = pa.schema([("media_ref", pa.string()), ("is_span", pa.bool_())] +
+                         [(n, t) for n, t in SPAN_ROW_FIELDS if n != "media_ref"])
+
+
+def tag_media_rows(batch: pa.Table) -> pa.Table:
+    """Recognized per-media rows -> join-side rows (is_span=False)."""
+    n = len(batch)
+    cols = {"media_ref": batch.column("media_ref"),
+            "is_span": pa.array([False] * n, pa.bool_()),
+            "doc_id": pa.array([""] * n, pa.string()),
+            "offset": pa.array([-1] * n, pa.int32())}
+    for name, _t in SPAN_ROW_FIELDS:
+        if name not in ("doc_id", "offset", "media_ref"):
+            cols[name] = batch.column(name)
+    return pa.table(cols, schema=_JOIN_SCHEMA)
+
+
+def tag_span_rows(batch: pa.Table) -> pa.Table:
+    """Image-span rows (doc_id, offset, media_ref) -> join-side rows
+    (is_span=True, payload columns dummy)."""
+    n = len(batch)
+    cols = {"media_ref": batch.column("media_ref"),
+            "is_span": pa.array([True] * n, pa.bool_()),
+            "doc_id": batch.column("doc_id"),
+            "offset": pc.cast(batch.column("offset"), pa.int32()),
+            "rank": pa.array([0] * n, pa.int32()),
+            "kind": pa.array([""] * n, pa.string()),
+            "text": pa.array([""] * n, pa.string()),
+            "x_min": pa.array([-1] * n, pa.int32()),
+            "y_min": pa.array([-1] * n, pa.int32()),
+            "x_max": pa.array([-1] * n, pa.int32()),
+            "y_max": pa.array([-1] * n, pa.int32()),
+            "rot": pa.array([0] * n, pa.int8()),
+            "confidence": pa.array([0.0] * n, pa.float64()),
+            "method": pa.array([""] * n, pa.string())}
+    return pa.table(cols, schema=_JOIN_SCHEMA)
+
+
+def join_spans_to_media(t: pa.Table) -> pa.Table:
+    """map_groups fn over groupby(media_ref) of the tagged union: emit one
+    span row per (referencing span x recognized row) — the co-partitioned
+    hash join that fans media results back out to documents."""
+    is_span = t.column("is_span").to_numpy(zero_copy_only=False)
+    spans = t.filter(pa.array(is_span))
+    media = t.filter(pa.array(~is_span))
+    n_s, n_m = len(spans), len(media)
+    if n_s == 0 or n_m == 0:
+        return pa.table({f.name: pa.array([], f.type) for f in SPAN_ROW_SCHEMA},
+                        schema=SPAN_ROW_SCHEMA)
+    # repeat media rows for each span (media index varies fastest)
+    m_idx = pa.array(np.tile(np.arange(n_m), n_s))
+    s_idx = pa.array(np.repeat(np.arange(n_s), n_m))
+    media_rep = media.take(m_idx)
+    spans_rep = spans.take(s_idx)
+    cols = {"doc_id": spans_rep.column("doc_id"),
+            "offset": spans_rep.column("offset")}
+    for name, _t in SPAN_ROW_FIELDS:
+        if name not in ("doc_id", "offset"):
+            cols[name] = media_rep.column(name)
+    return pa.table(cols, schema=SPAN_ROW_SCHEMA)

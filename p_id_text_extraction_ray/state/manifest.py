@@ -1,0 +1,154 @@
+"""Checkpoint manifest + resumable partitioned extraction runs.
+
+The reference resumes at whole-step granularity (every step fully
+materializes to disk, ``run_pipeline.py:336-383``); this engine's resume
+unit is a **partition of documents** (SURVEY.md §4.3):
+
+* partition id = crc32(doc_id) % P — stable across runs and machines;
+* a run processes partitions in waves; each wave is one streaming pipeline
+  over only the pending partitions, sinking to
+  ``out/spans/part={pid}/*.parquet`` via ``write_parquet(partition_cols)``;
+* after a wave commits, one manifest JSON per partition is written
+  atomically (tmp + rename) with lineage + counters mirroring the
+  reference's run-level metrics (``grouping_logic.py:966-989``,
+  ``run_pipeline.py:162,219``);
+* resuming re-lists the manifest dir and anti-joins: only partitions
+  without a manifest record run again. Output re-writes are idempotent
+  because each partition's rows land under its own directory and the
+  pipeline is deterministic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+import zlib
+from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import ExtractConfig
+
+
+def partition_of(doc_id: str, num_partitions: int) -> int:
+    return zlib.crc32(doc_id.encode("utf-8")) % num_partitions
+
+
+def add_partition_column(batch: pa.Table, num_partitions: int) -> pa.Table:
+    part = pa.array([partition_of(d, num_partitions)
+                     for d in batch.column("doc_id").to_pylist()], pa.int32())
+    return batch.append_column("part", part)
+
+
+@dataclass
+class PartitionRecord:
+    partition_id: int
+    docs_in: int
+    spans_out: int
+    wall_ms: int
+    input_fingerprint: str     # crc32 over the partition's sorted doc_ids
+    output_uri: str
+    run_id: str
+
+
+class Manifest:
+    def __init__(self, out_dir: str):
+        self.dir = os.path.join(out_dir, "manifest")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def completed(self) -> set[int]:
+        done = set()
+        for name in os.listdir(self.dir):
+            if name.endswith(".json"):
+                done.add(int(name[:-5]))
+        return done
+
+    def read(self, pid: int) -> dict:
+        with open(os.path.join(self.dir, f"{pid}.json")) as f:
+            return json.load(f)
+
+    def commit(self, rec: PartitionRecord) -> None:
+        path = os.path.join(self.dir, f"{rec.partition_id}.json")
+        tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(asdict(rec), f)
+        os.replace(tmp, path)
+
+
+def run_resumable(docs_path: str, media_root: str, out_dir: str,
+                  num_partitions: int = 16, wave_partitions: int = 8,
+                  cfg: ExtractConfig | None = None) -> dict:
+    """Run the extraction pipeline resumably; returns a run summary.
+
+    Safe to call repeatedly: completed partitions are skipped via the
+    manifest anti-join. Kill it mid-run and call again — the second call
+    finishes only the remainder (pytest-verified in test_resume.py).
+    """
+    import ray.data as rd
+
+    cfg = cfg or ExtractConfig()
+    from ..pipelines.extract import extract_spans
+
+    manifest = Manifest(out_dir)
+    spans_root = os.path.join(out_dir, "spans")
+    run_id = uuid.uuid4().hex[:12]
+
+    done = manifest.completed()
+    pending = [p for p in range(num_partitions) if p not in done]
+    summary = {"run_id": run_id, "partitions": num_partitions,
+               "skipped": len(done), "processed": 0, "spans_out": 0}
+
+    import shutil
+    for wi in range(0, len(pending), wave_partitions):
+        wave = set(pending[wi:wi + wave_partitions])
+        # Clear any uncommitted leftovers from a previously killed attempt —
+        # partition dirs are only trusted once their manifest record exists,
+        # so re-writing them from scratch keeps the run idempotent.
+        for pid in wave:
+            shutil.rmtree(os.path.join(spans_root, f"part={pid}"),
+                          ignore_errors=True)
+        t0 = time.perf_counter()
+
+        docs = rd.read_parquet(docs_path)
+
+        def in_wave(batch: pa.Table, wave=frozenset(wave)) -> pa.Table:
+            keep = [partition_of(d, num_partitions) in wave
+                    for d in batch.column("doc_id").to_pylist()]
+            return batch.filter(pa.array(keep))
+
+        wave_docs = docs.map_batches(in_wave, batch_format="pyarrow")
+        out = extract_spans(wave_docs, media_root, cfg).map_batches(
+            lambda t: add_partition_column(t, num_partitions),
+            batch_format="pyarrow")
+        out.write_parquet(spans_root, partition_cols=["part"])
+
+        wall_ms = int((time.perf_counter() - t0) * 1000)
+
+        # Per-partition counters from the written partition directories +
+        # the wave's doc list (all driver-side metadata reads, no data).
+        import pyarrow.parquet as pq
+        wave_doc_ids: dict[int, list[str]] = {p: [] for p in wave}
+        for batch in docs.map_batches(in_wave, batch_format="pyarrow") \
+                         .select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
+            for d in batch.column("doc_id").to_pylist():
+                wave_doc_ids[partition_of(d, num_partitions)].append(d)
+        for pid in sorted(wave):
+            part_dir = os.path.join(spans_root, f"part={pid}")
+            spans_out = 0
+            if os.path.isdir(part_dir):
+                for f in os.listdir(part_dir):
+                    if f.endswith(".parquet"):
+                        spans_out += pq.read_metadata(
+                            os.path.join(part_dir, f)).num_rows
+            ids = sorted(wave_doc_ids[pid])
+            fp = format(zlib.crc32("\n".join(ids).encode()), "08x")
+            manifest.commit(PartitionRecord(
+                partition_id=pid, docs_in=len(ids), spans_out=spans_out,
+                wall_ms=wall_ms, input_fingerprint=fp,
+                output_uri=part_dir, run_id=run_id))
+            summary["processed"] += 1
+            summary["spans_out"] += spans_out
+    return summary

@@ -1,0 +1,89 @@
+"""Checkpoint manifest + resumable-run semantics (SURVEY.md §4.3)."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from p_id_text_extraction_ray.state.manifest import (Manifest, PartitionRecord,
+                                                     partition_of, run_resumable)
+
+GOLDEN_COLS = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+
+
+def _norm(df):
+    df = df[GOLDEN_COLS].copy()
+    for c in ("seq", "offset"):
+        df[c] = df[c].astype("int64")
+    return df.sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+
+def test_partition_of_stable():
+    assert partition_of("DOC-000001", 16) == partition_of("DOC-000001", 16)
+    assert 0 <= partition_of("anything", 7) < 7
+
+
+def test_manifest_commit_atomic(tmp_path):
+    m = Manifest(str(tmp_path))
+    assert m.completed() == set()
+    m.commit(PartitionRecord(3, 10, 50, 1200, "abcd1234", "/x", "r1"))
+    assert m.completed() == {3}
+    assert m.read(3)["docs_in"] == 10
+
+
+def test_resumable_run_and_skip(ray_session, tiny_fixture, tmp_path):
+    out = str(tmp_path / "out")
+    s1 = run_resumable(tiny_fixture.docs, tiny_fixture.media_root, out,
+                       num_partitions=4, wave_partitions=2)
+    assert s1["processed"] == 4 and s1["skipped"] == 0
+
+    # full output equals golden
+    got = _norm(pq.read_table(os.path.join(out, "spans")).to_pandas())
+    golden = _norm(pq.read_table(tiny_fixture.golden).to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
+
+    # second run: everything skipped, output unchanged
+    s2 = run_resumable(tiny_fixture.docs, tiny_fixture.media_root, out,
+                       num_partitions=4, wave_partitions=2)
+    assert s2["processed"] == 0 and s2["skipped"] == 4
+    got2 = _norm(pq.read_table(os.path.join(out, "spans")).to_pandas())
+    pd.testing.assert_frame_equal(got2, golden)
+
+
+def test_resume_after_partial_run(ray_session, tiny_fixture, tmp_path):
+    """Simulate a mid-table kill: complete 2 of 4 partitions, delete one
+    partition's manifest (as if the run died before committing it), then
+    resume — the result must be byte-identical to a clean full run."""
+    out = str(tmp_path / "out")
+    run_resumable(tiny_fixture.docs, tiny_fixture.media_root, out,
+                  num_partitions=4, wave_partitions=4)
+    m = Manifest(out)
+    assert m.completed() == {0, 1, 2, 3}
+
+    # kill: drop manifests 2,3 and corrupt partition 3's data dir
+    for pid in (2, 3):
+        os.remove(os.path.join(out, "manifest", f"{pid}.json"))
+    import shutil
+    shutil.rmtree(os.path.join(out, "spans", "part=3"), ignore_errors=True)
+
+    s = run_resumable(tiny_fixture.docs, tiny_fixture.media_root, out,
+                      num_partitions=4, wave_partitions=4)
+    assert s["skipped"] == 2 and s["processed"] == 2
+
+    got = _norm(pq.read_table(os.path.join(out, "spans")).to_pandas())
+    golden = _norm(pq.read_table(tiny_fixture.golden).to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
+
+
+def test_manifest_counters(ray_session, tiny_fixture, tmp_path):
+    out = str(tmp_path / "out")
+    run_resumable(tiny_fixture.docs, tiny_fixture.media_root, out,
+                  num_partitions=2, wave_partitions=2)
+    m = Manifest(out)
+    recs = [m.read(p) for p in sorted(m.completed())]
+    golden = pq.read_table(tiny_fixture.golden).to_pandas()
+    assert sum(r["spans_out"] for r in recs) == len(golden)
+    docs = pq.read_table(tiny_fixture.docs).to_pandas()
+    assert sum(r["docs_in"] for r in recs) == len(docs)
+    assert all(r["input_fingerprint"] for r in recs)
