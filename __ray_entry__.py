@@ -23,7 +23,8 @@ from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import textstats as T
-from p_id_text_extraction_ray.pipelines.flagship import pid_extract
+from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
+                                                         pid_extract_pdf_points)
 
 
 def entry() -> Any:
@@ -63,6 +64,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": T.text_clean,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
+        "pid_extract_pdf_points": pid_extract_pdf_points,
+        "media_resize": media_resize,
     }
 
 

@@ -46,6 +46,14 @@ NUM_BANDS = 32
 SIMHASH_MAX_HAMMING = 3
 MAX_SHINGLE_DOCS = 64   # skew cap: a shingle shared by more docs is dropped
 
+# Pair generation shuffles on a BUCKET of the equality key (key % NB), not
+# the key itself: the groupby then has a bounded number of groups (NB) of
+# uniform expected size, and each group emits its pairs with one vectorized
+# self-merge instead of one Python call per distinct key. NB trades group
+# size against task count — raise it with the corpus (it is the unit of
+# shuffle parallelism).
+N_PAIR_BUCKETS = 64
+
 
 def _docs(sf_dir: str):
     import ray.data as rd
@@ -100,6 +108,29 @@ def _doc_shingle_counts(sf_dir: str) -> pd.Series:
     return pd.Series(counts["n"].values, index=counts["doc_id"].values)
 
 
+def _bucket_pairs(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
+    """All (doc_a < doc_b, count) pairs co-occurring on the exact key
+    columns, computed with one vectorized self-merge (no per-key Python).
+    Keys shared by more than MAX_SHINGLE_DOCS docs are dropped (skew cap)."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "n": pd.Series([], dtype="int64")})
+    if len(df) < 2:
+        return empty
+    df = df.drop_duplicates(key_cols + ["doc_id"])
+    sizes = df.groupby(key_cols)["doc_id"].transform("size")
+    df = df[(sizes >= 2) & (sizes <= MAX_SHINGLE_DOCS)]
+    if len(df) < 2:
+        return empty
+    m = df.merge(df, on=key_cols, suffixes=("_a", "_b"))
+    m = m[m["doc_id_a"] < m["doc_id_b"]]
+    if not len(m):
+        return empty
+    g = m.groupby(["doc_id_a", "doc_id_b"], as_index=False).size()
+    g.columns = ["doc_a", "doc_b", "n"]
+    return g.astype({"doc_a": "int64", "doc_b": "int64", "n": "int64"})
+
+
 def dedup_ngram_jaccard(sf_dir: str):
     """All pairs with exact word-3-gram Jaccard >= 0.6 (doc_a < doc_b)."""
     from ray.data.aggregate import Sum
@@ -107,17 +138,14 @@ def dedup_ngram_jaccard(sf_dir: str):
     n_shingles = _doc_shingle_counts(sf_dir)
     rows = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pandas")
 
-    def pairs_of_group(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > MAX_SHINGLE_DOCS:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "n": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b],
-                             "n": np.ones(len(a), dtype=np.int64)})
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["shingle"].to_numpy(dtype=np.uint64)
+                                 % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
 
-    inter = (rows.groupby("shingle").map_groups(pairs_of_group, batch_format="pandas")
+    inter = (rows.map_batches(add_bucket, batch_format="pandas")
+             .groupby("bucket")
+             .map_groups(lambda g: _bucket_pairs(g, ["shingle"]),
+                         batch_format="pandas")
              .groupby(["doc_a", "doc_b"]).aggregate(Sum("n", alias_name="inter")))
 
     def finish(df: pd.DataFrame) -> pa.Table:
@@ -147,9 +175,15 @@ shingles AS (
     SELECT doc_id, array_to_string(w, ' ') AS s
     FROM words WHERE len(w) < {SHINGLE_K} AND len(w) > 0)),
 counts AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+-- skew cap mirror (MAX_SHINGLE_DOCS): shingles shared by more docs are
+-- excluded from intersection counting on BOTH sides
+usable AS (
+  SELECT s FROM shingles GROUP BY s
+  HAVING count(*) BETWEEN 2 AND {MAX_SHINGLE_DOCS}),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
   FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  WHERE a.s IN (SELECT s FROM usable)
   GROUP BY 1, 2)
 SELECT doc_a, doc_b,
        round(i / (ca.n + cb.n - i), 6) AS jaccard
@@ -181,18 +215,15 @@ def dedup_minhash_lsh(sf_dir: str):
 
     rows = _docs(sf_dir).map_batches(band_rows, batch_format="pandas")
 
-    def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > MAX_SHINGLE_DOCS:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "one": pd.Series([], dtype="int64")})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[a], "doc_b": ids[b],
-                             "one": np.ones(len(a), dtype=np.int64)})
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["key"].to_numpy(dtype=np.uint64)
+                                 % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
 
-    cand = (rows.groupby(["band", "key"]).map_groups(candidates, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).aggregate(Min("one", alias_name="one")))
+    cand = (rows.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket")
+            .map_groups(lambda g: _bucket_pairs(g, ["band", "key"]),
+                        batch_format="pandas")
+            .groupby(["doc_a", "doc_b"]).aggregate(Min("n", alias_name="n")))
 
     # Verification side: shingle sets of candidate docs only. Collected as a
     # dict here (candidates are few); at scale this is a doc_id-keyed join.
@@ -234,21 +265,32 @@ def dedup_simhash(sf_dir: str):
 
     rows = _docs(sf_dir).map_batches(sig_rows, batch_format="pandas")
 
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(bucket=(df["key"].to_numpy(dtype=np.int64)
+                                 % N_PAIR_BUCKETS))
+
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("doc_id").sort_values("doc_id")
-        if len(df) < 2 or len(df) > MAX_SHINGLE_DOCS:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "dist": pd.Series([], dtype="int64")})
-        ids = df["doc_id"].to_numpy()
-        sigs = df["sig"].to_numpy(dtype=np.uint64)
-        a, b = np.triu_indices(len(ids), k=1)
-        dist = hamming64(sigs[a], sigs[b])
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "dist": pd.Series([], dtype="int64")})
+        df = df.drop_duplicates(["band", "key", "doc_id"])
+        sizes = df.groupby(["band", "key"])["doc_id"].transform("size")
+        df = df[(sizes >= 2) & (sizes <= MAX_SHINGLE_DOCS)]
+        if len(df) < 2:
+            return empty
+        m = df.merge(df, on=["band", "key"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]].drop_duplicates(["doc_id_a", "doc_id_b"])
+        if not len(m):
+            return empty
+        dist = hamming64(m["sig_a"].to_numpy(dtype=np.uint64),
+                         m["sig_b"].to_numpy(dtype=np.uint64))
         keep = dist <= SIMHASH_MAX_HAMMING
-        return pd.DataFrame({"doc_a": ids[a][keep], "doc_b": ids[b][keep],
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy()[keep],
+                             "doc_b": m["doc_id_b"].to_numpy()[keep],
                              "dist": dist[keep].astype(np.int64)})
 
-    return (rows.groupby(["band", "key"]).map_groups(candidates, batch_format="pandas")
+    return (rows.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket").map_groups(candidates, batch_format="pandas")
             .groupby(["doc_a", "doc_b"]).aggregate(Min("dist", alias_name="hamming")))
 
 

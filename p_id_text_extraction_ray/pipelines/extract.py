@@ -49,25 +49,30 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
                        detector_cls=PixelDetector,
                        detector_args: tuple = ()) -> "ray.data.Dataset":
     """CV path over unique media_ref rows -> recognized per-media rows."""
-    # Pool sizing: tiling+detection dominates CV compute (and Ray fuses the
-    # tile task stage into the detector actor pool), so the detector pool
-    # gets half the cluster; recognition a quarter; the rest stays free for
-    # the stateless task stages and shuffles. Pools autoscale from 1 so a
-    # tiny cluster can't deadlock on pending actors.
+    # Pool sizing: tiling+detection dominates CV compute, so the detector
+    # pool gets ~60% of the cluster, recognition ~25%, the remainder stays
+    # free for the stateless task stages and shuffles (a pool that reserves
+    # every CPU would starve them). Pools autoscale (min, max) with a warm
+    # minimum of ~2/3: the streaming executor spawns min actors at
+    # execution start, hiding most of the per-actor process spawn + import
+    # latency behind the read/explode phase, while small clusters keep a
+    # floor of free CPUs so the task stages can't starve.
     import ray
     cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    det_max = cfg.detect_concurrency or max(1, cpus // 2)
+    det_max = cfg.detect_concurrency or max(1, int(cpus * 0.6))
     rec_max = cfg.recognize_concurrency or max(1, cpus // 4)
+    det_pool = (max(1, det_max * 2 // 3), det_max)
+    rec_pool = (max(1, rec_max * 2 // 3), rec_max)
 
-    # Split the (small) unique-ref rows into many blocks so the actor pool
-    # gets fine-grained, well-balanced work units — the upstream aggregate
-    # emits few large blocks otherwise and the pool load-skews.
-    n_work_blocks = max(64, cpus * 8)
+    # Split the (small) unique-ref rows into enough blocks for load balance
+    # (the upstream aggregate emits few large blocks otherwise) but not so
+    # many that per-task fixed costs dominate: ~4 work units per detector.
+    n_work_blocks = max(32, det_max * 4)
     detections = uniq_refs.repartition(n_work_blocks).map_batches(
         DetectStage,
         fn_constructor_args=(media_root, cfg, detector_cls, detector_args),
-        batch_format="pyarrow", batch_size=4,
-        concurrency=(1, det_max), num_cpus=1)
+        batch_format="pyarrow", batch_size=8,
+        concurrency=det_pool, num_cpus=1)
     grouped = detections.groupby("media_ref").map_groups(
         make_group_fn(cfg), batch_format="pyarrow")
     crops = grouped.map_batches(
@@ -76,7 +81,7 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
     return crops.map_batches(
         StubRecognizer, fn_constructor_args=(cfg,),
         batch_format="pyarrow", batch_size=cfg.recognize_batch_size,
-        concurrency=(1, rec_max), num_cpus=1)
+        concurrency=rec_pool, num_cpus=1)
 
 
 def extract_spans(docs: "ray.data.Dataset", media_root: str,

@@ -72,3 +72,30 @@ def pid_extract(sf_dir: str, cfg: ExtractConfig | None = None):
 
     docs_path, media_root = build_interleaved_docs(sf_dir)
     return extract_spans(rd.read_parquet(docs_path), media_root, cfg)
+
+
+def pid_extract_pdf_points(sf_dir: str):
+    """Extraction output with pixel->PDF-point bbox columns (M11/S9 parity:
+    ``/root/reference/src/convert_coord.py:17-23``, 72/dpi scale, 4 dp)."""
+    from ..stages.assemble import to_pdf_points
+
+    return pid_extract(sf_dir).map_batches(to_pdf_points, batch_format="pyarrow")
+
+
+def media_resize(sf_dir: str, target: int = 256):
+    """Multimodal resize op over the flagship media store: every unique
+    media_ref decoded and resized in an actor-pool stage; returns
+    (media_ref, width, height) rows (blobs dropped for the driver check)."""
+    import os
+
+    import ray.data as rd
+    from ..stages.multimodal import ImageResizeStage
+
+    docs_path, media_root = build_interleaved_docs(sf_dir)
+    refs = sorted(
+        os.path.join("media", f) for f in os.listdir(os.path.join(media_root, "media")))
+    ds = rd.from_arrow(pa.table({"media_ref": pa.array(refs, pa.string())}))
+    out = ds.map_batches(ImageResizeStage, fn_constructor_args=(media_root, target),
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=(1, 4), num_cpus=1)
+    return out.select_columns(["media_ref", "width", "height"])
