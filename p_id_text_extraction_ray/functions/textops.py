@@ -39,11 +39,10 @@ def classify_kinds(texts: pa.Array) -> pa.Array:
 
 # Exact-line and prefix boilerplate rules (FIXTURES.md: injected boilerplate
 # like "COPYRIGHT FOOTER" / repeated nav strings must be stripped).
-_BOILER_PREFIX_RE = re.compile(
+_BOILER_PREFIX_PATTERN = (
     r"^(copyright|all rights reserved|cookie|subscribe now|"
-    r"terms of (use|service)|privacy policy|(nav|menu|footer|header)\b)",
-    re.IGNORECASE,
-)
+    r"terms of (use|service)|privacy policy|(nav|menu|footer|header)\b)")
+_BOILER_PREFIX_RE = re.compile(_BOILER_PREFIX_PATTERN, re.IGNORECASE)
 _WS_RUN_RE = re.compile(r"[ \t\r\f\v]+")
 
 
@@ -68,13 +67,17 @@ def strip_boilerplate(text: str) -> str:
 def clean_text_column(texts: pa.Array) -> pa.Array:
     """Vectorized strip_boilerplate for Arrow string arrays.
 
-    Newline-free inputs reduce to whitespace normalization, which covers the
-    hot path; multi-line inputs fall back to the per-string kernel.
+    Newline-free inputs take the fast path: whitespace normalization plus
+    the single-line boilerplate drop (a boilerplate-only string cleans to
+    ''); multi-line inputs fall back to the per-string kernel.
     """
     has_nl = pc.match_substring(texts, "\n")
     if not pc.any(has_nl).as_py():
-        return pc.utf8_trim_whitespace(
+        norm = pc.utf8_trim_whitespace(
             pc.replace_substring_regex(texts, r"\s+", " "))
+        boiler = pc.match_substring_regex(norm, _BOILER_PREFIX_PATTERN,
+                                          ignore_case=True)
+        return pc.if_else(boiler, pa.scalar(""), norm)
     return pa.array([strip_boilerplate(t) if t is not None else None
                      for t in texts.to_pylist()], type=pa.string())
 

@@ -225,11 +225,21 @@ def dedup_minhash_lsh(sf_dir: str):
                         batch_format="pandas")
             .groupby(["doc_a", "doc_b"]).aggregate(Min("n", alias_name="n")))
 
-    # Verification side: shingle sets of candidate docs only. Collected as a
-    # dict here (candidates are few); at scale this is a doc_id-keyed join.
-    texts = _docs(sf_dir).to_pandas()
-    shingle_map = {d: word_shingles(t, SHINGLE_K)
-                   for d, t in zip(texts["doc_id"], texts["text"])}
+    # Verification side: shingle sets computed DISTRIBUTED (map_batches),
+    # only the compact (doc_id, hashes) rows are collected to the broadcast
+    # dict; at 10^12-doc scale this becomes a doc_id-keyed join against the
+    # candidate set instead of a collect.
+    def shingle_sets(df: pd.DataFrame) -> pa.Table:
+        sets = [word_shingles(t, SHINGLE_K) for t in df["text"]]
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].values, pa.int64()),
+            "shingles": pa.array([s.tolist() for s in sets],
+                                 pa.list_(pa.uint64()))})
+
+    sets_df = _docs(sf_dir).map_batches(shingle_sets,
+                                        batch_format="pandas").to_pandas()
+    shingle_map = {d: np.asarray(s, dtype=np.uint64)
+                   for d, s in zip(sets_df["doc_id"], sets_df["shingles"])}
 
     def verify(df: pd.DataFrame) -> pa.Table:
         js = [jaccard(shingle_map[a], shingle_map[b])

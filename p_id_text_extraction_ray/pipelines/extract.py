@@ -38,7 +38,8 @@ from ..stages.assemble import reassemble_doc
 from ..stages.cv import (CropStage, DetectStage, PixelDetector, StubRecognizer,
                          join_spans_to_media, make_group_fn, tag_media_rows,
                          tag_span_rows)
-from ..stages.spans import clean_text_spans, explode_spans, route_image, route_text
+from ..stages.spans import (clean_text_spans, explode_spans, make_clean_text_fn,
+                            route_image, route_text)
 
 if TYPE_CHECKING:
     import ray.data
@@ -47,7 +48,9 @@ if TYPE_CHECKING:
 def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
                        cfg: ExtractConfig,
                        detector_cls=PixelDetector,
-                       detector_args: tuple = ()) -> "ray.data.Dataset":
+                       detector_args: tuple = (),
+                       stop_after: str | None = None,
+                       counter=None) -> "ray.data.Dataset":
     """CV path over unique media_ref rows -> recognized per-media rows."""
     # Pool sizing: tiling+detection dominates CV compute, so the detector
     # pool gets ~60% of the cluster, recognition ~25%, the remainder stays
@@ -73,13 +76,17 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
         fn_constructor_args=(media_root, cfg, detector_cls, detector_args),
         batch_format="pyarrow", batch_size=8,
         concurrency=det_pool, num_cpus=1)
+    if stop_after == "detect":
+        return detections
     grouped = detections.groupby("media_ref").map_groups(
         make_group_fn(cfg), batch_format="pyarrow")
+    if stop_after == "group":
+        return grouped
     crops = grouped.map_batches(
-        CropStage(media_root, cfg), batch_format="pyarrow",
+        CropStage(media_root, cfg, counter), batch_format="pyarrow",
         batch_size=cfg.recognize_batch_size)
     return crops.map_batches(
-        StubRecognizer, fn_constructor_args=(cfg,),
+        StubRecognizer, fn_constructor_args=(cfg, counter),
         batch_format="pyarrow", batch_size=cfg.recognize_batch_size,
         concurrency=rec_pool, num_cpus=1)
 
@@ -87,28 +94,50 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
 def extract_spans(docs: "ray.data.Dataset", media_root: str,
                   cfg: ExtractConfig | None = None,
                   detector_cls=PixelDetector,
-                  detector_args: tuple = ()) -> "ray.data.Dataset":
-    """Build the lazy extraction Dataset. Does NOT call ray.init()."""
+                  detector_args: tuple = (),
+                  stop_after: str | None = None,
+                  counter=None) -> "ray.data.Dataset":
+    """Build the lazy extraction Dataset. Does NOT call ray.init().
+
+    ``stop_after`` returns the named intermediate dataset instead of the
+    final spans — the engine's debug equivalent of the reference's step
+    registry with ``--start-at/--stop-at`` slicing
+    (``run_pipeline.py:355-383``, SURVEY.md §2.10). Valid names:
+    ``explode``, ``text_clean``, ``unique_media``, ``detect``, ``group``,
+    ``recognize``, ``join``.
+    """
     from ray.data.aggregate import Count
 
     cfg = cfg or ExtractConfig()
 
     spans = docs.map_batches(explode_spans, batch_format="pyarrow")
+    if stop_after == "explode":
+        return spans
 
     text_rows = (spans
                  .map_batches(route_text, batch_format="pyarrow")
-                 .map_batches(clean_text_spans, batch_format="pyarrow"))
+                 .map_batches(make_clean_text_fn(counter),
+                              batch_format="pyarrow"))
+    if stop_after == "text_clean":
+        return text_rows
 
     img_spans = spans.map_batches(route_image, batch_format="pyarrow")
     uniq_refs = (img_spans.groupby("media_ref")
                  .aggregate(Count(alias_name="n_spans")))
+    if stop_after == "unique_media":
+        return uniq_refs
     media_rows = extract_media_rows(uniq_refs, media_root, cfg,
-                                    detector_cls, detector_args)
+                                    detector_cls, detector_args,
+                                    stop_after=stop_after, counter=counter)
+    if stop_after in ("detect", "group", "recognize"):
+        return media_rows
 
     joined = (media_rows.map_batches(tag_media_rows, batch_format="pyarrow")
               .union(img_spans.map_batches(tag_span_rows, batch_format="pyarrow"))
               .groupby("media_ref")
               .map_groups(join_spans_to_media, batch_format="pyarrow"))
+    if stop_after == "join":
+        return joined
 
     all_rows = text_rows.union(joined)
     return all_rows.groupby("doc_id").map_groups(

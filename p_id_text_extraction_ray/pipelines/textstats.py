@@ -156,6 +156,12 @@ def text_clean(sf_dir: str):
 
 
 TEXT_CLEAN_SQL = r"""
-SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS clean_text
-FROM documents
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS n
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN regexp_matches(n,
+              '^(?i)(copyright|all rights reserved|cookie|subscribe now|terms of (use|service)|privacy policy|(nav|menu|footer|header)\b)')
+            THEN '' ELSE n END AS clean_text
+FROM norm
 """

@@ -302,9 +302,10 @@ class CropStage:
     the per-batch decode cache hits.
     """
 
-    def __init__(self, media_root: str, cfg: ExtractConfig):
+    def __init__(self, media_root: str, cfg: ExtractConfig, counter=None):
         self.store = FileMediaStore(media_root)
         self.pad = cfg.crop_padding
+        self.counter = counter
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cache: dict[str, np.ndarray] = {}
@@ -335,6 +336,8 @@ class CropStage:
             crops.append(np.ascontiguousarray(crop).tobytes())
             ch.append(crop.shape[0])
             cw.append(crop.shape[1])
+        from ..state.counters import record_drop
+        record_drop(self.counter, "crop_zero_size", len(batch) - sum(keep))
         t = batch.filter(pa.array(keep))
         return t.append_column("crop_h", pa.array(ch, pa.int32())) \
                 .append_column("crop_w", pa.array(cw, pa.int32())) \
@@ -357,9 +360,10 @@ class StubRecognizer:
     interface. Output rows are per unique media (MEDIA_ROW_SCHEMA).
     """
 
-    def __init__(self, cfg: ExtractConfig | None = None):
+    def __init__(self, cfg: ExtractConfig | None = None, counter=None):
         self.cfg = cfg or ExtractConfig()
         self.gate = self.cfg.recognition.confidence_threshold
+        self.counter = counter
 
     @staticmethod
     def _primary(crop: np.ndarray) -> tuple[str, float]:
@@ -419,6 +423,8 @@ class StubRecognizer:
             texts.append(text)
             confs.append(conf)
             methods.append(method)
+        from ..state.counters import record_drop
+        record_drop(self.counter, "recognize_empty_text", len(batch) - sum(keep))
         t = batch.filter(pa.array(keep))
         text_arr = pa.array(texts, pa.string())
         return pa.table({
@@ -428,6 +434,7 @@ class StubRecognizer:
             "media_ref": t.column("media_ref"),
             "x_min": t.column("x_min"), "y_min": t.column("y_min"),
             "x_max": t.column("x_max"), "y_max": t.column("y_max"),
+            "img_w": t.column("img_w"), "img_h": t.column("img_h"),
             "rot": t.column("rot"),
             "confidence": pa.array(confs, pa.float64()),
             "method": pa.array(methods, pa.string()),
@@ -468,6 +475,8 @@ def tag_span_rows(batch: pa.Table) -> pa.Table:
             "y_min": pa.array([-1] * n, pa.int32()),
             "x_max": pa.array([-1] * n, pa.int32()),
             "y_max": pa.array([-1] * n, pa.int32()),
+            "img_w": pa.array([-1] * n, pa.int32()),
+            "img_h": pa.array([-1] * n, pa.int32()),
             "rot": pa.array([0] * n, pa.int8()),
             "confidence": pa.array([0.0] * n, pa.float64()),
             "method": pa.array([""] * n, pa.string())}

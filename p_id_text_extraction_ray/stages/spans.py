@@ -25,6 +25,7 @@ SPAN_ROW_FIELDS = [
     ("media_ref", pa.string()),
     ("x_min", pa.int32()), ("y_min", pa.int32()),
     ("x_max", pa.int32()), ("y_max", pa.int32()),
+    ("img_w", pa.int32()), ("img_h", pa.int32()),   # original image size
     ("rot", pa.int8()),
     ("confidence", pa.float64()),
     ("method", pa.string()),
@@ -62,6 +63,19 @@ def route_image(batch: pa.Table) -> pa.Table:
     return t.select(["doc_id", "offset", "media_ref"])
 
 
+def make_clean_text_fn(counter=None):
+    """Factory for the text-clean batch fn with optional drop counting."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = clean_text_spans(batch)
+        if counter is not None:
+            from ..state.counters import record_drop
+            record_drop(counter, "text_clean_empty", len(batch) - len(out))
+        return out
+
+    return fn
+
+
 def clean_text_spans(batch: pa.Table) -> pa.Table:
     """Text path: boilerplate-strip + whitespace-normalize, drop spans that
     clean to empty (the reference's empty-text drop semantics,
@@ -81,6 +95,8 @@ def clean_text_spans(batch: pa.Table) -> pa.Table:
         "y_min": pa.array([-1] * n, pa.int32()),
         "x_max": pa.array([-1] * n, pa.int32()),
         "y_max": pa.array([-1] * n, pa.int32()),
+        "img_w": pa.array([-1] * n, pa.int32()),
+        "img_h": pa.array([-1] * n, pa.int32()),
         "rot": pa.array([0] * n, pa.int8()),
         "confidence": pa.array([1.0] * n, pa.float64()),
         "method": pa.array(["text"] * n, pa.string()),

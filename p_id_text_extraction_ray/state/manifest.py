@@ -52,6 +52,10 @@ class PartitionRecord:
     input_fingerprint: str     # crc32 over the partition's sorted doc_ids
     output_uri: str
     run_id: str
+    # stage -> dropped-row totals for the WAVE this partition ran in (the
+    # reference's skip-and-log filter counts, SURVEY.md §2.2; wave
+    # granularity because counters aggregate per pipeline execution)
+    rows_dropped: dict | None = None
 
 
 class Manifest:
@@ -119,13 +123,17 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
                     for d in batch.column("doc_id").to_pylist()]
             return batch.filter(pa.array(keep))
 
+        from .counters import counter_totals, make_drop_counter
+        counter = make_drop_counter()
         wave_docs = docs.map_batches(in_wave, batch_format="pyarrow")
-        out = extract_spans(wave_docs, media_root, cfg).map_batches(
+        out = extract_spans(wave_docs, media_root, cfg,
+                            counter=counter).map_batches(
             lambda t: add_partition_column(t, num_partitions),
             batch_format="pyarrow")
         out.write_parquet(spans_root, partition_cols=["part"])
 
         wall_ms = int((time.perf_counter() - t0) * 1000)
+        dropped = counter_totals(counter)
 
         # Per-partition counters from the written partition directories +
         # the wave's doc list (all driver-side metadata reads, no data).
@@ -148,7 +156,7 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
             manifest.commit(PartitionRecord(
                 partition_id=pid, docs_in=len(ids), spans_out=spans_out,
                 wall_ms=wall_ms, input_fingerprint=fp,
-                output_uri=part_dir, run_id=run_id))
+                output_uri=part_dir, run_id=run_id, rows_dropped=dropped))
             summary["processed"] += 1
             summary["spans_out"] += spans_out
     return summary

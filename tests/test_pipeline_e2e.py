@@ -38,7 +38,8 @@ def test_golden_span_equality(tiny_out, tiny_fixture):
 def test_output_schema_stable(tiny_out):
     assert list(tiny_out.columns) == [
         "doc_id", "seq", "kind", "text", "media_ref", "offset",
-        "x_min", "y_min", "x_max", "y_max", "rot", "confidence", "method"]
+        "x_min", "y_min", "x_max", "y_max", "img_w", "img_h", "rot",
+        "confidence", "method"]
 
 
 def test_kinds_and_methods(tiny_out):
@@ -84,3 +85,63 @@ def test_golden_small_fixture(ray_session, small_fixture):
     out = _norm(_run(small_fixture))
     golden = _norm(pq.read_table(small_fixture.golden).to_pandas())
     pd.testing.assert_frame_equal(out, golden)
+
+
+def test_stop_after_slicing(ray_session, tiny_fixture):
+    import ray.data as rd
+    from p_id_text_extraction_ray.pipelines.extract import extract_spans
+
+    docs = rd.read_parquet(tiny_fixture.docs)
+    det = extract_spans(docs, tiny_fixture.media_root,
+                        stop_after="detect").to_pandas()
+    assert {"media_ref", "tile_ord", "x_min", "rot"} <= set(det.columns)
+    grp = extract_spans(docs, tiny_fixture.media_root,
+                        stop_after="group").to_pandas()
+    assert {"media_ref", "rank", "is_grouped", "n_src_tiles"} <= set(grp.columns)
+    assert len(grp) <= len(det)   # grouping merges fragments
+    uniq = extract_spans(docs, tiny_fixture.media_root,
+                         stop_after="unique_media").to_pandas()
+    assert uniq["media_ref"].is_unique
+
+
+def test_derived_bbox_projections(tiny_out):
+    import pyarrow as pa
+    from p_id_text_extraction_ray.stages.assemble import (bbox_corners,
+                                                          bbox_normalized,
+                                                          to_pdf_points)
+    img = tiny_out[tiny_out["kind"] != "text"]
+    t = pa.Table.from_pandas(img, preserve_index=False)
+    c = bbox_corners(t)
+    row = c.slice(0, 1).to_pylist()[0]
+    assert row["bbox"] == [[row["x_min"], row["y_min"]],
+                           [row["x_max"], row["y_min"]],
+                           [row["x_max"], row["y_max"]],
+                           [row["x_min"], row["y_max"]]]
+    n = bbox_normalized(t).to_pylist()[0]
+    assert 0 <= n["x_min_norm"] <= 1 and n["x_max_norm"] <= 1
+    p = to_pdf_points(t).to_pylist()[0]
+    assert p["x_min_pdf"] == round(p["x_min"] * 72 / 600, 4)
+
+
+def test_drop_counters(ray_session, tiny_fixture):
+    import ray
+    import ray.data as rd
+    from p_id_text_extraction_ray.pipelines.extract import extract_spans
+    from p_id_text_extraction_ray.state.counters import (counter_totals,
+                                                         make_drop_counter)
+
+    # a doc whose text span cleans to empty -> counted drop
+    import pyarrow as pa
+    span_t = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                                 ("media_ref", pa.string()), ("offset", pa.int32())]))
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array(["D1"], pa.string()),
+        "spans": pa.array([[{"kind": "text", "text": "COPYRIGHT FOOTER 2024",
+                             "media_ref": "", "offset": 0},
+                            {"kind": "text", "text": "keep me",
+                             "media_ref": "", "offset": 1}]], span_t)}))
+    counter = make_drop_counter()
+    out = extract_spans(docs, tiny_fixture.media_root, counter=counter).to_pandas()
+    assert len(out) == 1 and out["text"].iloc[0] == "keep me"
+    totals = counter_totals(counter)
+    assert totals.get("text_clean_empty") == 1
