@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_value": R.segment_order_value,
         "events_hourly": R.events_hourly,
         "events_sessionize": R.events_sessionize,
+        "order_priority_revenue": R.order_priority_revenue,
+        "events_last_error_before_purchase": R.events_last_error_before_purchase,
         # dedup suite
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -81,6 +83,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_order_value": R.SEGMENT_ORDER_VALUE_SQL,
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
+        "order_priority_revenue": R.ORDER_PRIORITY_REVENUE_SQL,
+        "events_last_error_before_purchase": R.EVENTS_ASOF_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

@@ -422,6 +422,85 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def order_priority_revenue(sf_dir: str):
+    """Large ⋈ large: lineitem revenue per order (pre-aggregated partials)
+    hash-joined with orders on o_orderkey via the generic partitioned hash
+    join (``pipelines/joins.py``), then rolled up by order priority."""
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rev_c = cents(df["l_extendedprice"]) * (100 - cents(df["l_discount"]))
+        g = pd.Series(rev_c).groupby(df["l_orderkey"].values).sum().reset_index()
+        g.columns = ["o_orderkey", "rev_c"]
+        return g
+
+    order_rev = (li.map_batches(partial, batch_format="pandas")
+                 .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(order_rev, orders, on="o_orderkey")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            rc=("rev_c", "sum"), n=("rev_c", "size"))
+        return g
+
+    agg = (joined.map_batches(roll, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("rc", alias_name="rc"), Sum("n", alias_name="n_orders")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("revenue", pc.divide(
+            pc.cast(t.column("rc"), pa.float64()), pa.scalar(10000.0)))
+        t = t.drop_columns(["rc"])
+        return t.set_column(t.schema.get_field_index("n_orders"), "n_orders",
+                            pc.cast(t.column("n_orders"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+ORDER_PRIORITY_REVENUE_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       sum(rev_c) / 10000.0 AS revenue
+FROM (SELECT l_orderkey,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                 * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_c
+      FROM lineitem GROUP BY l_orderkey) r
+JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def events_last_error_before_purchase(sf_dir: str):
+    """As-of join: for each purchase event, the most recent error event of
+    the same user at or before its timestamp (``pipelines/joins.asof_join``;
+    unmatched purchases dropped — inner as-of)."""
+    from .joins import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    purchases = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "purchase"))
+                   .select(["event_id", "user_id", "ts"]),
+        batch_format="pyarrow")
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t.column("event_type"), "error"))
+                   .select(["user_id", "ts"]),
+        batch_format="pyarrow")
+    return asof_join(purchases, errors, key="user_id", ts="ts",
+                     right_ts_out="last_error_ts")
+
+
+EVENTS_ASOF_SQL = """
+SELECT p.event_id, p.user_id, p.ts, e.ts AS last_error_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id AND p.ts >= e.ts
+"""
+
+
 SESSION_GAP_MIN = 30
 
 

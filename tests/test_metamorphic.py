@@ -1,0 +1,69 @@
+"""Metamorphic properties of the CV path (SURVEY.md §5.2 item 3), driven
+through the actual stage callables locally (no Ray session needed — the
+stages are plain callables over Arrow tables)."""
+
+import numpy as np
+import pyarrow as pa
+
+from p_id_text_extraction_ray.config import ExtractConfig
+from p_id_text_extraction_ray.media.codec import BACKGROUND, encode_image, render_string
+from p_id_text_extraction_ray.media.store import FileMediaStore
+from p_id_text_extraction_ray.stages.cv import DetectStage, make_group_fn
+
+# DISCHARGE-99 is 12 chars = 96 px wide starting at x=640: it spans
+# [640, 736), crossing the first tile edge (720) while wider than the 72 px
+# tile overlap — so neither tile's fragment contains the other and grouping
+# must genuinely merge the two fragments. (Shorter straddlers are fully
+# contained in the overlapping neighbor tile and correctly deduped by
+# Step-0 suppression instead.)
+STRINGS = [("PIC-101", 100, 120, 0), ("DRAIN", 400, 300, 0),
+           ("DISCHARGE-99", 640, 115, 0),
+           ("PUMP", 900, 500, 90)]
+
+
+def _render(shift_x: int, shift_y: int, w: int, h: int) -> bytes:
+    canvas = np.full((h, w), BACKGROUND, np.uint8)
+    for text, x, y, rot in STRINGS:
+        render_string(canvas, text, x + shift_x, y + shift_y, rot)
+    return encode_image(canvas)
+
+
+def _detect_and_group(tmp_path, ref: str, blob: bytes):
+    cfg = ExtractConfig()
+    store = FileMediaStore(str(tmp_path))
+    store.put(ref, blob)
+    det = DetectStage(str(tmp_path), cfg)(
+        pa.table({"media_ref": pa.array([ref])}))
+    det = det.append_column("img_key", det.column("media_ref"))
+    grouped = make_group_fn(cfg)(det)
+    df = grouped.to_pandas().sort_values(["rank"]).reset_index(drop=True)
+    return df
+
+
+def test_translation_invariance(tmp_path):
+    """Shifting all content by the tile stride shifts every grouped box by
+    exactly the same amount; count, rotation, reading order unchanged."""
+    stride = 648  # 720 * (1 - 0.1)
+    a = _detect_and_group(tmp_path, "media/a.pidr", _render(0, 0, 1400, 1000))
+    b = _detect_and_group(tmp_path, "media/b.pidr",
+                          _render(stride, stride, 1400 + stride, 1000 + stride))
+    assert len(a) == len(b) == len(STRINGS)
+    assert a["rot"].tolist() == b["rot"].tolist()
+    for c in ("x_min", "x_max"):
+        assert (b[c].to_numpy() - a[c].to_numpy() == stride).all()
+    for c in ("y_min", "y_max"):
+        assert (b[c].to_numpy() - a[c].to_numpy() == stride).all()
+
+
+def test_cross_tile_recovery_exact(tmp_path):
+    """Grouping recovers exactly the rendered string boxes, including the
+    one straddling a tile boundary (is_grouped=True for it)."""
+    df = _detect_and_group(tmp_path, "media/c.pidr", _render(0, 0, 1400, 1000))
+    from p_id_text_extraction_ray.media.codec import string_box_size
+    want = sorted((x, y, x + string_box_size(t, r)[0], y + string_box_size(t, r)[1])
+                  for t, x, y, r in STRINGS)
+    got = sorted(zip(df["x_min"], df["y_min"], df["x_max"], df["y_max"]))
+    assert [tuple(map(int, g)) for g in got] == want
+    straddler = df[(df["x_min"] == 640)]
+    assert bool(straddler["is_grouped"].iloc[0])
+    assert int(straddler["n_src_tiles"].iloc[0]) == 2
