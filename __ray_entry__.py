@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_docs": T.quality_filter_docs,
         "doc_fingerprints": T.doc_fingerprints,
         "text_clean": T.text_clean,
+        "split_train_holdout": T.split_train_holdout,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -94,6 +95,7 @@ def oracle_sql() -> dict[str, str]:
         "tag_extract": T.TAG_EXTRACT_SQL,
         "quality_filter_docs": T.QUALITY_FILTER_SQL,
         "text_clean": T.TEXT_CLEAN_SQL,
+        "split_train_holdout": T.SPLIT_SQL,
         # rows-only (approximate or non-SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, doc_fingerprints,
         # events_sessionize is SQL-expressible and included above.

@@ -155,6 +155,34 @@ def text_clean(sf_dir: str):
     return _docs(sf_dir).map_batches(clean, batch_format="pyarrow")
 
 
+HOLDOUT_MOD = 10          # 1/10 of docs to holdout
+
+
+def split_train_holdout(sf_dir: str):
+    """Deterministic key-based train/holdout split (the reproducible
+    train-test split a training-data pipeline needs: assignment is a pure
+    function of doc_id, stable across runs and machines)."""
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id")
+        mod = pc.subtract(pc.cast(ids, pa.int64()),
+                          pc.multiply(pc.divide(pc.cast(ids, pa.int64()),
+                                                HOLDOUT_MOD), HOLDOUT_MOD))
+        holdout = pc.equal(mod, 0)
+        split = pc.if_else(holdout, pa.scalar("holdout"), pa.scalar("train"))
+        return pa.table({"doc_id": ids, "split": split})
+
+    return _docs(sf_dir, columns=("doc_id",)).map_batches(
+        assign, batch_format="pyarrow")
+
+
+SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN doc_id % {HOLDOUT_MOD} = 0 THEN 'holdout' ELSE 'train' END AS split
+FROM documents
+"""
+
+
 TEXT_CLEAN_SQL = r"""
 WITH norm AS (
   SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS n
