@@ -98,3 +98,6 @@ class ExtractConfig:
     # Skew: images whose detection count exceeds this take the two-phase
     # (spatial-cell salted) grouping path instead of the direct O(n^2) one.
     salted_grouping_threshold: int = 3000
+    # Giant images split into tile-range work units of at most this many
+    # tiles (header-only planning; see stages/cv.TilePlanStage).
+    max_tiles_per_task: int = 64

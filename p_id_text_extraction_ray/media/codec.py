@@ -41,6 +41,16 @@ def encode_image(arr: np.ndarray) -> bytes:
     return MAGIC + struct.pack("<II", w, h) + zlib.compress(arr.tobytes(), level=1)
 
 
+def peek_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the 13-byte container header — the cheap
+    metadata read the tile planner uses to split giant images into
+    tile-range work units without decoding pixels."""
+    if data[:5] != MAGIC:
+        raise NotImplementedError("non-PIDR media")
+    w, h = struct.unpack("<II", data[5:13])
+    return w, h
+
+
 def decode_image(data: bytes) -> np.ndarray:
     """Container bytes -> uint8 grayscale (h, w).
 

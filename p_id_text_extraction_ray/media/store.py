@@ -43,5 +43,11 @@ class FileMediaStore:
         with open(self._path(ref), "rb") as f:
             return f.read()
 
+    def get_prefix(self, ref: str, n: int) -> bytes:
+        """Ranged read of the first n bytes (object storage supports range
+        GETs; the tile planner reads only the media header this way)."""
+        with open(self._path(ref), "rb") as f:
+            return f.read(n)
+
     def exists(self, ref: str) -> bool:
         return os.path.exists(self._path(ref))

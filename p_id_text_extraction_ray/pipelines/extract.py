@@ -67,11 +67,15 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
     det_pool = (max(1, det_max * 2 // 3), det_max)
     rec_pool = (max(1, rec_max * 2 // 3), rec_max)
 
-    # Split the (small) unique-ref rows into enough blocks for load balance
-    # (the upstream aggregate emits few large blocks otherwise) but not so
-    # many that per-task fixed costs dominate: ~4 work units per detector.
+    # Plan tile-range work units from header-only reads (giant images split
+    # across tasks), then split into enough blocks for pool load balance —
+    # but not so many that per-task fixed costs dominate: ~4 per detector.
+    from ..stages.cv import TilePlanStage
+    work = uniq_refs.map_batches(
+        TilePlanStage(media_root, cfg, cfg.max_tiles_per_task),
+        batch_format="pyarrow")
     n_work_blocks = max(32, det_max * 4)
-    detections = uniq_refs.repartition(n_work_blocks).map_batches(
+    detections = work.repartition(n_work_blocks).map_batches(
         DetectStage,
         fn_constructor_args=(media_root, cfg, detector_cls, detector_args),
         batch_format="pyarrow", batch_size=8,

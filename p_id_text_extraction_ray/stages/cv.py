@@ -70,13 +70,52 @@ def _np_tile(buf, h: int, w: int) -> np.ndarray:
     return np.frombuffer(buf.as_buffer(), dtype=np.uint8).reshape(h, w)
 
 
+class TilePlanStage:
+    """Split each image into tile-range work units using only its header.
+
+    The skew valve for giant images (north star: "skewed docs (many tiles)
+    are salted and split across partitions"): a ranged header read gives the
+    tile count without decoding pixels, and images whose tile count exceeds
+    ``max_tiles_per_task`` become several (media_ref, tile_lo, tile_hi)
+    rows, so one 30k-px sheet spreads across many detector tasks instead of
+    serializing inside one.
+    """
+
+    HEADER_BYTES = 13
+
+    def __init__(self, media_root: str, cfg: ExtractConfig,
+                 max_tiles_per_task: int = 64):
+        self.store = FileMediaStore(media_root)
+        self.cfg = cfg
+        self.max_tiles = max_tiles_per_task
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..media.codec import peek_dimensions
+        t = self.cfg.tiling
+        refs: list[str] = []
+        los: list[int] = []
+        his: list[int] = []
+        for ref in batch.column("media_ref").to_pylist():
+            w, h = peek_dimensions(self.store.get_prefix(ref, self.HEADER_BYTES))
+            n = len(tile_windows(w, h, t.tile_size, t.overlap_ratio))
+            for lo in range(0, n, self.max_tiles):
+                refs.append(ref)
+                los.append(lo)
+                his.append(min(n, lo + self.max_tiles))
+        return pa.table({"media_ref": pa.array(refs, pa.string()),
+                         "tile_lo": pa.array(los, pa.int32()),
+                         "tile_hi": pa.array(his, pa.int32())})
+
+
 class TileStage:
     """Decode media and slice into overlapping tiles (1 row -> N tile rows).
 
     Mirrors the reference slicer's placement exactly
     (``src/data_loader/sahi_slicer.py:79-138`` via ``functions/tiling.py``)
     but keeps tiles in-flight as Arrow binary rows instead of PNG files
-    (eliminating S3/S4 of SURVEY.md §2.1). Input rows: unique media_refs.
+    (eliminating S3/S4 of SURVEY.md §2.1). Input rows: unique media_refs,
+    optionally with (tile_lo, tile_hi) range columns from ``TilePlanStage``
+    restricting which windows this task emits.
     """
 
     def __init__(self, media_root: str, cfg: ExtractConfig):
@@ -85,15 +124,22 @@ class TileStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         t = self.cfg.tiling
+        has_range = "tile_lo" in batch.schema.names
+        n_rows = len(batch)
+        lo_col = batch.column("tile_lo").to_pylist() if has_range else [0] * n_rows
+        hi_col = batch.column("tile_hi").to_pylist() if has_range else [None] * n_rows
         refs_out: list[str] = []
         ords: list[int] = []
         dims: list[tuple[int, int, int, int, int, int]] = []
         payloads: list[bytes] = []
-        for ref in batch.column("media_ref").to_pylist():
+        for ref, lo, hi in zip(batch.column("media_ref").to_pylist(),
+                               lo_col, hi_col):
             img = decode_image(self.store.get(ref))
             h, w = img.shape
             windows = tile_windows(w, h, t.tile_size, t.overlap_ratio)
-            for ord_, (x1, y1, x2, y2) in enumerate(windows.tolist()):
+            hi = len(windows) if hi is None else min(hi, len(windows))
+            for ord_ in range(lo, hi):
+                x1, y1, x2, y2 = windows[ord_].tolist()
                 refs_out.append(ref)
                 ords.append(ord_)
                 dims.append((w, h, x1, y1, x2, y2))

@@ -55,6 +55,33 @@ def test_translation_invariance(tmp_path):
         assert (b[c].to_numpy() - a[c].to_numpy() == stride).all()
 
 
+def test_tile_range_splitting_exact(tmp_path):
+    """Splitting a big image into tile-range work units (TilePlanStage)
+    yields exactly the same detections as processing it whole."""
+    import pandas as pd
+    from dataclasses import replace
+    from p_id_text_extraction_ray.stages.cv import TilePlanStage
+
+    cfg = replace(ExtractConfig(), max_tiles_per_task=4)
+    store = FileMediaStore(str(tmp_path))
+    canvas = np.full((1600, 2200), BACKGROUND, np.uint8)
+    for text, x, y, rot in STRINGS:
+        render_string(canvas, text, x, y, rot)
+    render_string(canvas, "FT-9", 1900, 1400, 0)
+    store.put("media/big.pidr", encode_image(canvas))
+    refs = pa.table({"media_ref": pa.array(["media/big.pidr"])})
+
+    plan = TilePlanStage(str(tmp_path), cfg, cfg.max_tiles_per_task)(refs)
+    assert len(plan) > 1                       # image actually split
+    det_stage = DetectStage(str(tmp_path), cfg)
+    chunked = det_stage(plan).to_pandas()
+    whole = det_stage(refs).to_pandas()
+    cols = ["tile_ord", "x_min", "y_min", "x_max", "y_max", "rot"]
+    pd.testing.assert_frame_equal(
+        chunked[cols].sort_values(cols).reset_index(drop=True),
+        whole[cols].sort_values(cols).reset_index(drop=True))
+
+
 def test_cross_tile_recovery_exact(tmp_path):
     """Grouping recovers exactly the rendered string boxes, including the
     one straddling a tile boundary (is_grouped=True for it)."""
