@@ -24,7 +24,8 @@ from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
-                                                         pid_extract_pdf_points)
+                                                         pid_extract_pdf_points,
+                                                         pid_grouping_stats)
 
 
 def entry() -> Any:
@@ -68,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
+        "pid_grouping_stats": pid_grouping_stats,
         "media_resize": media_resize,
     }
 

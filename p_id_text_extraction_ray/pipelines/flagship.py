@@ -15,6 +15,7 @@ import hashlib
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -65,13 +66,15 @@ def build_interleaved_docs(sf_dir: str, cache_root: str = "/tmp/pid_docs_cache"
     return docs_path, media_root
 
 
-def pid_extract(sf_dir: str, cfg: ExtractConfig | None = None):
+def pid_extract(sf_dir: str, cfg: ExtractConfig | None = None,
+                stop_after: str | None = None):
     """The full extraction pipeline over the derived interleaved table."""
     import ray.data as rd
     from .extract import extract_spans
 
     docs_path, media_root = build_interleaved_docs(sf_dir)
-    return extract_spans(rd.read_parquet(docs_path), media_root, cfg)
+    return extract_spans(rd.read_parquet(docs_path), media_root, cfg,
+                         stop_after=stop_after)
 
 
 def pid_extract_pdf_points(sf_dir: str):
@@ -80,6 +83,27 @@ def pid_extract_pdf_points(sf_dir: str):
     from ..stages.assemble import to_pdf_points
 
     return pid_extract(sf_dir).map_batches(to_pdf_points, batch_format="pyarrow")
+
+
+def pid_grouping_stats(sf_dir: str):
+    """Run-level grouping metrics (G5 parity with the reference's printed
+    summary, ``grouping_logic.py:966-989``): totals of boxes before/after
+    grouping, suppressions, merges across all images. Rows-only."""
+    import pandas as pd
+
+    grouped = pid_extract(sf_dir, stop_after="group")
+    n_after = grouped.count()
+    # one metrics row per image (groupby so an image split across blocks
+    # can't double-count), then a driver-side sum of the small result
+    firsts = grouped.groupby("media_ref").map_groups(
+        lambda df: df.head(1), batch_format="pandas").to_pandas()
+    return pd.DataFrame([{
+        "images": len(firsts),
+        "boxes_before": int(firsts["n_boxes_before"].sum()),
+        "boxes_after": int(n_after),
+        "suppressed": int(firsts["n_suppressed"].sum()),
+        "merges": int(firsts["n_merges"].sum()),
+    }]).astype("int64")
 
 
 def media_resize(sf_dir: str, target: int = 256):

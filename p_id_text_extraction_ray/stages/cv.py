@@ -58,6 +58,12 @@ GROUPED_SCHEMA = pa.schema([
     ("img_w", pa.int32()), ("img_h", pa.int32()),
     ("n_src_tiles", pa.int32()),
     ("is_grouped", pa.bool_()),
+    # per-image grouping metrics, repeated on each of the image's rows
+    # (G5 parity: boxes before/after, suppression, merges —
+    # grouping_logic.py:966-989)
+    ("n_boxes_before", pa.int32()),
+    ("n_suppressed", pa.int32()),
+    ("n_merges", pa.int32()),
 ])
 
 # Recognized rows per unique media: SPAN_ROW fields minus doc identity.
@@ -333,6 +339,9 @@ def make_group_fn(cfg: ExtractConfig):
             "img_h": pa.array([int(t.column("img_h")[0].as_py())] * ng, pa.int32()),
             "n_src_tiles": pa.array([len(x) for x in g.tile_ords], pa.int32()),
             "is_grouped": pa.array(g.is_grouped, pa.bool_()),
+            "n_boxes_before": pa.array([g.n_before] * ng, pa.int32()),
+            "n_suppressed": pa.array([g.n_suppressed] * ng, pa.int32()),
+            "n_merges": pa.array([g.n_merges] * ng, pa.int32()),
         }, schema=GROUPED_SCHEMA)
 
     return group_image_boxes

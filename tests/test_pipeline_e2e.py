@@ -87,6 +87,18 @@ def test_golden_small_fixture(ray_session, small_fixture):
     pd.testing.assert_frame_equal(out, golden)
 
 
+def test_forced_dense_grouping_path_golden(ray_session, tiny_fixture, tiny_out):
+    """salted_grouping_threshold=0 forces every image through the spatial-
+    decomposition grouping path — output must still be golden-identical
+    (pipeline-level salt/no-salt equality, SURVEY.md §5.2)."""
+    from dataclasses import replace
+    from p_id_text_extraction_ray.config import ExtractConfig
+
+    cfg = replace(ExtractConfig(), salted_grouping_threshold=0)
+    out = _run(tiny_fixture, cfg=cfg)
+    pd.testing.assert_frame_equal(_norm(tiny_out), _norm(out))
+
+
 def test_stop_after_slicing(ray_session, tiny_fixture):
     import ray.data as rd
     from p_id_text_extraction_ray.pipelines.extract import extract_spans
