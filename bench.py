@@ -97,18 +97,21 @@ def run_bench() -> dict:
     headline = min(runs)
     times["pid_extract"] = headline
 
-    # --- representative query set over sf_dir
-    import __ray_entry__ as E
-    queries = E.queries()
-    for name in ("q1_pricing_summary", "q3_shipping_priority",
-                 "q6_revenue_forecast", "events_hourly", "dedup_exact",
-                 "dedup_minhash_lsh", "ann_topk_bruteforce",
-                 "doc_token_stats"):
-        t0 = time.perf_counter()
-        res = queries[name](sf_dir)
-        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
-            res = res.to_pandas()  # Dataset -> consume
-        times[name] = round(time.perf_counter() - t0, 3)
+    # --- representative query set over sf_dir (skipped in scaling
+    # subprocesses: the scaling metric is the headline pipeline only, and a
+    # shorter run narrows the shared-host noise window)
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        import __ray_entry__ as E
+        queries = E.queries()
+        for name in ("q1_pricing_summary", "q3_shipping_priority",
+                     "q6_revenue_forecast", "events_hourly", "dedup_exact",
+                     "dedup_minhash_lsh", "ann_topk_bruteforce",
+                     "doc_token_stats"):
+            t0 = time.perf_counter()
+            res = queries[name](sf_dir)
+            if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+                res = res.to_pandas()  # Dataset -> consume
+            times[name] = round(time.perf_counter() - t0, 3)
 
     result = {
         "metric": f"headline extraction wall time ({n_docs} interleaved docs, "
@@ -129,7 +132,8 @@ def run_bench() -> dict:
 
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True,
                              check=True).stdout

@@ -43,6 +43,10 @@ class FileMediaStore:
         with open(self._path(ref), "rb") as f:
             return f.read()
 
+    def size(self, ref: str) -> int:
+        """Blob size in bytes (object-storage HEAD equivalent)."""
+        return os.path.getsize(self._path(ref))
+
     def get_prefix(self, ref: str, n: int) -> bytes:
         """Ranged read of the first n bytes (object storage supports range
         GETs; the tile planner reads only the media header this way)."""

@@ -85,15 +85,25 @@ class TilePlanStage:
     ``max_tiles_per_task`` become several (media_ref, tile_lo, tile_hi)
     rows, so one 30k-px sheet spreads across many detector tasks instead of
     serializing inside one.
+
+    Adaptive: blobs smaller than ``size_threshold`` bytes skip even the
+    header read (a stat/HEAD is enough) and pass through as one whole-image
+    unit (tile_hi = -1 sentinel) — the planner costs ~nothing on corpora of
+    ordinary images. A giant-but-hyper-compressible image below the
+    threshold degrades gracefully to single-task processing.
     """
 
     HEADER_BYTES = 13
+    SIZE_THRESHOLD = 1 << 20   # 1 MiB compressed ≈ well under max tiles
 
     def __init__(self, media_root: str, cfg: ExtractConfig,
-                 max_tiles_per_task: int = 64):
+                 max_tiles_per_task: int = 64,
+                 size_threshold: int | None = None):
         self.store = FileMediaStore(media_root)
         self.cfg = cfg
         self.max_tiles = max_tiles_per_task
+        self.size_threshold = (self.SIZE_THRESHOLD if size_threshold is None
+                               else size_threshold)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..media.codec import peek_dimensions
@@ -102,6 +112,11 @@ class TilePlanStage:
         los: list[int] = []
         his: list[int] = []
         for ref in batch.column("media_ref").to_pylist():
+            if self.store.size(ref) < self.size_threshold:
+                refs.append(ref)
+                los.append(0)
+                his.append(-1)   # sentinel: all tiles
+                continue
             w, h = peek_dimensions(self.store.get_prefix(ref, self.HEADER_BYTES))
             n = len(tile_windows(w, h, t.tile_size, t.overlap_ratio))
             for lo in range(0, n, self.max_tiles):
@@ -143,7 +158,10 @@ class TileStage:
             img = decode_image(self.store.get(ref))
             h, w = img.shape
             windows = tile_windows(w, h, t.tile_size, t.overlap_ratio)
-            hi = len(windows) if hi is None else min(hi, len(windows))
+            if hi is None or hi < 0:
+                hi = len(windows)
+            else:
+                hi = min(hi, len(windows))
             for ord_ in range(lo, hi):
                 x1, y1, x2, y2 = windows[ord_].tolist()
                 refs_out.append(ref)

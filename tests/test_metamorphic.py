@@ -71,8 +71,13 @@ def test_tile_range_splitting_exact(tmp_path):
     store.put("media/big.pidr", encode_image(canvas))
     refs = pa.table({"media_ref": pa.array(["media/big.pidr"])})
 
-    plan = TilePlanStage(str(tmp_path), cfg, cfg.max_tiles_per_task)(refs)
+    # size_threshold=0 forces header-read planning even for small blobs
+    plan = TilePlanStage(str(tmp_path), cfg, cfg.max_tiles_per_task,
+                         size_threshold=0)(refs)
     assert len(plan) > 1                       # image actually split
+    # adaptive default: small blob passes through as one whole-image unit
+    lazy = TilePlanStage(str(tmp_path), cfg, cfg.max_tiles_per_task)(refs)
+    assert len(lazy) == 1 and lazy.column("tile_hi").to_pylist() == [-1]
     det_stage = DetectStage(str(tmp_path), cfg)
     chunked = det_stage(plan).to_pandas()
     whole = det_stage(refs).to_pandas()
