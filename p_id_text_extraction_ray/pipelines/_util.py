@@ -18,6 +18,27 @@ def collect_with_schema(ds, schema: pa.Schema) -> pd.DataFrame:
     return df
 
 
+def bucketed_group_sum(ds, key: str, sum_cols: list[str],
+                       num_buckets: int = 64):
+    """Grouped sum over a high-cardinality integer key without per-group
+    overhead: shuffle on ``hash(key) % num_buckets`` and run ONE vectorized
+    pandas groupby per bucket. Exact (all rows of a key share a bucket);
+    num_buckets is the shuffle-parallelism knob."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df[key].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(num_buckets)
+        return df.assign(__bucket=b.astype(np.int64))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(key, as_index=False)[sum_cols].sum()
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket")
+            .map_groups(reduce_bucket, batch_format="pandas"))
+
+
 def cents(values: np.ndarray | pd.Series) -> np.ndarray:
     """Dollars->cents as exact int64 (rint: values are integers +/- fp eps,
     never near .5). Exact integer sums make money aggregates independent of

@@ -159,9 +159,10 @@ def q3_shipping_priority(sf_dir: str):
         g.columns = ["o_orderkey", "rev_c"]
         return g
 
-    top = (li.map_batches(partial, batch_format="pandas")
-             .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c"))
-             .sort("rev_c", descending=True).limit(10))
+    from ._util import bucketed_group_sum
+    top = (bucketed_group_sum(li.map_batches(partial, batch_format="pandas"),
+                              key="o_orderkey", sum_cols=["rev_c"])
+           .sort("rev_c", descending=True).limit(10))
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.append_column("revenue", pc.divide(
@@ -427,6 +428,7 @@ def order_priority_revenue(sf_dir: str):
     hash-joined with orders on o_orderkey via the generic partitioned hash
     join (``pipelines/joins.py``), then rolled up by order priority."""
     from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
     from .joins import hash_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
@@ -437,8 +439,11 @@ def order_priority_revenue(sf_dir: str):
         g.columns = ["o_orderkey", "rev_c"]
         return g
 
-    order_rev = (li.map_batches(partial, batch_format="pandas")
-                 .groupby("o_orderkey").aggregate(Sum("rev_c", alias_name="rev_c")))
+    # high-cardinality grouped sum via the bucketed pattern (one vectorized
+    # pandas groupby per bucket), not per-key aggregate overhead
+    order_rev = bucketed_group_sum(
+        li.map_batches(partial, batch_format="pandas"),
+        key="o_orderkey", sum_cols=["rev_c"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
     joined = hash_join(order_rev, orders, on="o_orderkey")
 
