@@ -38,7 +38,7 @@ import pyarrow.parquet as pq
 from ..config import ExtractConfig
 from ..functions.reading_order import reading_order_ranks
 from ..functions.textops import ISA_TAG_FULL_RE, strip_boilerplate
-from ..media.codec import BACKGROUND, CELL_H, encode_image, render_string, string_box_size
+from ..media.codec import BACKGROUND, encode_image, render_string, string_box_size
 from ..media.store import FileMediaStore
 
 _EXPAND = 12          # pairwise expanded-disjointness margin (> crop padding)

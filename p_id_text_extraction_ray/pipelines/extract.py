@@ -38,7 +38,7 @@ from ..stages.assemble import reassemble_doc
 from ..stages.cv import (CropStage, DetectStage, PixelDetector, StubRecognizer,
                          join_spans_to_media, make_group_fn, tag_media_rows,
                          tag_span_rows)
-from ..stages.spans import (clean_text_spans, explode_spans, make_clean_text_fn,
+from ..stages.spans import (explode_spans, make_clean_text_fn,
                             route_image, route_text)
 
 if TYPE_CHECKING:

@@ -28,7 +28,6 @@ import zlib
 from dataclasses import asdict, dataclass
 
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..config import ExtractConfig
 
