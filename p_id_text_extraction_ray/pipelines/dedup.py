@@ -12,10 +12,15 @@ Training-data-scale dedup operators, each expressed Ray-Data-first:
 * MinHash+LSH — signatures + banding per batch, groupby(band, key) for
               candidates, exact-Jaccard verification of candidates only.
 * SimHash   — 64-bit signatures, banded by 16-bit chunks, Hamming-verified.
+* Embedding — random-hyperplane LSH bands generate candidate pairs with
+              co-located vectors; exact cosine verified inside the band
+              group. No all-pairs matmul, no full-matrix broadcast.
 
-At 10^12-doc scale the per-doc shingle-count side below (collected to a
-dict) becomes a co-partitioned join on doc_id instead; the candidate-pair
-structure is unchanged. Hot shingles (stop-phrase n-grams) are the skew
+Every auxiliary side (per-doc shingle counts, shingle sets for candidate
+verification) is a distributed dataset joined onto the candidate-pair
+table via the partitioned ``hash_join`` (pipelines/joins.py) — nothing is
+collected to the driver, so every pipeline here is bounded by per-bucket
+memory, not corpus size. Hot shingles (stop-phrase n-grams) are the skew
 risk: ``MAX_SHINGLE_DOCS`` caps the pairs emitted per shingle group,
 mirroring standard LSH practice of dropping saturated buckets (logged, not
 silent).
@@ -97,15 +102,30 @@ def _shingle_rows(df: pd.DataFrame) -> pd.DataFrame:
                          "doc_id": np.concatenate(out_d)})
 
 
-def _doc_shingle_counts(sf_dir: str) -> pd.Series:
-    """Distinct-shingle count per doc (small side; see module doc)."""
-    counts = (_docs(sf_dir)
-              .map_batches(lambda df: pd.DataFrame({
-                  "doc_id": df["doc_id"].values,
-                  "n": [len(word_shingles(t, SHINGLE_K)) for t in df["text"]]}),
-                  batch_format="pandas")
-              .to_pandas())
-    return pd.Series(counts["n"].values, index=counts["doc_id"].values)
+def _doc_shingle_counts_ds(sf_dir: str, id_col: str, n_col: str):
+    """Distinct-shingle count per doc as a DATASET (id_col, n_col) — a join
+    side, never collected to the driver."""
+    return _docs(sf_dir).map_batches(
+        lambda df: pd.DataFrame({
+            id_col: df["doc_id"].to_numpy(dtype=np.int64),
+            n_col: np.array([len(word_shingles(t, SHINGLE_K))
+                             for t in df["text"]], dtype=np.int64)}),
+        batch_format="pandas")
+
+
+def _shingle_sets_ds(sf_dir: str, id_col: str, set_col: str):
+    """Per-doc distinct shingle-hash sets as a DATASET (id_col,
+    set_col:binary = packed little-endian uint64s) — the candidate-
+    verification join side. Packed bytes (not list<uint64>) so the column
+    survives the generic hash_join's pandas merge untouched."""
+
+    def shingle_sets(df: pd.DataFrame) -> pa.Table:
+        sets = [word_shingles(t, SHINGLE_K) for t in df["text"]]
+        return pa.table({
+            id_col: pa.array(df["doc_id"].to_numpy(dtype=np.int64), pa.int64()),
+            set_col: pa.array([s.tobytes() for s in sets], pa.binary())})
+
+    return _docs(sf_dir).map_batches(shingle_sets, batch_format="pandas")
 
 
 def _bucket_pairs(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
@@ -132,10 +152,16 @@ def _bucket_pairs(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
 
 
 def dedup_ngram_jaccard(sf_dir: str):
-    """All pairs with exact word-3-gram Jaccard >= 0.6 (doc_a < doc_b)."""
-    from ray.data.aggregate import Sum
+    """All pairs with exact word-3-gram Jaccard >= 0.6 (doc_a < doc_b).
 
-    n_shingles = _doc_shingle_counts(sf_dir)
+    Per-doc shingle counts are joined onto the intersection-count pair
+    table (two ``hash_join`` passes, one per pair side) instead of being
+    collected to the driver — the pipeline's memory footprint is bounded
+    by bucket size at any corpus scale.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
     rows = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pandas")
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -148,17 +174,23 @@ def dedup_ngram_jaccard(sf_dir: str):
                          batch_format="pandas")
              .groupby(["doc_a", "doc_b"]).aggregate(Sum("n", alias_name="inter")))
 
+    j1 = hash_join(inter, _doc_shingle_counts_ds(sf_dir, "doc_a", "na"),
+                   on="doc_a")
+    j2 = hash_join(j1, _doc_shingle_counts_ds(sf_dir, "doc_b", "nb"),
+                   on="doc_b")
+
     def finish(df: pd.DataFrame) -> pa.Table:
-        na = df["doc_a"].map(n_shingles).to_numpy(dtype=np.float64)
-        nb = df["doc_b"].map(n_shingles).to_numpy(dtype=np.float64)
-        j = df["inter"].to_numpy(dtype=np.float64) / (na + nb - df["inter"].to_numpy())
+        na = df["na"].to_numpy(dtype=np.float64)
+        nb = df["nb"].to_numpy(dtype=np.float64)
+        inter_n = df["inter"].to_numpy(dtype=np.float64)
+        j = inter_n / (na + nb - inter_n)
         df = df.assign(jaccard=np.round(j, 6))
         df = df[df["jaccard"] >= JACCARD_THRESHOLD]
         return pa.Table.from_pandas(df[["doc_a", "doc_b", "jaccard"]],
                                     schema=PAIR_SCHEMA, preserve_index=False)
 
     from ._util import collect_with_schema
-    return collect_with_schema(inter.map_batches(finish, batch_format="pandas"),
+    return collect_with_schema(j2.map_batches(finish, batch_format="pandas"),
                                PAIR_SCHEMA)
 
 
@@ -199,8 +231,14 @@ def dedup_minhash_lsh(sf_dir: str):
     Output is the LSH-recalled subset of Jaccard>=0.6 pairs — approximate
     by construction, so no SQL oracle (rows-only driver check; recall is
     pytest-checked against the exact pipeline on planted duplicates).
+
+    Verification is fully distributed: the per-doc shingle-set table is
+    ``hash_join``ed onto the candidate pairs (once per pair side), so only
+    candidate docs' sets ever co-locate and nothing corpus-sized touches
+    the driver. The shuffle carries shingle HASH sets (uint64), never text.
     """
     from ray.data.aggregate import Min
+    from .joins import hash_join
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sets = [word_shingles(t, SHINGLE_K) for t in df["text"]]
@@ -225,32 +263,20 @@ def dedup_minhash_lsh(sf_dir: str):
                         batch_format="pandas")
             .groupby(["doc_a", "doc_b"]).aggregate(Min("n", alias_name="n")))
 
-    # Verification side: shingle sets computed DISTRIBUTED (map_batches),
-    # only the compact (doc_id, hashes) rows are collected to the broadcast
-    # dict; at 10^12-doc scale this becomes a doc_id-keyed join against the
-    # candidate set instead of a collect.
-    def shingle_sets(df: pd.DataFrame) -> pa.Table:
-        sets = [word_shingles(t, SHINGLE_K) for t in df["text"]]
-        return pa.table({
-            "doc_id": pa.array(df["doc_id"].values, pa.int64()),
-            "shingles": pa.array([s.tolist() for s in sets],
-                                 pa.list_(pa.uint64()))})
-
-    sets_df = _docs(sf_dir).map_batches(shingle_sets,
-                                        batch_format="pandas").to_pandas()
-    shingle_map = {d: np.asarray(s, dtype=np.uint64)
-                   for d, s in zip(sets_df["doc_id"], sets_df["shingles"])}
+    j1 = hash_join(cand, _shingle_sets_ds(sf_dir, "doc_a", "sh_a"), on="doc_a")
+    j2 = hash_join(j1, _shingle_sets_ds(sf_dir, "doc_b", "sh_b"), on="doc_b")
 
     def verify(df: pd.DataFrame) -> pa.Table:
-        js = [jaccard(shingle_map[a], shingle_map[b])
-              for a, b in zip(df["doc_a"], df["doc_b"])]
+        js = [jaccard(np.frombuffer(a, dtype=np.uint64),
+                      np.frombuffer(b, dtype=np.uint64))
+              for a, b in zip(df["sh_a"], df["sh_b"])]
         df = df.assign(jaccard=np.round(js, 6))
         df = df[df["jaccard"] >= JACCARD_THRESHOLD]
         return pa.Table.from_pandas(df[["doc_a", "doc_b", "jaccard"]],
                                     schema=PAIR_SCHEMA, preserve_index=False)
 
     from ._util import collect_with_schema
-    return collect_with_schema(cand.map_batches(verify, batch_format="pandas"),
+    return collect_with_schema(j2.map_batches(verify, batch_format="pandas"),
                                PAIR_SCHEMA)
 
 
@@ -305,53 +331,110 @@ def dedup_simhash(sf_dir: str):
 
 
 EMBED_DUP_COSINE = 0.99
+# Random-hyperplane LSH banding (Charikar '02 + MMDS banding): a pair at
+# cosine c collides in one band w.p. (1 - acos(c)/pi)^PLANES; across BANDS
+# independent bands the miss probability is (1 - p_band)^BANDS. At the 0.99
+# threshold: p_band = 0.955^16 ≈ 0.48 -> recall ≈ 1 - 0.52^8 ≈ 0.995, and
+# true near-dups (cos >= 0.999, the usual planted case) recall ≈ 1 - 3e-6.
+# PLANES is the bucket-granularity knob: raise it ~log2(N) with corpus size
+# so expected random-collision bucket occupancy stays bounded.
+EMBED_LSH_BANDS = 8
+EMBED_LSH_PLANES = 16
+EMBED_LSH_SEED = 7
+_EMBED_CHUNK = 1024          # row-chunk for within-bucket blocked matmul
 
 
 def dedup_embedding_cosine(sf_dir: str):
-    """Embedding near-dup pairs: cosine >= 0.99 between all vector pairs.
+    """Embedding near-dup pairs: cosine >= 0.99, LSH-bucketed pair search.
 
-    The comparison side (the full normalized matrix) is broadcast once and
-    each batch computes its block of the similarity matrix — a blocked
-    matmul, not a shuffle join. At larger scale the matrix side shards into
-    IVF cells first (see similarity.ann_lsh_topk).
+    Scale path (replaces the round-1 all-pairs blocked matmul): each batch
+    computes hyperplane-band keys and emits (band, key, vec_id, normalized
+    vector) rows; a bucketed groupby co-locates same-key vectors and the
+    exact cosine is verified INSIDE the bucket group — no full-matrix
+    broadcast, no O(N^2) compute; the shuffle carries vectors x BANDS.
+    Cross-band duplicate candidates are deduped with a final tiny
+    groupby(vec_a, vec_b). Approximate with recall ≈ 0.995 at exactly the
+    threshold (see constants); pytest plants near-dups and asserts full
+    recall vs brute force under the fixed seed.
     """
-    import ray
     import ray.data as rd
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    mat = np.array(tbl.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    matn = mat / norms[:, None]
-    ids = tbl.column("vec_id").to_numpy()
-    mat_ref = ray.put((matn, ids))
+    from ray.data.aggregate import Min
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
-    def block(df: pd.DataFrame) -> pa.Table:
-        matn_all, all_ids = ray.get(mat_ref)
+    def band_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({"band": pd.Series([], dtype="int32"),
+                                 "key": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "vec": pd.Series([], dtype="object")})
         v = np.array(df["embedding"].to_list(), dtype=np.float64)
         nv = np.linalg.norm(v, axis=1)
         nv[nv == 0] = 1.0
-        sims = (v / nv[:, None]) @ matn_all.T
-        rows_a, rows_b, out_s = [], [], []
-        my_ids = df["vec_id"].to_numpy()
-        for i in range(len(df)):
-            hit = np.nonzero((sims[i] >= EMBED_DUP_COSINE) & (all_ids > my_ids[i]))[0]
-            rows_a.extend([int(my_ids[i])] * len(hit))
-            rows_b.extend(all_ids[hit].tolist())
-            out_s.extend(np.round(sims[i][hit], 6).tolist())
-        return pa.table({"vec_a": pa.array(rows_a, pa.int64()),
-                         "vec_b": pa.array(rows_b, pa.int64()),
-                         "cosine": pa.array(out_s, pa.float64())},
-                        schema=EMBED_PAIR_SCHEMA)
+        vn = v / nv[:, None]
+        # planes derived from the fixed seed per batch — deterministic and
+        # cheap (dim x BANDS*PLANES gaussians), nothing to broadcast
+        rng = np.random.default_rng(EMBED_LSH_SEED)
+        planes = rng.standard_normal((vn.shape[1],
+                                      EMBED_LSH_BANDS * EMBED_LSH_PLANES))
+        bits = vn @ planes > 0
+        weights = (1 << np.arange(EMBED_LSH_PLANES)).astype(np.int64)
+        out = []
+        for b in range(EMBED_LSH_BANDS):
+            key = bits[:, b * EMBED_LSH_PLANES:(b + 1) * EMBED_LSH_PLANES] @ weights
+            out.append(pd.DataFrame({
+                "band": np.full(n, b, dtype=np.int32),
+                "key": key,
+                "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+                "vec": list(vn)}))
+        return pd.concat(out, ignore_index=True)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = (df["key"].to_numpy(dtype=np.int64).astype(np.uint64)
+             + np.uint64(0x9E3779B9) * df["band"].to_numpy(dtype=np.int64).astype(np.uint64))
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(N_PAIR_BUCKETS)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        """Exact-cosine pairs within each (band, key) bucket of this group;
+        row-chunked matmul bounds memory for giant duplicate clusters."""
+        out_a, out_b, out_c = [], [], []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            m = len(g)
+            if m < 2:
+                continue
+            ids = g["vec_id"].to_numpy(dtype=np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            V = np.stack(g["vec"].to_numpy()[order])
+            for i0 in range(0, m, _EMBED_CHUNK):
+                i1 = min(m, i0 + _EMBED_CHUNK)
+                S = V[i0:i1] @ V.T
+                rows, cols = np.nonzero(S >= EMBED_DUP_COSINE)
+                keep = (rows + i0) < cols
+                rows, cols = rows[keep], cols[keep]
+                out_a.append(ids[rows + i0])
+                out_b.append(ids[cols])
+                out_c.append(np.round(S[rows, cols], 6))
+        if not out_a:
+            return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                                 "vec_b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"vec_a": np.concatenate(out_a),
+                             "vec_b": np.concatenate(out_b),
+                             "cosine": np.concatenate(out_c)})
+
+    pairs = (ds.map_batches(band_rows, batch_format="pandas")
+             .map_batches(add_bucket, batch_format="pandas")
+             .groupby("bucket").map_groups(candidates, batch_format="pandas")
+             .groupby(["vec_a", "vec_b"])
+             .aggregate(Min("cosine", alias_name="cosine")))
 
     from ._util import collect_with_schema
-    return collect_with_schema(ds.map_batches(block, batch_format="pandas"),
-                               EMBED_PAIR_SCHEMA)
+    return collect_with_schema(pairs, EMBED_PAIR_SCHEMA)
 
 
 DEDUP_EMBEDDING_SQL = f"""
