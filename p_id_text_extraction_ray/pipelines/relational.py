@@ -10,10 +10,11 @@ Scale conventions used throughout:
 * **Prune at the read**: every ``read_parquet`` passes ``columns=[...]``.
 * **Pre-aggregate**: wide groupbys are fed per-batch partials (one row per
   key per batch) so the shuffle moves partial sums, not raw rows.
-* **Broadcast the small side**: dimension lookups (customer segment, nation,
-  filtered order keys) are collected to a dict once and captured by the
-  batch fn closure — no shuffle join. Sides grow with the dimension tables
-  (thousands to tens of thousands of keys), never with the fact table.
+* **Broadcast only TRUE dimensions**: fixed-cardinality lookups (nation: 25
+  rows, region: 5) are collected to a dict once and captured by the batch
+  fn closure. Anything that grows with the fact table — customer, supplier,
+  filtered order slices, per-key partials — is a distributed ``hash_join``
+  side (pipelines/joins.py), never a driver collect.
 * **Round once at the end**: float aggregates are rounded (2 or 6 dp) in
   both the Ray result and the SQL oracle so summation order can't flip the
   value hash.
@@ -23,6 +24,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -123,33 +125,34 @@ Q3_SEGMENT = "BUILDING"
 def q3_shipping_priority(sf_dir: str):
     """Top-10 open orders by revenue for one market segment.
 
-    Broadcast semi-join: BUILDING customer keys -> filtered order map
-    (orderkey -> orderdate) -> vectorized lookup inside the lineitem scan;
-    only per-orderkey revenue partials enter the shuffle.
+    Fully distributed (no fact-scale driver collect): BUILDING customer
+    keys semi-join the date-filtered orders via the partitioned
+    ``hash_join``; lineitem revenue partials (pre-aggregated per batch,
+    then bucket-summed) join the qualifying orders the same way; only the
+    10-row top-k result is ever small.
     """
-    from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
+    from .joins import hash_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    ckeys = set(
-        cust.map_batches(
+    cust_keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
             lambda t: t.filter(pc.equal(t.column("c_mktsegment"), Q3_SEGMENT))
-                       .select(["c_custkey"]),
-            batch_format="pyarrow").to_pandas()["c_custkey"])
+                       .select(["c_custkey"]).rename_columns(["o_custkey"]),
+            batch_format="pyarrow")
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    odf = orders.map_batches(
-        lambda t: t.filter(pc.less(t.column("o_orderdate"),
-                                   pa.scalar(pd.Timestamp(Q3_DATE)))),
-        batch_format="pyarrow").to_pandas()
-    odf = odf[odf["o_custkey"].isin(ckeys)]
-    omap = pd.Series(odf["o_orderdate"].values, index=odf["o_orderkey"].values)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda t: t.filter(pc.less(t.column("o_orderdate"),
+                                       pa.scalar(pd.Timestamp(Q3_DATE)))),
+            batch_format="pyarrow")
+    orders_seg = hash_join(orders, cust_keys, on="o_custkey").map_batches(
+        lambda df: df[["o_orderkey", "o_orderdate"]], batch_format="pandas")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["l_shipdate"] > pd.Timestamp(Q3_DATE)]
-        df = df[df["l_orderkey"].isin(omap.index)]
         if not len(df):
             return pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
                                  "rev_c": pd.Series([], dtype="int64")})
@@ -158,17 +161,15 @@ def q3_shipping_priority(sf_dir: str):
         g.columns = ["o_orderkey", "rev_c"]
         return g
 
-    from ._util import bucketed_group_sum
-    top = (bucketed_group_sum(li.map_batches(partial, batch_format="pandas"),
-                              key="o_orderkey", sum_cols=["rev_c"])
-           .sort("rev_c", descending=True).limit(10))
+    order_rev = bucketed_group_sum(li.map_batches(partial, batch_format="pandas"),
+                                   key="o_orderkey", sum_cols=["rev_c"])
+    top = hash_join(order_rev, orders_seg, on="o_orderkey") \
+        .sort("rev_c", descending=True).limit(10)
 
     def finish(t: pa.Table) -> pa.Table:
         t = t.append_column("revenue", pc.divide(
             pc.cast(t.column("rev_c"), pa.float64()), pa.scalar(10000.0)))
-        dates = pa.array([omap[k] for k in t.column("o_orderkey").to_pylist()],
-                         pa.timestamp("us"))
-        return t.drop_columns(["rev_c"]).append_column("o_orderdate", dates)
+        return t.select(["o_orderkey", "revenue", "o_orderdate"])
 
     return top.map_batches(finish, batch_format="pyarrow")
 
@@ -197,9 +198,17 @@ Q5_YEAR_LO, Q5_YEAR_HI = "1996-01-01", "1997-01-01"
 
 def q5_local_supplier_volume(sf_dir: str):
     """Revenue by nation where customer and supplier share the nation,
-    region-restricted. All four dimension sides broadcast; the lineitem
-    scan does dict lookups and pre-aggregates per nation per batch."""
+    region-restricted.
+
+    Only the TRUE dimensions (nation: 25 rows, region: 5) are broadcast.
+    Customer, supplier and the one-year orders slice — all of which grow
+    with the fact table — are distributed ``hash_join`` sides: orders ⋈
+    customer on custkey, lineitem ⋈ that on orderkey (most selective
+    first), then ⋈ supplier on suppkey, with the customer=supplier-nation
+    filter and the per-nation rollup applied per batch after the joins.
+    """
     from ray.data.aggregate import Sum
+    from .joins import hash_join
 
     import pyarrow.parquet as pq
     nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
@@ -207,40 +216,56 @@ def q5_local_supplier_volume(sf_dir: str):
     asia_keys = set(reg[reg["r_name"] == Q5_REGION]["r_regionkey"])
     nat = nat[nat["n_regionkey"].isin(asia_keys)]
     nation_name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    asia_nations = list(nation_name)
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nat = pd.Series(cust["c_nationkey"].values, index=cust["c_custkey"].values)
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp_nat = pd.Series(supp["s_nationkey"].values, index=supp["s_suppkey"].values)
-
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-    odf = orders.map_batches(
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("c_nationkey"),
+                                    value_set=pa.array(asia_nations)))
+                   .rename_columns(["o_custkey", "cust_nat"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
         lambda t: t.filter(pc.and_(
-            pc.greater_equal(t.column("o_orderdate"), pa.scalar(pd.Timestamp(Q5_YEAR_LO))),
-            pc.less(t.column("o_orderdate"), pa.scalar(pd.Timestamp(Q5_YEAR_HI))))),
-        batch_format="pyarrow").to_pandas()
-    order_cust = pd.Series(odf["o_custkey"].values, index=odf["o_orderkey"].values)
+            pc.greater_equal(t.column("o_orderdate"),
+                             pa.scalar(pd.Timestamp(Q5_YEAR_LO))),
+            pc.less(t.column("o_orderdate"),
+                    pa.scalar(pd.Timestamp(Q5_YEAR_HI)))))
+                   .select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow")
+    orders_cust = hash_join(orders, cust, on="o_custkey").map_batches(
+        lambda df: df[["o_orderkey", "cust_nat"]], batch_format="pandas")
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("s_nationkey"),
+                                    value_set=pa.array(asia_nations)))
+                   .rename_columns(["l_suppkey", "supp_nat"]),
+        batch_format="pyarrow")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        ck = df["l_orderkey"].map(order_cust)
-        cn = ck.map(cust_nat)
-        sn = df["l_suppkey"].map(supp_nat)
-        mask = cn.notna() & sn.notna() & (cn == sn) & cn.isin(nation_name)
-        df = df[mask]
+    def li_rows(df: pd.DataFrame) -> pd.DataFrame:
+        rev_c = cents(df["l_extendedprice"]) * (100 - cents(df["l_discount"]))
+        return pd.DataFrame({"o_orderkey": df["l_orderkey"].values,
+                             "l_suppkey": df["l_suppkey"].values,
+                             "rev_c": rev_c})
+
+    li_o = hash_join(li.map_batches(li_rows, batch_format="pandas"),
+                     orders_cust, on="o_orderkey")
+    li_os = hash_join(li_o, supp, on="l_suppkey")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["cust_nat"] == df["supp_nat"]]
         if not len(df):
             return pd.DataFrame({"n_name": pd.Series([], dtype="object"),
                                  "rev_c": pd.Series([], dtype="int64")})
-        names = cn[mask].map(nation_name)
-        rev_c = cents(df["l_extendedprice"]) * (100 - cents(df["l_discount"]))
-        g = pd.Series(rev_c).groupby(names.values).sum().reset_index()
+        names = df["cust_nat"].map(nation_name)
+        g = df.groupby(names.values)["rev_c"].sum().reset_index()
         g.columns = ["n_name", "rev_c"]
         return g
 
-    agg = (li.map_batches(partial, batch_format="pandas")
-             .groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c")))
+    agg = (li_os.map_batches(roll, batch_format="pandas")
+           .groupby("n_name").aggregate(Sum("rev_c", alias_name="rev_c")))
     return agg.map_batches(
         lambda t: t.append_column("revenue", pc.divide(
             pc.cast(t.column("rev_c"), pa.float64()),
@@ -348,22 +373,33 @@ FROM nation JOIN region ON n_regionkey = r_regionkey
 
 
 def segment_order_value(sf_dir: str):
-    """Fact->dimension broadcast join + grouped aggregate."""
+    """Fact ⋈ fact-scale lookup + grouped aggregate: per-customer order
+    partials (pre-aggregated per batch, bucket-summed) hash-joined with
+    the customer table, rolled up by segment. Customer grows with the fact
+    table, so it is a distributed join side, not a broadcast."""
     from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
+    from .joins import hash_join
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    seg = pd.Series(cust["c_mktsegment"].values, index=cust["c_custkey"].values)
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
-        s = df["o_custkey"].map(seg)
-        tp_c = pd.Series(cents(df["o_totalprice"]))
-        g = pd.DataFrame({"seg": s.values, "tp_c": tp_c.values}) \
-            .groupby("seg").agg(tp=("tp_c", "sum"), n=("tp_c", "size")).reset_index()
-        g.columns = ["c_mktsegment", "tp_c", "n"]
+        g = pd.DataFrame({"c_custkey": df["o_custkey"].values,
+                          "tp_c": cents(df["o_totalprice"]),
+                          "n": np.ones(len(df), dtype=np.int64)}) \
+            .groupby("c_custkey", as_index=False)[["tp_c", "n"]].sum()
         return g
 
-    agg = (orders.map_batches(partial, batch_format="pandas")
+    per_cust = bucketed_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        key="c_custkey", sum_cols=["tp_c", "n"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = hash_join(per_cust, cust, on="c_custkey")
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("c_mktsegment", as_index=False)[["tp_c", "n"]].sum()
+
+    agg = (joined.map_batches(roll, batch_format="pandas")
            .groupby("c_mktsegment")
            .aggregate(Sum("tp_c", alias_name="tp_c"),
                       Sum("n", alias_name="n_orders")))
