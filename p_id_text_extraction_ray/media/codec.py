@@ -1,11 +1,20 @@
 """Deterministic raster media codec + text renderer for the CV path.
 
-The sandbox has no PIL/OpenCV, so real PNG decode is gated (see
-``decode_image``); media blobs use a trivial container — magic, width,
-height, zlib-compressed uint8 grayscale pixels — that numpy decodes
-zero-copy-ish. The Ray-side plumbing (binary media column, decode stage,
-tiling, crops) is identical to what a PNG/JPEG codec would need; only this
-codec function would swap.
+Two container formats are supported, branched on magic bytes:
+
+* **PNG** — a pure numpy/zlib decoder (no PIL/OpenCV needed): 8-bit
+  non-interlaced grayscale / RGB / gray+alpha / RGBA / palette, all five
+  PNG scanline filters. Color images are collapsed to BT.601 luma
+  grayscale, matching the reference's grayscale detection input
+  (``sahi_slicer.py:13-15`` loads via PIL; CRAFT detection is luminance-
+  based). ``encode_png`` exists so tests can ingest real PNG corpora.
+* **PIDR** — the trivial test container (magic, width, height,
+  zlib-compressed uint8 grayscale) used by the deterministic fixtures.
+
+JPEG/TIFF would slot in at the same branch; those decoders aren't
+implementable in reasonable pure numpy, so other magics raise. The
+Ray-side plumbing (binary media column, decode stage, tiling, crops) is
+codec-agnostic.
 
 Text rendering is *value-coded*: background pixels are 255 and each
 character of a rendered string fills a CELL_W x CELL_H block whose pixel
@@ -29,9 +38,154 @@ import zlib
 import numpy as np
 
 MAGIC = b"PIDR1"
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 BACKGROUND = 255
 CELL_W = 8    # px per character cell (horizontal strip)
 CELL_H = 14   # strip height
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}   # color_type -> samples/px
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        length = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        yield ctype, data[pos + 8:pos + 8 + length]
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+
+
+def _png_header(data: bytes) -> tuple[int, int, int, int, int]:
+    """(w, h, bit_depth, color_type, interlace) from IHDR."""
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            w, h = struct.unpack(">II", body[:8])
+            bit_depth, color_type, _comp, _filt, interlace = body[8:13]
+            return w, h, bit_depth, color_type, interlace
+    raise ValueError("PNG missing IHDR")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> uint8 grayscale (h, w); see module doc for coverage."""
+    w, h, bit_depth, color_type, interlace = _png_header(data)
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit_depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} unsupported (8-bit non-interlaced only)")
+    palette = None
+    idat = []
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, np.uint8).reshape(-1, 3)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    c = _PNG_CHANNELS[color_type]
+    stride = w * c
+    rows = raw.reshape(h, 1 + stride)
+    out = np.empty((h, stride), np.uint8)
+    prev = np.zeros(stride, np.uint8)
+    for y in range(h):
+        ftype = int(rows[y, 0])
+        cur = rows[y, 1:]
+        if ftype == 0:                               # None
+            line = cur.copy()
+        elif ftype == 1:                             # Sub
+            line = np.cumsum(cur.reshape(w, c).astype(np.uint32), axis=0) \
+                     .astype(np.uint8).reshape(stride)
+        elif ftype == 2:                             # Up
+            line = cur + prev                        # uint8 wraps mod 256
+        elif ftype == 3:                             # Average
+            line = np.empty(stride, np.uint8)
+            for i in range(stride):
+                left = int(line[i - c]) if i >= c else 0
+                line[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:                             # Paeth
+            line = np.empty(stride, np.uint8)
+            for i in range(stride):
+                a = int(line[i - c]) if i >= c else 0
+                b = int(prev[i])
+                cc = int(prev[i - c]) if i >= c else 0
+                p = a + b - cc
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else cc)
+                line[i] = (int(cur[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = line
+        prev = line
+    img = out.reshape(h, w, c)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = palette[img[:, :, 0]]                  # -> (h, w, 3)
+        c = 3
+    if c == 1:
+        return img[:, :, 0].copy()
+    if c == 2:                                       # gray + alpha
+        return img[:, :, 0].copy()
+    rgb = img[:, :, :3].astype(np.float64)           # RGB / RGBA -> BT.601 luma
+    return np.rint(rgb[:, :, 0] * 0.299 + rgb[:, :, 1] * 0.587
+                   + rgb[:, :, 2] * 0.114).astype(np.uint8)
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body)))
+
+
+def encode_png(arr: np.ndarray, row_filters: list[int] | None = None) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB -> PNG bytes.
+
+    ``row_filters`` optionally forces a PNG filter type per scanline
+    (default all 0) — used by tests to exercise every decode path.
+    """
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        color_type, c = 0, 1
+        flat = arr.reshape(h, w)
+    else:
+        h, w, c = arr.shape
+        assert c == 3, "encode_png supports grayscale or RGB"
+        color_type = 2
+        flat = arr.reshape(h, w * c)
+    stride = w * c
+    filters = row_filters or [0] * h
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        line = flat[y].reshape(stride).astype(np.int32)
+        f = filters[y]
+        left = np.concatenate([np.zeros(c, np.int32), line[:-c]]) if stride > c \
+            else np.zeros(stride, np.int32)
+        up_left = np.concatenate([np.zeros(c, np.int32), prev[:-c]]) if stride > c \
+            else np.zeros(stride, np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - ((left + prev) >> 1)
+        elif f == 4:
+            p = left + prev - up_left
+            pa, pb, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - up_left)
+            pred = np.where((pa <= pb) & (pa <= pc_), left,
+                            np.where(pb <= pc_, prev, up_left))
+            enc = line - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.append(f)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw), level=6))
+            + _png_chunk(b"IEND", b""))
 
 
 def encode_image(arr: np.ndarray) -> bytes:
@@ -42,28 +196,32 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def peek_dimensions(data: bytes) -> tuple[int, int]:
-    """(width, height) from the 13-byte container header — the cheap
-    metadata read the tile planner uses to split giant images into
-    tile-range work units without decoding pixels."""
-    if data[:5] != MAGIC:
-        raise NotImplementedError("non-PIDR media")
-    w, h = struct.unpack("<II", data[5:13])
-    return w, h
+    """(width, height) from the container header only — the cheap metadata
+    read the tile planner uses to split giant images into tile-range work
+    units without decoding pixels. PIDR: 13 bytes; PNG: IHDR (first ~33
+    bytes), so a 64-byte ranged GET covers both."""
+    if data[:5] == MAGIC:
+        w, h = struct.unpack("<II", data[5:13])
+        return w, h
+    if data[:8] == PNG_MAGIC:
+        w, h, _bd, _ct, _il = _png_header(data)
+        return w, h
+    raise NotImplementedError("unsupported media container (PIDR/PNG only)")
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    """Container bytes -> uint8 grayscale (h, w).
-
-    A production build would branch on the magic to PNG/JPEG decoders here;
-    those libraries are absent in this container, so any other magic raises.
-    """
-    if data[:5] != MAGIC:
-        raise NotImplementedError(
-            "non-PIDR media (e.g. PNG/JPEG) requires an image decoder not "
-            "available in this environment")
-    w, h = struct.unpack("<II", data[5:13])
-    pixels = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
-    return pixels.reshape(h, w)
+    """Container bytes -> uint8 grayscale (h, w). Branches on magic:
+    PIDR test container or real PNG (``decode_png``); JPEG/TIFF would
+    slot in here but have no pure-numpy decoder, so they raise."""
+    if data[:5] == MAGIC:
+        w, h = struct.unpack("<II", data[5:13])
+        pixels = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
+        return pixels.reshape(h, w)
+    if data[:8] == PNG_MAGIC:
+        return decode_png(data)
+    raise NotImplementedError(
+        "unsupported media container (PIDR/PNG supported; JPEG/TIFF need "
+        "a decoder not available in this environment)")
 
 
 def string_box_size(text: str, rot: int) -> tuple[int, int]:

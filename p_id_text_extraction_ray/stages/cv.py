@@ -93,7 +93,7 @@ class TilePlanStage:
     threshold degrades gracefully to single-task processing.
     """
 
-    HEADER_BYTES = 13
+    HEADER_BYTES = 64   # covers the PIDR header (13 B) and PNG IHDR (~33 B)
     SIZE_THRESHOLD = 1 << 20   # 1 MiB compressed ≈ well under max tiles
 
     def __init__(self, media_root: str, cfg: ExtractConfig,
