@@ -22,6 +22,15 @@ TOP_K = 5
 N_QUERIES = 4           # queries = embeddings with vec_id < N_QUERIES
 LSH_PLANES = 8
 LSH_SEED = 42
+# Multi-probe: a query also scans buckets whose signature differs by up to
+# this many bits (Lv et al., VLDB '07). Hamming-1 probing raises recall
+# from ~single-bucket (a near neighbor straddling one hyperplane is the
+# dominant miss mode) at the cost of scanning 1+LSH_PLANES of the 2^PLANES
+# buckets — still a 28x reduction at 8 planes, and the knob to trade
+# recall vs scan fraction.
+LSH_MULTIPROBE_HAMMING = 1
+
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
 def _load_queries(sf_dir: str):
@@ -93,10 +102,12 @@ FROM sims WHERE rank <= {TOP_K}
 
 
 def ann_lsh_topk(sf_dir: str):
-    """LSH-bucketed approximate cosine top-5: random-hyperplane signatures
-    partition vectors into buckets; each query scans only its bucket (and
-    is padded back to brute force inside the bucket). Rows-only driver
-    check (approximate); recall vs brute force is pytest-asserted."""
+    """LSH-bucketed approximate cosine top-5 with Hamming-1 multi-probe:
+    random-hyperplane signatures partition vectors into buckets; each
+    query scans its own bucket plus the LSH_PLANES buckets one bit away
+    (brute force within the probed set). Rows-only driver check
+    (approximate); recall vs brute force is pytest-asserted >= 0.9 on a
+    planted-neighbor fixture."""
     import ray
     import ray.data as rd
 
@@ -120,7 +131,8 @@ def ann_lsh_topk(sf_dir: str):
         vids = df["vec_id"].to_numpy()
         out = []
         for j, qid in enumerate(ids_q):
-            in_bucket = (sig_v == sig_q[j]) & (vids != qid)
+            dist = _POPCOUNT8[np.bitwise_xor(sig_v, sig_q[j]).astype(np.uint8)]
+            in_bucket = (dist <= LSH_MULTIPROBE_HAMMING) & (vids != qid)
             if not in_bucket.any():
                 continue
             s = vn[in_bucket] @ Q[j]

@@ -101,3 +101,46 @@ def test_ann_lsh_recalls_exact_duplicate(ray_session, planted_dir):
     # LSH results are a subset of the candidate universe with correct sims
     merged = lsh.merge(brute, on=["query_id", "vec_id"], suffixes=("_l", "_b"))
     assert np.allclose(merged["cosine_l"], merged["cosine_b"])
+
+
+@pytest.fixture(scope="module")
+def neighbor_dir(tmp_path_factory):
+    """200 random vectors + 4 query vectors (vec_id 0..3); each query gets
+    FIVE planted near neighbors (ids 100+5q .. 104+5q, increasing noise) so
+    the brute-force top-5 is exactly the planted set and LSH recall of true
+    near neighbors is measurable."""
+    root = str(tmp_path_factory.mktemp("neighbors"))
+    rng = np.random.default_rng(11)
+    n, dim = 200, 32
+    vecs = rng.standard_normal((n, dim))
+    vecs /= np.linalg.norm(vecs, axis=1)[:, None]
+    for q in range(4):
+        for i in range(5):
+            vecs[100 + 5 * q + i] = (vecs[q]
+                                     + rng.standard_normal(dim) * 0.005 * (i + 1))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    }), os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_ann_lsh_multiprobe_recall(ray_session, neighbor_dir):
+    """Hamming-1 multi-probe recall of true near neighbors >= 0.9 and the
+    closest planted neighbor is rank-1 (deterministic: fixed seeds)."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_lsh_topk, ann_topk_bruteforce)
+    brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
+    lsh = ann_lsh_topk(neighbor_dir).to_pandas()
+    hits = total = 0
+    for q in range(4):
+        planted = {100 + 5 * q + i for i in range(5)}
+        bset = set(brute[brute["query_id"] == q]["vec_id"])
+        assert bset == planted                     # brute top-5 = planted set
+        lset = set(lsh[lsh["query_id"] == q]["vec_id"])
+        hits += len(bset & lset)
+        total += len(bset)
+        l1 = lsh[(lsh["query_id"] == q) & (lsh["rank"] == 1)]["vec_id"].iloc[0]
+        assert l1 == 100 + 5 * q
+    assert hits / total >= 0.9
