@@ -98,6 +98,12 @@ class ExtractConfig:
     # Skew: images whose detection count exceeds this take the two-phase
     # (spatial-cell salted) grouping path instead of the direct O(n^2) one.
     salted_grouping_threshold: int = 3000
+    # Skew: a media_ref referenced by at least this many document spans has
+    # its span-fanout join group salted by doc-hash into join_salt
+    # sub-groups (media rows replicated per salt), so one boilerplate
+    # diagram referenced by millions of docs can't funnel into one group.
+    hot_ref_span_threshold: int = 10_000
+    join_salt: int = 16
     # Giant images split into tile-range work units of at most this many
     # tiles (header-only planning; see stages/cv.TilePlanStage).
     max_tiles_per_task: int = 64

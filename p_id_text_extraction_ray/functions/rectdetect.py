@@ -61,3 +61,48 @@ def detect_rects(img: np.ndarray, bg: int = BACKGROUND) -> np.ndarray:
     boxes = np.array([[b[0], b[1], b[2], b[3]] for b in comp.values()], dtype=np.int64)
     order = np.lexsort((boxes[:, 0], boxes[:, 1]))
     return boxes[order]
+
+
+def detect_rects_dbnet(img: np.ndarray, bg: int = BACKGROUND,
+                       dilate: int = 2) -> np.ndarray:
+    """DBNet-style segmentation detector (Liao et al., AAAI '20 shape):
+    binarize -> box-dilate the text map by ``dilate`` px (the "unclip"
+    expansion) -> connected components of the dilated map -> shrink each
+    component back to the tight foreground bbox.
+
+    A weights-free stand-in with the same algorithmic skeleton as a real
+    DBNet head (probability map -> threshold -> dilate -> boxes); regions
+    whose gap is <= 2*dilate merge, exactly like unclipped text kernels.
+    On the fixture corpus (string margin 12 px > 2*dilate) it is exact and
+    must agree with ``detect_rects`` — the detector-swap test relies on
+    that. [x1, y1, x2, y2) sorted by (y1, x1).
+    """
+    fg = img != bg
+    if not fg.any():
+        return np.zeros((0, 4), dtype=np.int64)
+    # box dilation via integral image: window sum > 0 == sliding OR
+    pad = np.pad(fg, dilate + 1).astype(np.int32)
+    ii = pad.cumsum(axis=0).cumsum(axis=1)
+    k = 2 * dilate + 1
+    h, w = fg.shape
+    y0, x0 = np.arange(h), np.arange(w)
+    # window [y .. y+k) x [x .. x+k) in padded coords anchored so that the
+    # window is centered on the original pixel
+    a = ii[k:, k:][np.ix_(y0, x0)]
+    b = ii[:-k, k:][np.ix_(y0, x0)]
+    c = ii[k:, :-k][np.ix_(y0, x0)]
+    d = ii[:-k, :-k][np.ix_(y0, x0)]
+    dilated = (a - b - c + d) > 0
+    comps = detect_rects(np.where(dilated, 0, 255).astype(np.uint8), bg=255)
+    out = []
+    for x1, y1, x2, y2 in comps:
+        sub = fg[y1:y2, x1:x2]
+        rows = np.flatnonzero(sub.any(axis=1))
+        cols = np.flatnonzero(sub.any(axis=0))
+        if not len(rows):
+            continue
+        out.append([x1 + cols[0], y1 + rows[0],
+                    x1 + cols[-1] + 1, y1 + rows[-1] + 1])
+    boxes = np.array(out, dtype=np.int64)
+    order = np.lexsort((boxes[:, 0], boxes[:, 1]))
+    return boxes[order]

@@ -17,10 +17,12 @@ Scale notes:
 * The CV path processes each DISTINCT image once; popular media_refs
   (boilerplate diagrams, repeated attachments) cost one decode/detect/
   recognize regardless of how many documents reference them. The join back
-  to spans is an equi-key groupby(media_ref) over tiny coordinate/text
-  rows. A media_ref referenced by millions of docs would skew the join
-  group; rows are so small (recognized text + coords) that the fan-out is
-  memory-bound only in pathological cases — salt by doc-hash there.
+  to spans is an equi-key groupby(media_ref, salt) over tiny coordinate/
+  text rows. A media_ref referenced by millions of docs would skew the
+  join group, so refs above ``hot_ref_span_threshold`` spans are salted:
+  their spans split into ``join_salt`` doc-hash sub-groups and their
+  (small) recognized rows are replicated per salt (metamorphic test:
+  salted == unsalted output).
 * The two branches each consume the (lazy) exploded spans, so the input is
   read twice; both branches prune immediately. The alternative is a
   materialize() barrier of the whole exploded table — re-reading a
@@ -33,11 +35,13 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
+import pyarrow as pa
+
 from ..config import ExtractConfig
 from ..stages.assemble import reassemble_doc
 from ..stages.cv import (CropStage, DetectStage, PixelDetector, StubRecognizer,
-                         join_spans_to_media, make_group_fn, tag_media_rows,
-                         tag_span_rows)
+                         join_spans_to_media, make_group_fn, make_tag_media_fn,
+                         make_tag_span_fn)
 from ..stages.spans import (explode_spans, make_clean_text_fn,
                             route_image, route_text)
 
@@ -130,15 +134,38 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
                  .aggregate(Count(alias_name="n_spans")))
     if stop_after == "unique_media":
         return uniq_refs
+
+    # Hot-ref salting for the span fan-out join: a media_ref referenced by
+    # millions of docs would funnel every referencing span into ONE join
+    # group; refs above the span threshold are split into join_salt
+    # doc-hash sub-groups instead. The hot list comes from the (tiny)
+    # unique-media aggregate: materialize() it — the groupby is a barrier
+    # anyway, the materialized rows are (media_ref, count) only, and the
+    # CV path reuses the materialized result instead of re-executing the
+    # explode+count lineage.
+    hot_refs: frozenset = frozenset()
+    if cfg.join_salt > 1:
+        uniq_refs = uniq_refs.materialize()
+        import pyarrow.compute as _pc
+        hot = uniq_refs.map_batches(
+            lambda t: t.filter(_pc.greater_equal(
+                t.column("n_spans"),
+                pa.scalar(cfg.hot_ref_span_threshold, pa.int64())))
+                       .select(["media_ref"]),
+            batch_format="pyarrow").take_all()
+        hot_refs = frozenset(r["media_ref"] for r in hot)
+
     media_rows = extract_media_rows(uniq_refs, media_root, cfg,
                                     detector_cls, detector_args,
                                     stop_after=stop_after, counter=counter)
     if stop_after in ("detect", "group", "recognize"):
         return media_rows
 
-    joined = (media_rows.map_batches(tag_media_rows, batch_format="pyarrow")
-              .union(img_spans.map_batches(tag_span_rows, batch_format="pyarrow"))
-              .groupby("media_ref")
+    tag_media = make_tag_media_fn(hot_refs, cfg.join_salt)
+    tag_spans = make_tag_span_fn(hot_refs, cfg.join_salt)
+    joined = (media_rows.map_batches(tag_media, batch_format="pyarrow")
+              .union(img_spans.map_batches(tag_spans, batch_format="pyarrow"))
+              .groupby(["media_ref", "salt"])
               .map_groups(join_spans_to_media, batch_format="pyarrow"))
     if stop_after == "join":
         return joined

@@ -32,7 +32,7 @@ import pyarrow.compute as pc
 
 from ..config import ExtractConfig
 from ..functions.geometry import ConnectParams, group_boxes, group_boxes_large
-from ..functions.rectdetect import detect_rects
+from ..functions.rectdetect import detect_rects, detect_rects_dbnet
 from ..functions.reading_order import reading_order_ranks
 from ..functions.textops import classify_kinds
 from ..functions.tiling import tile_windows
@@ -194,6 +194,8 @@ class PixelDetector:
     order.
     """
 
+    _kernel = staticmethod(detect_rects)   # swap point for other detectors
+
     def __init__(self, cfg: ExtractConfig | None = None):
         self.cfg = cfg or ExtractConfig()
 
@@ -212,7 +214,7 @@ class PixelDetector:
         out_meta: list[tuple[int, int]] = []   # (row index, n boxes)
         for i in range(len(batch)):
             tile = _np_tile(tile_col[i], int(ty2[i] - ty1[i]), int(tx2[i] - tx1[i]))
-            boxes = detect_rects(tile)
+            boxes = self._kernel(tile)
             if len(boxes):
                 boxes = boxes + np.array([tx1[i], ty1[i], tx1[i], ty1[i]])
                 out_boxes.append(boxes)
@@ -235,6 +237,17 @@ class PixelDetector:
             "y_max": pa.array(all_boxes[:, 3].astype(np.int32)),
             "rot": pa.array(rot),
         }, schema=DETECTION_SCHEMA)
+
+
+class DBNetDetector(PixelDetector):
+    """Alternative detector actor exercising the ``detector_cls`` swap
+    surface (the reference's unused ``detector: craft|dbnet18`` selector,
+    ``configs/base.yaml:34``): identical actor plumbing, DBNet-style
+    segmentation kernel (``functions/rectdetect.detect_rects_dbnet``).
+    The swap test runs the full pipeline under both detectors and asserts
+    golden equality."""
+
+    _kernel = staticmethod(detect_rects_dbnet)
 
 
 class DetectStage:
@@ -516,44 +529,82 @@ class StubRecognizer:
 
 # ---------------------------------------------------------------- span join
 
-_JOIN_SCHEMA = pa.schema([("media_ref", pa.string()), ("is_span", pa.bool_())] +
+_JOIN_SCHEMA = pa.schema([("media_ref", pa.string()), ("salt", pa.int32()),
+                          ("is_span", pa.bool_())] +
                          [(n, t) for n, t in SPAN_ROW_FIELDS if n != "media_ref"])
 
 
-def tag_media_rows(batch: pa.Table) -> pa.Table:
-    """Recognized per-media rows -> join-side rows (is_span=False)."""
-    n = len(batch)
-    cols = {"media_ref": batch.column("media_ref"),
-            "is_span": pa.array([False] * n, pa.bool_()),
-            "doc_id": pa.array([""] * n, pa.string()),
-            "offset": pa.array([-1] * n, pa.int32())}
-    for name, _t in SPAN_ROW_FIELDS:
-        if name not in ("doc_id", "offset", "media_ref"):
-            cols[name] = batch.column(name)
-    return pa.table(cols, schema=_JOIN_SCHEMA)
+def make_tag_media_fn(hot_refs: frozenset = frozenset(), salt: int = 1):
+    """Recognized per-media rows -> join-side rows (is_span=False).
+
+    Rows of a HOT media_ref (one referenced by very many documents —
+    ``ExtractConfig.hot_ref_span_threshold``) are replicated once per salt
+    value so every salted sub-group of the fan-out join sees the full
+    recognized payload; cold refs carry salt 0 only (no replication)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {"media_ref": batch.column("media_ref"),
+                "salt": pa.array(np.zeros(n, np.int32)),
+                "is_span": pa.array([False] * n, pa.bool_()),
+                "doc_id": pa.array([""] * n, pa.string()),
+                "offset": pa.array([-1] * n, pa.int32())}
+        for name, _t in SPAN_ROW_FIELDS:
+            if name not in ("doc_id", "offset", "media_ref"):
+                cols[name] = batch.column(name)
+        base = pa.table(cols, schema=_JOIN_SCHEMA)
+        if salt <= 1 or not hot_refs:
+            return base
+        refs = np.array(batch.column("media_ref").to_pylist(), dtype=object)
+        hot_idx = np.nonzero(np.isin(refs, list(hot_refs)))[0]
+        if not len(hot_idx):
+            return base
+        salt_i = _JOIN_SCHEMA.get_field_index("salt")
+        parts = [base]
+        for s in range(1, salt):
+            rep = base.take(pa.array(hot_idx))
+            parts.append(rep.set_column(
+                salt_i, "salt", pa.array(np.full(len(hot_idx), s, np.int32))))
+        return pa.concat_tables(parts)
+
+    return fn
 
 
-def tag_span_rows(batch: pa.Table) -> pa.Table:
+def make_tag_span_fn(hot_refs: frozenset = frozenset(), salt: int = 1):
     """Image-span rows (doc_id, offset, media_ref) -> join-side rows
-    (is_span=True, payload columns dummy)."""
-    n = len(batch)
-    cols = {"media_ref": batch.column("media_ref"),
-            "is_span": pa.array([True] * n, pa.bool_()),
-            "doc_id": batch.column("doc_id"),
-            "offset": pc.cast(batch.column("offset"), pa.int32()),
-            "rank": pa.array([0] * n, pa.int32()),
-            "kind": pa.array([""] * n, pa.string()),
-            "text": pa.array([""] * n, pa.string()),
-            "x_min": pa.array([-1] * n, pa.int32()),
-            "y_min": pa.array([-1] * n, pa.int32()),
-            "x_max": pa.array([-1] * n, pa.int32()),
-            "y_max": pa.array([-1] * n, pa.int32()),
-            "img_w": pa.array([-1] * n, pa.int32()),
-            "img_h": pa.array([-1] * n, pa.int32()),
-            "rot": pa.array([0] * n, pa.int8()),
-            "confidence": pa.array([0.0] * n, pa.float64()),
-            "method": pa.array([""] * n, pa.string())}
-    return pa.table(cols, schema=_JOIN_SCHEMA)
+    (is_span=True, payload columns dummy). Spans of a hot ref are salted
+    by doc-hash so the fan-out spreads over ``salt`` join groups."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        salts = np.zeros(n, np.int32)
+        if salt > 1 and hot_refs:
+            refs = batch.column("media_ref").to_pylist()
+            docs = batch.column("doc_id").to_pylist()
+            for i, r in enumerate(refs):
+                if r in hot_refs:
+                    salts[i] = zlib.crc32(docs[i].encode()) % salt
+        cols = {"media_ref": batch.column("media_ref"),
+                "salt": pa.array(salts),
+                "is_span": pa.array([True] * n, pa.bool_()),
+                "doc_id": batch.column("doc_id"),
+                "offset": pc.cast(batch.column("offset"), pa.int32()),
+                "rank": pa.array([0] * n, pa.int32()),
+                "kind": pa.array([""] * n, pa.string()),
+                "text": pa.array([""] * n, pa.string()),
+                "x_min": pa.array([-1] * n, pa.int32()),
+                "y_min": pa.array([-1] * n, pa.int32()),
+                "x_max": pa.array([-1] * n, pa.int32()),
+                "y_max": pa.array([-1] * n, pa.int32()),
+                "img_w": pa.array([-1] * n, pa.int32()),
+                "img_h": pa.array([-1] * n, pa.int32()),
+                "rot": pa.array([0] * n, pa.int8()),
+                "confidence": pa.array([0.0] * n, pa.float64()),
+                "method": pa.array([""] * n, pa.string())}
+        return pa.table(cols, schema=_JOIN_SCHEMA)
+
+    return fn
 
 
 def join_spans_to_media(t: pa.Table) -> pa.Table:

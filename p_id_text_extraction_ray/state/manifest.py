@@ -81,19 +81,63 @@ class Manifest:
         os.replace(tmp, path)
 
 
+def _partition_stats(docs_path: str, num_partitions: int) -> dict[int, dict]:
+    """One distributed doc_id-only scan -> per-partition {docs_in, fp}.
+
+    The fingerprint (crc32 over the partition's sorted doc_ids) is computed
+    INSIDE the partition's group, so the driver only ever holds P stat
+    rows — never the doc_id list (the round-1 version re-scanned the docs
+    table once per wave and collected every wave doc_id to the driver).
+    """
+    import pandas as pd
+    import ray.data as rd
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        return add_partition_column(batch, num_partitions)
+
+    def stats(df: "pd.DataFrame") -> "pd.DataFrame":
+        ids = sorted(df["doc_id"])
+        return pd.DataFrame({
+            "part": [int(df["part"].iloc[0])],
+            "docs_in": [len(ids)],
+            "fp": [format(zlib.crc32("\n".join(ids).encode()), "08x")]})
+
+    rows = (rd.read_parquet(docs_path, columns=["doc_id"])
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(stats, batch_format="pandas")
+            .take_all())
+    return {r["part"]: {"docs_in": r["docs_in"], "fp": r["fp"]} for r in rows}
+
+
 def run_resumable(docs_path: str, media_root: str, out_dir: str,
                   num_partitions: int = 16, wave_partitions: int = 8,
-                  cfg: ExtractConfig | None = None) -> dict:
+                  cfg: ExtractConfig | None = None,
+                  concurrent_waves: int = 1) -> dict:
     """Run the extraction pipeline resumably; returns a run summary.
 
     Safe to call repeatedly: completed partitions are skipped via the
     manifest anti-join. Kill it mid-run and call again — the second call
     finishes only the remainder (pytest-verified in test_resume.py).
+
+    ``wave_partitions`` is the checkpoint-granularity knob (smaller waves
+    = finer resume, more fixed pipeline latency). ``concurrent_waves > 1``
+    executes that many waves at once from driver threads — partitions are
+    disjoint and sinks partition-keyed, so overlap is correct, and wave
+    N+1's read/tile phase hides under wave N's recognize tail. Each wave's
+    manifests commit only when that wave's sink completes. Needs cluster
+    headroom: each in-flight wave spawns its own actor pools, so only
+    raise this when the per-wave pools occupy well under 1/concurrent_waves
+    of the cluster (a 4-CPU test cluster deadlocks at 2).
     """
+    import concurrent.futures as cf
+    import shutil
+
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     cfg = cfg or ExtractConfig()
     from ..pipelines.extract import extract_spans
+    from .counters import counter_totals, make_drop_counter
 
     manifest = Manifest(out_dir)
     spans_root = os.path.join(out_dir, "spans")
@@ -103,10 +147,12 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
     pending = [p for p in range(num_partitions) if p not in done]
     summary = {"run_id": run_id, "partitions": num_partitions,
                "skipped": len(done), "processed": 0, "spans_out": 0}
+    if not pending:
+        return summary
 
-    import shutil
-    for wi in range(0, len(pending), wave_partitions):
-        wave = set(pending[wi:wi + wave_partitions])
+    stats = _partition_stats(docs_path, num_partitions)
+
+    def run_wave(wave: frozenset[int]) -> list[PartitionRecord]:
         # Clear any uncommitted leftovers from a previously killed attempt —
         # partition dirs are only trusted once their manifest record exists,
         # so re-writing them from scratch keeps the run idempotent.
@@ -115,16 +161,14 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
                           ignore_errors=True)
         t0 = time.perf_counter()
 
-        docs = rd.read_parquet(docs_path)
-
-        def in_wave(batch: pa.Table, wave=frozenset(wave)) -> pa.Table:
+        def in_wave(batch: pa.Table, wave=wave) -> pa.Table:
             keep = [partition_of(d, num_partitions) in wave
                     for d in batch.column("doc_id").to_pylist()]
             return batch.filter(pa.array(keep))
 
-        from .counters import counter_totals, make_drop_counter
         counter = make_drop_counter()
-        wave_docs = docs.map_batches(in_wave, batch_format="pyarrow")
+        wave_docs = rd.read_parquet(docs_path).map_batches(
+            in_wave, batch_format="pyarrow")
         out = extract_spans(wave_docs, media_root, cfg,
                             counter=counter).map_batches(
             lambda t: add_partition_column(t, num_partitions),
@@ -134,14 +178,7 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
         wall_ms = int((time.perf_counter() - t0) * 1000)
         dropped = counter_totals(counter)
 
-        # Per-partition counters from the written partition directories +
-        # the wave's doc list (all driver-side metadata reads, no data).
-        import pyarrow.parquet as pq
-        wave_doc_ids: dict[int, list[str]] = {p: [] for p in wave}
-        for batch in docs.map_batches(in_wave, batch_format="pyarrow") \
-                         .select_columns(["doc_id"]).iter_batches(batch_format="pyarrow"):
-            for d in batch.column("doc_id").to_pylist():
-                wave_doc_ids[partition_of(d, num_partitions)].append(d)
+        recs = []
         for pid in sorted(wave):
             part_dir = os.path.join(spans_root, f"part={pid}")
             spans_out = 0
@@ -150,12 +187,21 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
                     if f.endswith(".parquet"):
                         spans_out += pq.read_metadata(
                             os.path.join(part_dir, f)).num_rows
-            ids = sorted(wave_doc_ids[pid])
-            fp = format(zlib.crc32("\n".join(ids).encode()), "08x")
-            manifest.commit(PartitionRecord(
-                partition_id=pid, docs_in=len(ids), spans_out=spans_out,
-                wall_ms=wall_ms, input_fingerprint=fp,
+            st = stats.get(pid, {"docs_in": 0, "fp": format(zlib.crc32(b""), "08x")})
+            recs.append(PartitionRecord(
+                partition_id=pid, docs_in=st["docs_in"], spans_out=spans_out,
+                wall_ms=wall_ms, input_fingerprint=st["fp"],
                 output_uri=part_dir, run_id=run_id, rows_dropped=dropped))
-            summary["processed"] += 1
-            summary["spans_out"] += spans_out
+        return recs
+
+    waves = [frozenset(pending[wi:wi + wave_partitions])
+             for wi in range(0, len(pending), wave_partitions)]
+    workers = max(1, min(concurrent_waves, len(waves)))
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = [pool.submit(run_wave, w) for w in waves]
+        for fut in cf.as_completed(futures):     # commit each wave when done
+            for rec in fut.result():
+                manifest.commit(rec)
+                summary["processed"] += 1
+                summary["spans_out"] += rec.spans_out
     return summary

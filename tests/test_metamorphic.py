@@ -99,3 +99,39 @@ def test_cross_tile_recovery_exact(tmp_path):
     straddler = df[(df["x_min"] == 640)]
     assert bool(straddler["is_grouped"].iloc[0])
     assert int(straddler["n_src_tiles"].iloc[0]) == 2
+
+
+def test_hot_ref_salted_join_equals_unsalted(ray_session, tmp_path):
+    """Salt/no-salt equality for the span fan-out join (SURVEY.md §5.2):
+    forcing every media_ref hot (threshold 1, salt 4) must produce exactly
+    the spans of the default unsalted run — and both must match golden."""
+    import dataclasses
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from p_id_text_extraction_ray.fixtures.generate import generate_fixture
+    from p_id_text_extraction_ray.pipelines.extract import extract_spans
+
+    # media_pool=3 -> many docs share 3 refs: genuine fan-out skew
+    fp = generate_fixture(str(tmp_path / "fix"), n_docs=20, seed=31,
+                          media_pool=3)
+    docs = rd.read_parquet(fp.docs)
+    cols = ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+
+    def run(cfg):
+        out_dir = str(tmp_path / f"out_{cfg.join_salt}_{cfg.hot_ref_span_threshold}")
+        extract_spans(rd.read_parquet(fp.docs), fp.media_root, cfg) \
+            .write_parquet(out_dir)
+        d = pq.read_table(out_dir).to_pandas()
+        return d[cols].astype({"seq": "int64", "offset": "int64"}) \
+            .sort_values(["doc_id", "seq"]).reset_index(drop=True)
+
+    base = run(ExtractConfig())                       # nothing crosses threshold
+    salted = run(dataclasses.replace(ExtractConfig(),
+                                     hot_ref_span_threshold=1, join_salt=4))
+    assert base.equals(salted)
+    gold = pq.read_table(fp.golden).to_pandas()[cols] \
+        .astype({"seq": "int64", "offset": "int64"}) \
+        .sort_values(["doc_id", "seq"]).reset_index(drop=True)
+    assert base.equals(gold)
