@@ -55,15 +55,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "dedup_clusters": D.dedup_clusters,
         # similarity search
         "ann_topk_bruteforce": S.ann_topk_bruteforce,
         "ann_lsh_topk": S.ann_lsh_topk,
+        "ann_ivf_topk": S.ann_ivf_topk,
         # text analysis
         "doc_token_stats": T.doc_token_stats,
         "lang_id_pred": T.lang_id_pred,
         "tag_extract": T.tag_extract,
         "quality_filter_docs": T.quality_filter_docs,
         "doc_fingerprints": T.doc_fingerprints,
+        "doc_length_quantiles": T.doc_length_quantiles,
         "text_clean": T.text_clean,
         "split_train_holdout": T.split_train_holdout,
         # flagship extraction (pixel pipeline; rows-only)
@@ -91,8 +94,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
+        "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
         "ann_topk_bruteforce": S.ANN_TOPK_SQL,
         "doc_token_stats": T.DOC_TOKEN_STATS_SQL,
+        "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "lang_id_pred": T.LANG_ID_SQL,
         "tag_extract": T.TAG_EXTRACT_SQL,
         "quality_filter_docs": T.QUALITY_FILTER_SQL,

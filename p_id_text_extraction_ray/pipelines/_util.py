@@ -18,21 +18,27 @@ def collect_with_schema(ds, schema: pa.Schema) -> pd.DataFrame:
     return df
 
 
-def bucketed_group_sum(ds, key: str, sum_cols: list[str],
+def bucketed_group_sum(ds, key: str | list[str], sum_cols: list[str],
                        num_buckets: int = 64):
-    """Grouped sum over a high-cardinality integer key without per-group
-    overhead: shuffle on ``hash(key) % num_buckets`` and run ONE vectorized
+    """Grouped sum over high-cardinality integer key(s) without per-group
+    overhead: shuffle on ``hash(keys) % num_buckets`` and run ONE vectorized
     pandas groupby per bucket. Exact (all rows of a key share a bucket);
-    num_buckets is the shuffle-parallelism knob."""
+    num_buckets is the shuffle-parallelism knob. Ray's native
+    ``groupby(...).aggregate(...)`` pays per-GROUP overhead — at ~10^6
+    distinct keys that is minutes; this is seconds."""
+    keys = [key] if isinstance(key, str) else list(key)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        k = df[key].to_numpy(dtype=np.int64).astype(np.uint64)
+        h = np.zeros(len(df), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            b = (k * np.uint64(2654435761)) % np.uint64(num_buckets)
+            for k in keys:
+                h = (h * np.uint64(0x9E3779B97F4A7C15)
+                     + df[k].to_numpy(dtype=np.int64).astype(np.uint64))
+            b = (h * np.uint64(2654435761)) % np.uint64(num_buckets)
         return df.assign(__bucket=b.astype(np.int64))
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        return df.groupby(key, as_index=False)[sum_cols].sum()
+        return df.groupby(keys, as_index=False)[sum_cols].sum()
 
     return (ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("__bucket")

@@ -159,7 +159,7 @@ def dedup_ngram_jaccard(sf_dir: str):
     collected to the driver — the pipeline's memory footprint is bounded
     by bucket size at any corpus scale.
     """
-    from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
     from .joins import hash_join
 
     rows = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pandas")
@@ -168,11 +168,16 @@ def dedup_ngram_jaccard(sf_dir: str):
         return df.assign(bucket=(df["shingle"].to_numpy(dtype=np.uint64)
                                  % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
 
-    inter = (rows.map_batches(add_bucket, batch_format="pandas")
-             .groupby("bucket")
-             .map_groups(lambda g: _bucket_pairs(g, ["shingle"]),
-                         batch_format="pandas")
-             .groupby(["doc_a", "doc_b"]).aggregate(Sum("n", alias_name="inter")))
+    raw_pairs = (rows.map_batches(add_bucket, batch_format="pandas")
+                 .groupby("bucket")
+                 .map_groups(lambda g: _bucket_pairs(g, ["shingle"]),
+                             batch_format="pandas"))
+    # ~1M+ distinct pairs at even small scale: per-pair intersection counts
+    # go through the bucketed grouped sum (one vectorized pandas groupby
+    # per bucket), not Ray's per-group aggregate
+    inter = bucketed_group_sum(raw_pairs, key=["doc_a", "doc_b"],
+                               sum_cols=["n"]).map_batches(
+        lambda df: df.rename(columns={"n": "inter"}), batch_format="pandas")
 
     j1 = hash_join(inter, _doc_shingle_counts_ds(sf_dir, "doc_a", "na"),
                    on="doc_a")
@@ -232,13 +237,15 @@ def dedup_minhash_lsh(sf_dir: str):
     by construction, so no SQL oracle (rows-only driver check; recall is
     pytest-checked against the exact pipeline on planted duplicates).
 
-    Verification is fully distributed: the per-doc shingle-set table is
-    ``hash_join``ed onto the candidate pairs (once per pair side), so only
-    candidate docs' sets ever co-locate and nothing corpus-sized touches
-    the driver. The shuffle carries shingle HASH sets (uint64), never text.
+    Verification is fully distributed, one co-partitioned pass: candidate
+    pairs explode into per-endpoint node rows, union with the shingle-set
+    table, and a single bucket-of-node groupby attaches each candidate
+    doc's set; a second (candidate-sized) groupby on the pair key combines
+    both endpoints and computes exact Jaccard. Nothing corpus-sized
+    touches the driver; the one corpus-wide shuffle carries shingle HASH
+    sets (uint64), never text.
     """
     from ray.data.aggregate import Min
-    from .joins import hash_join
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sets = [word_shingles(t, SHINGLE_K) for t in df["text"]]
@@ -263,21 +270,68 @@ def dedup_minhash_lsh(sf_dir: str):
                         batch_format="pandas")
             .groupby(["doc_a", "doc_b"]).aggregate(Min("n", alias_name="n")))
 
-    j1 = hash_join(cand, _shingle_sets_ds(sf_dir, "doc_a", "sh_a"), on="doc_a")
-    j2 = hash_join(j1, _shingle_sets_ds(sf_dir, "doc_b", "sh_b"), on="doc_b")
+    def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "node": np.concatenate([a, b]),
+            "doc_a": np.concatenate([a, a]),
+            "doc_b": np.concatenate([b, b]),
+            "is_set": np.zeros(2 * len(df), dtype=bool),
+            "sh": [b""] * (2 * len(df))})
 
-    def verify(df: pd.DataFrame) -> pa.Table:
-        js = [jaccard(np.frombuffer(a, dtype=np.uint64),
-                      np.frombuffer(b, dtype=np.uint64))
-              for a, b in zip(df["sh_a"], df["sh_b"])]
-        df = df.assign(jaccard=np.round(js, 6))
-        df = df[df["jaccard"] >= JACCARD_THRESHOLD]
-        return pa.Table.from_pandas(df[["doc_a", "doc_b", "jaccard"]],
-                                    schema=PAIR_SCHEMA, preserve_index=False)
+    def tag_sets(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": df["doc_a"].to_numpy(dtype=np.int64),
+            "doc_a": np.full(len(df), -1, dtype=np.int64),
+            "doc_b": np.full(len(df), -1, dtype=np.int64),
+            "is_set": np.ones(len(df), dtype=bool),
+            "sh": df["sh_a"].values})
+
+    def add_node_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["node"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            bk = (k * np.uint64(2654435761)) % np.uint64(N_PAIR_BUCKETS)
+        return df.assign(bucket=bk.astype(np.int64))
+
+    def attach_sets(df: pd.DataFrame) -> pd.DataFrame:
+        sets = dict(zip(df.loc[df["is_set"], "node"],
+                        df.loc[df["is_set"], "sh"]))
+        pr = df[~df["is_set"]]
+        return pd.DataFrame({
+            "doc_a": pr["doc_a"].to_numpy(dtype=np.int64),
+            "doc_b": pr["doc_b"].to_numpy(dtype=np.int64),
+            "sh": [sets.get(n, b"") for n in pr["node"]]})
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        # each pair contributed its two endpoints' sets via the node pass
+        sh = df["sh"].tolist()
+        if len(sh) != 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        j = round(jaccard(np.frombuffer(sh[0], dtype=np.uint64),
+                          np.frombuffer(sh[1], dtype=np.uint64)), 6)
+        if j < JACCARD_THRESHOLD:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                                 "doc_b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        return pd.DataFrame({"doc_a": [int(df["doc_a"].iloc[0])],
+                             "doc_b": [int(df["doc_b"].iloc[0])],
+                             "jaccard": [j]})
+
+    tagged = (cand.map_batches(explode_pairs, batch_format="pandas")
+              .union(_shingle_sets_ds(sf_dir, "doc_a", "sh_a")
+                     .map_batches(tag_sets, batch_format="pandas"))
+              .map_batches(add_node_bucket, batch_format="pandas"))
+    pairs = (tagged.groupby("bucket")
+             .map_groups(attach_sets, batch_format="pandas")
+             .groupby(["doc_a", "doc_b"])
+             .map_groups(verify, batch_format="pandas"))
 
     from ._util import collect_with_schema
-    return collect_with_schema(j2.map_batches(verify, batch_format="pandas"),
-                               PAIR_SCHEMA)
+    df = collect_with_schema(pairs, PAIR_SCHEMA)
+    return df.astype({"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"})
 
 
 def dedup_simhash(sf_dir: str):
@@ -444,4 +498,95 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       >= {EMBED_DUP_COSINE}
+"""
+
+
+CC_MAX_ITERS = 16
+
+
+def dedup_clusters(sf_dir: str):
+    """Canonical near-duplicate clusters: every document labeled with
+    min(doc_id) of its connected component in the Jaccard>=0.6 pair graph
+    (singletons label themselves) — the assignment a dedup pass uses to
+    keep one representative per duplicate cluster.
+
+    Distributed min-label propagation over the PAIR GRAPH only (nodes that
+    appear in at least one near-dup pair — the iterating datasets are
+    pair-scale, never corpus-scale): labels start as min(self, neighbors)
+    via a grouped min over the self-looped symmetric edge list; each
+    further round hash_joins current labels onto the edges and re-takes
+    the per-node min. Labels only decrease, so the global label sum is a
+    monotone convergence witness (one scalar to the driver per round);
+    rounds = component diameter, bounded by CC_MAX_ITERS as a cycle guard.
+    A final left hash_join assigns every remaining document its own id —
+    the only corpus-scale step is that single join.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+    from .joins import hash_join
+
+    pairs = dedup_ngram_jaccard(sf_dir)          # small pandas pair table
+    docs = _docs(sf_dir).map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64)}),
+        batch_format="pandas")
+
+    if not len(pairs):
+        return docs.map_batches(
+            lambda df: pd.DataFrame({"doc_id": df["doc_id"].values,
+                                     "cluster": df["doc_id"].values}),
+            batch_format="pandas")
+
+    a = pairs["doc_a"].to_numpy(dtype=np.int64)
+    b = pairs["doc_b"].to_numpy(dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    edges_df = pd.DataFrame({                    # symmetric + self loops
+        "node": np.concatenate([a, b, nodes]),
+        "nbr": np.concatenate([b, a, nodes])})
+    edges = rd.from_pandas(edges_df)
+
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    prev_sum = None
+    for _ in range(CC_MAX_ITERS):
+        labels = labels.materialize()
+        cur_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+        nbr_labels = hash_join(
+            edges,
+            labels.map_batches(lambda df: pd.DataFrame({
+                "nbr": df["node"].values, "nbr_label": df["label"].values}),
+                batch_format="pandas"),
+            on="nbr", num_buckets=8).map_batches(
+            lambda df: pd.DataFrame({"node": df["node"].values,
+                                     "label": df["nbr_label"].values}),
+            batch_format="pandas")
+        labels = (labels.union(nbr_labels)
+                  .groupby("node").aggregate(Min("label", alias_name="label")))
+
+    cc = labels.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["node"].values,
+                                 "cc_label": df["label"].values}),
+        batch_format="pandas")
+    assigned = hash_join(docs, cc, on="doc_id", how="left")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        lab = df["cc_label"].fillna(df["doc_id"]).astype("int64")
+        return pd.DataFrame({"doc_id": df["doc_id"].values,
+                             "cluster": lab.values})
+
+    return assigned.map_batches(finish, batch_format="pandas")
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({DEDUP_NGRAM_JACCARD_SQL}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+  UNION SELECT doc_id, doc_id FROM documents),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
 """

@@ -6,9 +6,12 @@
   and a final tiny ``groupby(query_id)`` reduces candidates to the global
   top-k. The shuffle carries k rows per query per batch — never the
   vectors.
-* ``ann_lsh_topk`` — the scale path: random-hyperplane LSH buckets
-  restrict each query's scan to its own bucket (approximate; recall is
-  pytest-checked against brute force).
+* ``ann_lsh_topk`` — scale path 1: random-hyperplane LSH buckets with
+  Hamming-1 multi-probe restrict each query's scan (approximate; recall
+  is pytest-checked against brute force).
+* ``ann_ivf_topk`` — scale path 2: IVF-Flat — spherical-kmeans cells
+  trained on a bounded deterministic sample, queries probe their nprobe
+  nearest cells (approximate; recall pytest-checked).
 """
 
 from __future__ import annotations
@@ -154,4 +157,98 @@ def ann_lsh_topk(sf_dir: str):
         return df[["query_id", "rank", "vec_id", "cosine"]]
 
     return (ds.map_batches(bucket_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(reduce_topk, batch_format="pandas"))
+
+
+IVF_CELLS = 16
+IVF_NPROBE = 4
+IVF_SAMPLE = 512
+IVF_ITERS = 10
+IVF_SEED = 5
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Spherical k-means centroids trained on a deterministic fixed-size
+    sample (vec_id-ordered stride sample — a bounded small side regardless
+    of corpus size; at larger scale the sample comes from
+    ``Dataset.random_sample`` with a seed). Driver-side Lloyd on <=
+    IVF_SAMPLE vectors is O(sample x cells x iters) — trivial."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids)
+    stride = max(1, len(order) // IVF_SAMPLE)
+    take = order[::stride][:IVF_SAMPLE]
+    v = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[take]
+    nv = np.linalg.norm(v, axis=1)
+    nv[nv == 0] = 1.0
+    vn = v / nv[:, None]
+    k = min(IVF_CELLS, len(vn))
+    rng = np.random.default_rng(IVF_SEED)
+    C = vn[rng.choice(len(vn), size=k, replace=False)]
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(vn @ C.T, axis=1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cen = vn[m].mean(axis=0)
+                n = np.linalg.norm(cen)
+                if n > 0:
+                    C[c] = cen / n
+    return C
+
+
+def ann_ivf_topk(sf_dir: str):
+    """IVF approximate cosine top-5: vectors assign to their nearest of
+    IVF_CELLS spherical-kmeans centroids; each query scans only the rows of
+    its IVF_NPROBE closest cells — the inverted-file ANN structure (Sivic &
+    Zisserman '03 / FAISS IVF-Flat shape) expressed as a broadcast centroid
+    table + per-batch masked matmul + tiny per-query top-k reduce shuffle.
+    Rows-only driver check (approximate); recall vs brute force is
+    pytest-asserted on the planted-neighbor fixture."""
+    import ray
+    import ray.data as rd
+
+    qids, qmat = _load_queries(sf_dir)
+    C = _ivf_centroids(sf_dir)
+    # per query: the nprobe nearest cells
+    qcells = np.argsort(-(qmat @ C.T), axis=1)[:, :min(IVF_NPROBE, len(C))]
+    q_ref = ray.put((qids, qmat, C, qcells))
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"])
+
+    def cell_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, Q, cen, probe = ray.get(q_ref)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        vn = v / nv[:, None]
+        cell_v = np.argmax(vn @ cen.T, axis=1)
+        vids = df["vec_id"].to_numpy()
+        out = []
+        for j, qid in enumerate(ids_q):
+            in_cells = np.isin(cell_v, probe[j]) & (vids != qid)
+            if not in_cells.any():
+                continue
+            s = vn[in_cells] @ Q[j]
+            bids = vids[in_cells]
+            take = min(TOP_K, len(s))
+            top = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": bids[top],
+                                     "sim": s[top]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(TOP_K)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64),
+                       cosine=np.round(df["sim"].to_numpy(), 6))
+        return df[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (ds.map_batches(cell_topk, batch_format="pandas")
             .groupby("query_id").map_groups(reduce_topk, batch_format="pandas"))

@@ -192,3 +192,64 @@ SELECT doc_id,
             THEN '' ELSE n END AS clean_text
 FROM norm
 """
+
+
+QUANTILE_QS = (0.25, 0.50, 0.75, 0.90)
+
+
+def doc_length_quantiles(sf_dir: str):
+    """Exact global token-count quantiles (discrete / percentile_disc
+    semantics) + min/max/count — the corpus-profiling aggregate a mixing/
+    filtering pipeline runs first.
+
+    Scale shape: token counts are SMALL integers, so the distributed part
+    is a per-batch value-count followed by a groupby(n_words) count — the
+    shuffle carries one row per DISTINCT length per batch. Only the final
+    (distinct-lengths x 1) histogram reaches the driver, where the exact
+    discrete quantiles are read off the cumulative counts. No sort, no
+    full-column collect, exact at any corpus size.
+    """
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(T.token_count(t.column("text").combine_chunks()), pa.int64())
+        import pyarrow as _pa
+        vc = _pa.table({"n_words": n}).group_by("n_words").aggregate(
+            [("n_words", "count")])
+        return pa.table({"n_words": vc.column("n_words"),
+                         "cnt": pc.cast(vc.column("n_words_count"), pa.int64())})
+
+    hist = (_docs(sf_dir).map_batches(counts, batch_format="pyarrow")
+            .groupby("n_words").aggregate(Sum("cnt", alias_name="cnt"))
+            .to_pandas().sort_values("n_words").reset_index(drop=True))
+
+    import numpy as np
+    values = hist["n_words"].to_numpy()
+    cnts = hist["cnt"].to_numpy()
+    cum = np.cumsum(cnts)
+    n_total = int(cum[-1]) if len(cum) else 0
+
+    def disc(q: float) -> int:
+        # percentile_disc: first value whose cumulative share >= q
+        k = max(1, int(np.ceil(q * n_total)))
+        return int(values[np.searchsorted(cum, k)])
+
+    cols = {f"p{int(q * 100)}": pa.array([disc(q)], pa.int64())
+            for q in QUANTILE_QS}
+    cols["min_words"] = pa.array([int(values[0])], pa.int64())
+    cols["max_words"] = pa.array([int(values[-1])], pa.int64())
+    cols["n_docs"] = pa.array([n_total], pa.int64())
+    return pa.table(cols)
+
+
+DOC_LENGTH_QUANTILES_SQL = r"""
+WITH n AS (SELECT len(regexp_extract_all(text, '\w+')) AS n_words FROM documents)
+SELECT quantile_disc(n_words, 0.25) AS p25,
+       quantile_disc(n_words, 0.50) AS p50,
+       quantile_disc(n_words, 0.75) AS p75,
+       quantile_disc(n_words, 0.90) AS p90,
+       min(n_words) AS min_words,
+       max(n_words) AS max_words,
+       count(*)     AS n_docs
+FROM n
+"""

@@ -144,3 +144,31 @@ def test_ann_lsh_multiprobe_recall(ray_session, neighbor_dir):
         l1 = lsh[(lsh["query_id"] == q) & (lsh["rank"] == 1)]["vec_id"].iloc[0]
         assert l1 == 100 + 5 * q
     assert hits / total >= 0.9
+
+
+def test_ann_ivf_recall(ray_session, neighbor_dir):
+    """IVF (nprobe=4 of 16 cells) recall vs brute force >= 0.9 on the
+    planted-neighbor fixture; planted rank-1 always found (fixed seeds)."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_ivf_topk, ann_topk_bruteforce)
+    brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
+    ivf = ann_ivf_topk(neighbor_dir).to_pandas()
+    hits = total = 0
+    for q in range(4):
+        bset = set(brute[brute["query_id"] == q]["vec_id"])
+        iset = set(ivf[ivf["query_id"] == q]["vec_id"])
+        hits += len(bset & iset)
+        total += len(bset)
+        i1 = ivf[(ivf["query_id"] == q) & (ivf["rank"] == 1)]["vec_id"].iloc[0]
+        assert i1 == 100 + 5 * q
+    assert hits / total >= 0.9
+
+
+def test_dedup_clusters_planted(ray_session, planted_dir):
+    """Docs 0/1/2 form one near-dup component (pairs (0,1) and (0,2)) and
+    must all take cluster label 0; everything else labels itself."""
+    from p_id_text_extraction_ray.pipelines.dedup import dedup_clusters
+    df = dedup_clusters(planted_dir).to_pandas().sort_values("doc_id")
+    lab = dict(zip(df["doc_id"], df["cluster"]))
+    assert lab[0] == lab[1] == lab[2] == 0
+    assert lab[3] == 3 and lab[4] == 4 and lab[5] == 5
