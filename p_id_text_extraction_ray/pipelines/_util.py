@@ -7,6 +7,28 @@ import pandas as pd
 import pyarrow as pa
 
 
+def sized_read(path: str, columns: list[str], rows_per_block: int,
+               max_blocks: int = 1024):
+    """``read_parquet`` with block count derived from the file's actual row
+    count (one cheap footer read) instead of Ray's 2×CPUs floor.
+
+    Ray's default parallelism mints ~64 blocks even for a 10 MB table;
+    every downstream all-to-all then pays per-block task overhead on
+    near-empty blocks — the dominant cost of small-scale shuffles.
+    ``rows_per_block`` is the stage-weight knob: high (~150k) for cheap
+    columnar scans feeding shuffles, low (~512) for reads feeding
+    CPU-heavy per-row work that needs the parallelism. Block count grows
+    linearly with the data (capped per file at ``max_blocks``; a 100 TB
+    input is many files, each sized independently), so the heuristic is
+    scale-neutral.
+    """
+    import ray.data as rd
+    import pyarrow.parquet as pq
+    nrows = pq.ParquetFile(path).metadata.num_rows
+    nb = max(1, min(max_blocks, (nrows + rows_per_block - 1) // rows_per_block))
+    return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
+
+
 def collect_with_schema(ds, schema: pa.Schema) -> pd.DataFrame:
     """Materialize a SMALL result Dataset to pandas, preserving column names
     even when every block is empty (Ray's ``to_pandas`` drops the schema of
@@ -19,7 +41,8 @@ def collect_with_schema(ds, schema: pa.Schema) -> pd.DataFrame:
 
 
 def bucketed_group_sum(ds, key: str | list[str], sum_cols: list[str],
-                       num_buckets: int = 64):
+                       num_buckets: int = 64,
+                       num_partitions: int | None = None):
     """Grouped sum over high-cardinality integer key(s) without per-group
     overhead: shuffle on ``hash(keys) % num_buckets`` and run ONE vectorized
     pandas groupby per bucket. Exact (all rows of a key share a bucket);
@@ -40,8 +63,10 @@ def bucketed_group_sum(ds, key: str | list[str], sum_cols: list[str],
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(keys, as_index=False)[sum_cols].sum()
 
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
     return (ds.map_batches(add_bucket, batch_format="pandas")
-            .groupby("__bucket")
+            .groupby("__bucket",
+                     num_partitions=num_partitions or DEFAULT_SHUFFLE_PARTITIONS)
             .map_groups(reduce_bucket, batch_format="pandas"))
 
 

@@ -38,6 +38,7 @@ import pyarrow as pa
 from ..functions.hashing import (jaccard, lsh_band_keys, minhash_signatures_batch,
                                  hamming64, simhash64, word_shingles)
 from ..functions.textops import normalize_whitespace
+from .joins import DEFAULT_SHUFFLE_PARTITIONS as SHUFFLE_PARTITIONS
 
 PAIR_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                          ("jaccard", pa.float64())])
@@ -61,9 +62,11 @@ N_PAIR_BUCKETS = 64
 
 
 def _docs(sf_dir: str):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=["doc_id", "text"])
+    # low rows_per_block: shingling/hashing is per-row CPU-heavy, so the
+    # read must mint enough blocks to keep the pool busy (see sized_read)
+    from ._util import sized_read
+    return sized_read(os.path.join(sf_dir, "documents.parquet"),
+                      ["doc_id", "text"], rows_per_block=512)
 
 
 def dedup_exact(sf_dir: str):
@@ -72,13 +75,19 @@ def dedup_exact(sf_dir: str):
     def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
         h = [hashlib.md5(normalize_whitespace(t).encode()).hexdigest()
              for t in df["text"]]
-        return pd.DataFrame({"content_hash": h, "doc_id": df["doc_id"].values})
+        # bucket from the hash's own leading byte: per-group overhead is
+        # bounded by N_PAIR_BUCKETS, not corpus cardinality
+        b = np.array([int(x[:2], 16) for x in h], dtype=np.int64) \
+            % N_PAIR_BUCKETS
+        return pd.DataFrame({"content_hash": h, "doc_id": df["doc_id"].values,
+                             "bucket": b})
 
-    from ray.data.aggregate import Min
     return (_docs(sf_dir)
             .map_batches(hash_batch, batch_format="pandas")
-            .groupby("content_hash")
-            .aggregate(Min("doc_id", alias_name="doc_id")))
+            .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS)
+            .map_groups(lambda g: g.groupby("content_hash", as_index=False)
+                        ["doc_id"].min(),
+                        batch_format="pandas"))
 
 
 DEDUP_EXACT_SQL = r"""
@@ -155,12 +164,13 @@ def dedup_ngram_jaccard(sf_dir: str):
     """All pairs with exact word-3-gram Jaccard >= 0.6 (doc_a < doc_b).
 
     Per-doc shingle counts are joined onto the intersection-count pair
-    table (two ``hash_join`` passes, one per pair side) instead of being
-    collected to the driver — the pipeline's memory footprint is bounded
-    by bucket size at any corpus scale.
+    table (two passes, one per pair side) instead of being collected to
+    the driver — the pipeline's memory footprint is bounded by bucket
+    size at any corpus scale. The per-pair intersection sum rides the
+    first count join's shuffle (``sum_join``), so the plan is three
+    all-to-alls total: pair generation, count-a (+sum), count-b.
     """
-    from ._util import bucketed_group_sum
-    from .joins import hash_join
+    from .joins import hash_join, sum_join
 
     rows = _docs(sf_dir).map_batches(_shingle_rows, batch_format="pandas")
 
@@ -169,18 +179,16 @@ def dedup_ngram_jaccard(sf_dir: str):
                                  % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
 
     raw_pairs = (rows.map_batches(add_bucket, batch_format="pandas")
-                 .groupby("bucket")
+                 .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS)
                  .map_groups(lambda g: _bucket_pairs(g, ["shingle"]),
                              batch_format="pandas"))
-    # ~1M+ distinct pairs at even small scale: per-pair intersection counts
-    # go through the bucketed grouped sum (one vectorized pandas groupby
-    # per bucket), not Ray's per-group aggregate
-    inter = bucketed_group_sum(raw_pairs, key=["doc_a", "doc_b"],
-                               sum_cols=["n"]).map_batches(
-        lambda df: df.rename(columns={"n": "inter"}), batch_format="pandas")
-
-    j1 = hash_join(inter, _doc_shingle_counts_ds(sf_dir, "doc_a", "na"),
-                   on="doc_a")
+    # ~1M+ distinct pairs at even small scale: the per-pair intersection
+    # count is a vectorized pandas groupby inside the join's bucket group
+    # (sum_join), never Ray's per-group aggregate
+    j1 = sum_join(raw_pairs, _doc_shingle_counts_ds(sf_dir, "doc_a", "na"),
+                  on="doc_a", sum_keys=["doc_a", "doc_b"], sum_cols=["n"]) \
+        .map_batches(lambda df: df.rename(columns={"n": "inter"}),
+                     batch_format="pandas")
     j2 = hash_join(j1, _doc_shingle_counts_ds(sf_dir, "doc_b", "nb"),
                    on="doc_b")
 
@@ -240,12 +248,13 @@ def dedup_minhash_lsh(sf_dir: str):
     Verification is fully distributed, one co-partitioned pass: candidate
     pairs explode into per-endpoint node rows, union with the shingle-set
     table, and a single bucket-of-node groupby attaches each candidate
-    doc's set; a second (candidate-sized) groupby on the pair key combines
-    both endpoints and computes exact Jaccard. Nothing corpus-sized
-    touches the driver; the one corpus-wide shuffle carries shingle HASH
-    sets (uint64), never text.
+    doc's set; a second (candidate-sized) bucket groupby on the pair hash
+    combines both endpoints and computes exact Jaccard. Nothing
+    corpus-sized touches the driver; the one corpus-wide shuffle carries
+    shingle HASH sets (uint64), never text; every groupby has a bounded
+    group count (N_PAIR_BUCKETS) — no per-pair task or Python-frame
+    overhead anywhere.
     """
-    from ray.data.aggregate import Min
 
     def band_rows(df: pd.DataFrame) -> pd.DataFrame:
         sets = [word_shingles(t, SHINGLE_K) for t in df["text"]]
@@ -264,11 +273,25 @@ def dedup_minhash_lsh(sf_dir: str):
         return df.assign(bucket=(df["key"].to_numpy(dtype=np.uint64)
                                  % np.uint64(N_PAIR_BUCKETS)).astype(np.int64))
 
+    def _pair_bucket(df: pd.DataFrame) -> np.ndarray:
+        a = df["doc_a"].to_numpy(dtype=np.int64).astype(np.uint64)
+        b = df["doc_b"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = (a * np.uint64(0x9E3779B97F4A7C15) + b) * np.uint64(2654435761)
+        return (h % np.uint64(N_PAIR_BUCKETS)).astype(np.int64)
+
+    # cross-band duplicate candidates collapse inside a bounded-group
+    # bucket pass (64 vectorized drop_duplicates), not a per-pair aggregate
     cand = (rows.map_batches(add_bucket, batch_format="pandas")
-            .groupby("bucket")
+            .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS)
             .map_groups(lambda g: _bucket_pairs(g, ["band", "key"]),
                         batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).aggregate(Min("n", alias_name="n")))
+            .map_batches(lambda df: df.assign(bucket=_pair_bucket(df)),
+                         batch_format="pandas")
+            .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS)
+            .map_groups(lambda g: g.drop_duplicates(["doc_a", "doc_b"])
+                        [["doc_a", "doc_b"]],
+                        batch_format="pandas"))
 
     def explode_pairs(df: pd.DataFrame) -> pd.DataFrame:
         a = df["doc_a"].to_numpy(dtype=np.int64)
@@ -295,39 +318,52 @@ def dedup_minhash_lsh(sf_dir: str):
         return df.assign(bucket=bk.astype(np.int64))
 
     def attach_sets(df: pd.DataFrame) -> pd.DataFrame:
-        sets = dict(zip(df.loc[df["is_set"], "node"],
-                        df.loc[df["is_set"], "sh"]))
+        sets = pd.Series(df.loc[df["is_set"], "sh"].values,
+                         index=df.loc[df["is_set"], "node"].values)
+        sets = sets[~sets.index.duplicated()]
         pr = df[~df["is_set"]]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_a": pr["doc_a"].to_numpy(dtype=np.int64),
             "doc_b": pr["doc_b"].to_numpy(dtype=np.int64),
-            "sh": [sets.get(n, b"") for n in pr["node"]]})
+            "sh": pr["node"].map(sets).values})
+        return out.assign(bucket=_pair_bucket(out))
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        # each pair contributed its two endpoints' sets via the node pass
-        sh = df["sh"].tolist()
-        if len(sh) != 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        j = round(jaccard(np.frombuffer(sh[0], dtype=np.uint64),
-                          np.frombuffer(sh[1], dtype=np.uint64)), 6)
-        if j < JACCARD_THRESHOLD:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                                 "doc_b": pd.Series([], dtype="int64"),
-                                 "jaccard": pd.Series([], dtype="float64")})
-        return pd.DataFrame({"doc_a": [int(df["doc_a"].iloc[0])],
-                             "doc_b": [int(df["doc_b"].iloc[0])],
-                             "jaccard": [j]})
+    def verify_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # the bucket holds BOTH endpoint rows of each of its pairs
+        # (pair-hash bucketing); sort makes them adjacent, then one cheap
+        # pass computes exact Jaccard from the packed uint64 buffers
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                              "doc_b": pd.Series([], dtype="int64"),
+                              "jaccard": pd.Series([], dtype="float64")})
+        df = df.sort_values(["doc_a", "doc_b"], kind="mergesort")
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        sh = df["sh"].to_numpy(dtype=object)
+        oa, ob, oj = [], [], []
+        i, n = 0, len(df)
+        while i + 1 < n:
+            if a[i] != a[i + 1] or b[i] != b[i + 1]:
+                i += 1      # endpoint whose partner's set was missing
+                continue
+            j = round(jaccard(np.frombuffer(sh[i], dtype=np.uint64),
+                              np.frombuffer(sh[i + 1], dtype=np.uint64)), 6)
+            if j >= JACCARD_THRESHOLD:
+                oa.append(a[i]); ob.append(b[i]); oj.append(j)
+            i += 2
+        if not oa:
+            return empty
+        return pd.DataFrame({"doc_a": np.array(oa, dtype=np.int64),
+                             "doc_b": np.array(ob, dtype=np.int64),
+                             "jaccard": np.array(oj, dtype=np.float64)})
 
     tagged = (cand.map_batches(explode_pairs, batch_format="pandas")
               .union(_shingle_sets_ds(sf_dir, "doc_a", "sh_a")
                      .map_batches(tag_sets, batch_format="pandas"))
               .map_batches(add_node_bucket, batch_format="pandas"))
-    pairs = (tagged.groupby("bucket")
+    pairs = (tagged.groupby("bucket", num_partitions=SHUFFLE_PARTITIONS)
              .map_groups(attach_sets, batch_format="pandas")
-             .groupby(["doc_a", "doc_b"])
-             .map_groups(verify, batch_format="pandas"))
+             .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS)
+             .map_groups(verify_bucket, batch_format="pandas"))
 
     from ._util import collect_with_schema
     df = collect_with_schema(pairs, PAIR_SCHEMA)
@@ -380,8 +416,8 @@ def dedup_simhash(sf_dir: str):
                              "dist": dist[keep].astype(np.int64)})
 
     return (rows.map_batches(add_bucket, batch_format="pandas")
-            .groupby("bucket").map_groups(candidates, batch_format="pandas")
-            .groupby(["doc_a", "doc_b"]).aggregate(Min("dist", alias_name="hamming")))
+            .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS).map_groups(candidates, batch_format="pandas")
+            .groupby(["doc_a", "doc_b"], num_partitions=SHUFFLE_PARTITIONS).aggregate(Min("dist", alias_name="hamming")))
 
 
 EMBED_DUP_COSINE = 0.99
@@ -483,8 +519,8 @@ def dedup_embedding_cosine(sf_dir: str):
 
     pairs = (ds.map_batches(band_rows, batch_format="pandas")
              .map_batches(add_bucket, batch_format="pandas")
-             .groupby("bucket").map_groups(candidates, batch_format="pandas")
-             .groupby(["vec_a", "vec_b"])
+             .groupby("bucket", num_partitions=SHUFFLE_PARTITIONS).map_groups(candidates, batch_format="pandas")
+             .groupby(["vec_a", "vec_b"], num_partitions=SHUFFLE_PARTITIONS)
              .aggregate(Min("cosine", alias_name="cosine")))
 
     from ._util import collect_with_schema
@@ -544,7 +580,7 @@ def dedup_clusters(sf_dir: str):
         "nbr": np.concatenate([b, a, nodes])})
     edges = rd.from_pandas(edges_df)
 
-    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="label"))
+    labels = edges.groupby("node", num_partitions=SHUFFLE_PARTITIONS).aggregate(Min("nbr", alias_name="label"))
     prev_sum = None
     for _ in range(CC_MAX_ITERS):
         labels = labels.materialize()
@@ -562,7 +598,7 @@ def dedup_clusters(sf_dir: str):
                                      "label": df["nbr_label"].values}),
             batch_format="pandas")
         labels = (labels.union(nbr_labels)
-                  .groupby("node").aggregate(Min("label", alias_name="label")))
+                  .groupby("node", num_partitions=SHUFFLE_PARTITIONS).aggregate(Min("label", alias_name="label")))
 
     cc = labels.map_batches(
         lambda df: pd.DataFrame({"doc_id": df["node"].values,

@@ -1,6 +1,8 @@
 """Generic distributed joins for Ray Data (large ⋈ large).
 
-Ray Data has no general join primitive in every release line, so these
+Ray Data has no general join primitive in every release line (2.49's
+native ``Dataset.join`` exists but its hash-shuffle aggregator actors
+measure slower than this pattern at the scales we run), so these
 implement the portable pattern (ray_guide.md "Joins and lookups"): add a
 ``__bucket`` column = hash(key) % B to both sides, tag each side, union,
 ``groupby(__bucket)``, and run ONE vectorized pandas merge per bucket —
@@ -8,6 +10,13 @@ an explicit partitioned hash join. All rows of a key land in one bucket,
 so inner/left semantics are exact; B is the unit of shuffle parallelism
 (raise it with data size; salt hot keys into sub-buckets by extending the
 bucket hash with a secondary column when one key dominates).
+
+``sum_join`` fuses the common "grouped partial sum, then join the sums"
+plan into ONE all-to-all: the per-key reduction runs inside the same
+bucket group that executes the merge (valid because the group keys
+contain the join key, so every group is bucket-local). Use it wherever
+``bucketed_group_sum(...)`` would feed a ``hash_join`` — it halves the
+shuffle count of that plan shape.
 
 ``asof_join`` is the same shape with ``pd.merge_asof`` per bucket
 (sort by (key, ts) inside the bucket): the as-of/range-join operator the
@@ -25,33 +34,39 @@ _KNUTH = np.uint64(2654435761)
 def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
     if pd.api.types.is_integer_dtype(keys):
         k = keys.to_numpy(dtype=np.int64).astype(np.uint64)
-    else:
-        import zlib
-        k = np.array([zlib.crc32(str(v).encode()) for v in keys], dtype=np.uint64)
-    with np.errstate(over="ignore"):
-        return ((k * _KNUTH) % np.uint64(num_buckets)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            return ((k * _KNUTH) % np.uint64(num_buckets)).astype(np.int64)
+    # vectorized, process-stable 64-bit hash for string/object keys
+    # (pandas siphash with the fixed default key — no per-row Python loop)
+    h = pd.util.hash_pandas_object(keys, index=False).to_numpy(dtype=np.uint64)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def hash_join(left, right, on: list[str] | str, how: str = "inner",
-              num_buckets: int = 64):
-    """Partitioned hash join of two Datasets on equality keys.
+# Reduce-task count for the bucketed shuffles. Independent of num_buckets
+# (each reduce partition holds several logical buckets; map_groups still
+# fires once per bucket): num_buckets is the skew/granularity knob,
+# num_partitions the physical shuffle parallelism — raise it with cluster
+# size (≈ cores/2 locally; hundreds on a multi-node cluster).
+DEFAULT_SHUFFLE_PARTITIONS = 16
 
-    Non-key column names must be disjoint between the sides. Returns a
-    Dataset with left columns then right columns (keys once).
-    """
-    on = [on] if isinstance(on, str) else list(on)
 
+def _bucketed_join(left, right, on: list[str], how: str, num_buckets: int,
+                   pre_left=None, num_partitions: int | None = None):
+    """Shared core: tag/bucket/union/per-bucket merge. ``pre_left`` is an
+    optional pandas fn applied to the left frame INSIDE each bucket before
+    the merge (used by sum_join for the fused reduction)."""
+    num_partitions = num_partitions or DEFAULT_SHUFFLE_PARTITIONS
     l_cols = left.schema().names
     r_cols = right.schema().names
     overlap = (set(l_cols) & set(r_cols)) - set(on)
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")
 
-    def tag(side: str, all_l: list[str], all_r: list[str]):
+    def tag(side: int, all_l: list[str], all_r: list[str]):
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             out = pd.DataFrame(index=df.index)
             out["__bucket"] = _bucket_of(df[on[0]], num_buckets)
-            out["__side"] = side
+            out["__side"] = np.int8(side)
             for c in all_l:
                 out[c] = df[c] if c in df.columns else None
             for c in all_r:
@@ -60,33 +75,73 @@ def hash_join(left, right, on: list[str] | str, how: str = "inner",
             return out
         return fn
 
-    tagged = (left.map_batches(tag("l", l_cols, r_cols), batch_format="pandas")
-              .union(right.map_batches(tag("r", l_cols, r_cols),
+    tagged = (left.map_batches(tag(0, l_cols, r_cols), batch_format="pandas")
+              .union(right.map_batches(tag(1, l_cols, r_cols),
                                        batch_format="pandas")))
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lf = df[df["__side"] == "l"][l_cols].infer_objects()
-        rf = df[df["__side"] == "r"][[c for c in r_cols]].infer_objects()
+        side = df["__side"].to_numpy()
+        lf = df.loc[side == 0, l_cols].infer_objects()
+        rf = df.loc[side == 1, r_cols].infer_objects()
+        if pre_left is not None:
+            lf = pre_left(lf)
         return lf.merge(rf, on=on, how=how)
 
-    return tagged.groupby("__bucket").map_groups(merge_bucket,
-                                                 batch_format="pandas")
+    return tagged.groupby("__bucket", num_partitions=num_partitions) \
+        .map_groups(merge_bucket, batch_format="pandas")
+
+
+def hash_join(left, right, on: list[str] | str, how: str = "inner",
+              num_buckets: int = 64, num_partitions: int | None = None):
+    """Partitioned hash join of two Datasets on equality keys.
+
+    Non-key column names must be disjoint between the sides. Returns a
+    Dataset with left columns then right columns (keys once).
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    return _bucketed_join(left, right, on, how, num_buckets,
+                          num_partitions=num_partitions)
+
+
+def sum_join(left, right, on: list[str] | str, sum_cols: list[str],
+             sum_keys: list[str] | None = None, how: str = "inner",
+             num_buckets: int = 64, num_partitions: int | None = None):
+    """Fused grouped-sum + join, one shuffle.
+
+    Equivalent to ``hash_join(bucketed_group_sum(left, sum_keys or [on],
+    sum_cols), right, on)`` but the per-key sum executes inside the same
+    bucket group as the merge. Exact because ``on ⊆ sum_keys`` ⇒ every
+    sum group is contained in one bucket.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    sum_keys = list(sum_keys) if sum_keys is not None else list(on)
+    if not set(on) <= set(sum_keys):
+        raise ValueError("join key must be a subset of sum_keys")
+
+    def reduce_left(lf: pd.DataFrame) -> pd.DataFrame:
+        if not len(lf):
+            return lf
+        return lf.groupby(sum_keys, as_index=False)[sum_cols].sum()
+
+    return _bucketed_join(left, right, on, how, num_buckets,
+                          pre_left=reduce_left, num_partitions=num_partitions)
 
 
 def asof_join(left, right, key: str, ts: str = "ts",
               right_ts_out: str = "right_ts", num_buckets: int = 32,
-              tolerance: pd.Timedelta | None = None):
+              tolerance: pd.Timedelta | None = None,
+              num_partitions: int | None = None):
     """As-of join: for each left row, the most recent right row with the
     same ``key`` and right.ts <= left.ts. Inner semantics (unmatched left
     rows dropped). ``right`` must have columns [key, ts]."""
+    num_partitions = num_partitions or DEFAULT_SHUFFLE_PARTITIONS
     l_cols = left.schema().names
-    unified = l_cols + [right_ts_out]
 
     def tag_left(df: pd.DataFrame) -> pd.DataFrame:
         out = df[l_cols].copy()
         out[right_ts_out] = pd.NaT
         out["__bucket"] = _bucket_of(df[key], num_buckets)
-        out["__side"] = "l"
+        out["__side"] = np.int8(0)
         return out
 
     def tag_right(df: pd.DataFrame) -> pd.DataFrame:
@@ -95,15 +150,16 @@ def asof_join(left, right, key: str, ts: str = "ts",
             out[c] = df[key] if c == key else None
         out[right_ts_out] = df[ts]
         out["__bucket"] = _bucket_of(df[key], num_buckets)
-        out["__side"] = "r"
+        out["__side"] = np.int8(1)
         return out
 
     tagged = (left.map_batches(tag_left, batch_format="pandas")
               .union(right.map_batches(tag_right, batch_format="pandas")))
 
     def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        lf = df[df["__side"] == "l"][l_cols].sort_values(ts, kind="mergesort")
-        rf = df[df["__side"] == "r"][[key, right_ts_out]] \
+        side = df["__side"].to_numpy()
+        lf = df.loc[side == 0, l_cols].sort_values(ts, kind="mergesort")
+        rf = df.loc[side == 1, [key, right_ts_out]] \
             .sort_values(right_ts_out, kind="mergesort")
         if not len(lf):
             return lf.assign(**{right_ts_out: pd.Series([], dtype="datetime64[ns]")})
@@ -113,5 +169,5 @@ def asof_join(left, right, key: str, ts: str = "ts",
                           by=key, direction="backward", tolerance=tolerance)
         return m.dropna(subset=[right_ts_out])
 
-    return tagged.groupby("__bucket").map_groups(merge_bucket,
-                                                 batch_format="pandas")
+    return tagged.groupby("__bucket", num_partitions=num_partitions) \
+        .map_groups(merge_bucket, batch_format="pandas")

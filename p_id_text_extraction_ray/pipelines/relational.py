@@ -37,8 +37,8 @@ def _pq(sf_dir: str, name: str) -> str:
 
 
 def _read(sf_dir: str, name: str, columns: list[str]):
-    import ray.data as rd
-    return rd.read_parquet(_pq(sf_dir, name), columns=columns)
+    from ._util import sized_read
+    return sized_read(_pq(sf_dir, name), columns, rows_per_block=150_000)
 
 
 def _round_col(t: pa.Table, col: str, nd: int) -> pa.Table:
@@ -127,12 +127,12 @@ def q3_shipping_priority(sf_dir: str):
 
     Fully distributed (no fact-scale driver collect): BUILDING customer
     keys semi-join the date-filtered orders via the partitioned
-    ``hash_join``; lineitem revenue partials (pre-aggregated per batch,
-    then bucket-summed) join the qualifying orders the same way; only the
-    10-row top-k result is ever small.
+    ``hash_join``; lineitem revenue partials (pre-aggregated per batch)
+    reach the qualifying orders through the fused ``sum_join`` — the
+    per-order reduction and the join share ONE shuffle; only the 10-row
+    top-k result is ever small.
     """
-    from ._util import bucketed_group_sum
-    from .joins import hash_join
+    from .joins import hash_join, sum_join
 
     cust_keys = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
         .map_batches(
@@ -161,9 +161,8 @@ def q3_shipping_priority(sf_dir: str):
         g.columns = ["o_orderkey", "rev_c"]
         return g
 
-    order_rev = bucketed_group_sum(li.map_batches(partial, batch_format="pandas"),
-                                   key="o_orderkey", sum_cols=["rev_c"])
-    top = hash_join(order_rev, orders_seg, on="o_orderkey") \
+    top = sum_join(li.map_batches(partial, batch_format="pandas"),
+                   orders_seg, on="o_orderkey", sum_cols=["rev_c"]) \
         .sort("rev_c", descending=True).limit(10)
 
     def finish(t: pa.Table) -> pa.Table:
@@ -208,7 +207,7 @@ def q5_local_supplier_volume(sf_dir: str):
     filter and the per-nation rollup applied per batch after the joins.
     """
     from ray.data.aggregate import Sum
-    from .joins import hash_join
+    from .joins import hash_join, sum_join
 
     import pyarrow.parquet as pq
     nat = pq.read_table(_pq(sf_dir, "nation")).to_pandas()
@@ -252,7 +251,15 @@ def q5_local_supplier_volume(sf_dir: str):
 
     li_o = hash_join(li.map_batches(li_rows, batch_format="pandas"),
                      orders_cust, on="o_orderkey")
-    li_os = hash_join(li_o, supp, on="l_suppkey")
+    # pre-reduce to (suppkey, cust_nat) partials before the supplier join:
+    # lineitem-scale rows collapse to ≤ |supplier| × |nations| sums, so the
+    # second all-to-all moves aggregates, not facts — and the reduction
+    # rides the same shuffle as the join (sum_join)
+    li_os = sum_join(li_o.map_batches(
+        lambda df: df[["l_suppkey", "cust_nat", "rev_c"]],
+        batch_format="pandas"),
+        supp, on="l_suppkey", sum_keys=["l_suppkey", "cust_nat"],
+        sum_cols=["rev_c"])
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
         df = df[df["cust_nat"] == df["supp_nat"]]
@@ -378,8 +385,7 @@ def segment_order_value(sf_dir: str):
     the customer table, rolled up by segment. Customer grows with the fact
     table, so it is a distributed join side, not a broadcast."""
     from ray.data.aggregate import Sum
-    from ._util import bucketed_group_sum
-    from .joins import hash_join
+    from .joins import sum_join
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
@@ -390,11 +396,9 @@ def segment_order_value(sf_dir: str):
             .groupby("c_custkey", as_index=False)[["tp_c", "n"]].sum()
         return g
 
-    per_cust = bucketed_group_sum(
-        orders.map_batches(partial, batch_format="pandas"),
-        key="c_custkey", sum_cols=["tp_c", "n"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    joined = hash_join(per_cust, cust, on="c_custkey")
+    joined = sum_join(orders.map_batches(partial, batch_format="pandas"),
+                      cust, on="c_custkey", sum_cols=["tp_c", "n"])
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby("c_mktsegment", as_index=False)[["tp_c", "n"]].sum()
@@ -460,11 +464,11 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 
 def order_priority_revenue(sf_dir: str):
     """Large ⋈ large: lineitem revenue per order (pre-aggregated partials)
-    hash-joined with orders on o_orderkey via the generic partitioned hash
-    join (``pipelines/joins.py``), then rolled up by order priority."""
+    joined with orders on o_orderkey via the fused ``sum_join`` (the
+    per-order reduction and the merge share one shuffle), then rolled up
+    by order priority."""
     from ray.data.aggregate import Sum
-    from ._util import bucketed_group_sum
-    from .joins import hash_join
+    from .joins import sum_join
 
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
 
@@ -474,13 +478,9 @@ def order_priority_revenue(sf_dir: str):
         g.columns = ["o_orderkey", "rev_c"]
         return g
 
-    # high-cardinality grouped sum via the bucketed pattern (one vectorized
-    # pandas groupby per bucket), not per-key aggregate overhead
-    order_rev = bucketed_group_sum(
-        li.map_batches(partial, batch_format="pandas"),
-        key="o_orderkey", sum_cols=["rev_c"])
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = hash_join(order_rev, orders, on="o_orderkey")
+    joined = sum_join(li.map_batches(partial, batch_format="pandas"),
+                      orders, on="o_orderkey", sum_cols=["rev_c"])
 
     def roll(df: pd.DataFrame) -> pd.DataFrame:
         g = df.groupby("o_orderpriority", as_index=False).agg(
