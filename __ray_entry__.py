@@ -19,6 +19,7 @@ from typing import Any
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
+from p_id_text_extraction_ray.pipelines import analytics as A
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import similarity as S
@@ -49,6 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": R.events_sessionize,
         "order_priority_revenue": R.order_priority_revenue,
         "events_last_error_before_purchase": R.events_last_error_before_purchase,
+        # window / analytics operators
+        "top_orders_per_priority": A.top_orders_per_priority,
+        "events_hopping_window": A.events_hopping_window,
+        "events_user_profile": A.events_user_profile,
+        "orders_price_bands": A.orders_price_bands,
+        "customers_without_orders": A.customers_without_orders,
         # dedup suite
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -69,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_quantiles": T.doc_length_quantiles,
         "text_clean": T.text_clean,
         "split_train_holdout": T.split_train_holdout,
+        "top_bigrams": T.top_bigrams,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -91,6 +99,12 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "order_priority_revenue": R.ORDER_PRIORITY_REVENUE_SQL,
         "events_last_error_before_purchase": R.EVENTS_ASOF_SQL,
+        "top_orders_per_priority": A.TOP_ORDERS_PER_PRIORITY_SQL,
+        "events_hopping_window": A.EVENTS_HOPPING_WINDOW_SQL,
+        "events_user_profile": A.EVENTS_USER_PROFILE_SQL,
+        "orders_price_bands": A.ORDERS_PRICE_BANDS_SQL,
+        "customers_without_orders": A.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "top_bigrams": T.TOP_BIGRAMS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

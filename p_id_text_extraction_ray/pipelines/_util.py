@@ -52,11 +52,12 @@ def bucketed_group_sum(ds, key: str | list[str], sum_cols: list[str],
     keys = [key] if isinstance(key, str) else list(key)
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _bucket_of
         h = np.zeros(len(df), dtype=np.uint64)
         with np.errstate(over="ignore"):
             for k in keys:
                 h = (h * np.uint64(0x9E3779B97F4A7C15)
-                     + df[k].to_numpy(dtype=np.int64).astype(np.uint64))
+                     + _bucket_of(df[k], 1 << 62).astype(np.uint64))
             b = (h * np.uint64(2654435761)) % np.uint64(num_buckets)
         return df.assign(__bucket=b.astype(np.int64))
 

@@ -1,0 +1,262 @@
+"""Window / analytics operators over the TPC-H-ish tables.
+
+Each is a distributed Ray Data plan with a DuckDB-checkable oracle:
+
+* grouped top-k        — windowed ROW_NUMBER()-per-partition semantics via
+                         per-batch partial top-k + a tiny final per-group
+                         top-k (the shuffle moves ≤ k rows per group per
+                         batch, never the fact table).
+* hopping window       — each event emits one row per window containing
+                         it (window 2h, hop 1h ⇒ 2 rows), pre-aggregated
+                         per batch, then a small groupby.
+* user profile         — conditional aggregates + exact COUNT(DISTINCT)
+                         in ONE shuffle: partials at (user, event_type)
+                         granularity, bucket-reduced, then distinct-count
+                         = group size. No per-group Python anywhere.
+* price-band range join— broadcast range join: static band edges are a
+                         driver constant, each batch bins with
+                         ``np.searchsorted`` and pre-aggregates; only
+                         band partials shuffle.
+* customers w/o orders — distributed anti-join (pipelines/joins.anti_join).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import cents, sized_read
+
+TOPK_PER_PRIORITY = 3
+
+
+def _read(sf_dir: str, name: str, columns: list[str]):
+    return sized_read(os.path.join(sf_dir, f"{name}.parquet"), columns,
+                      rows_per_block=150_000)
+
+
+# ------------------------------------------------------- grouped top-k
+
+def top_orders_per_priority(sf_dir: str):
+    """Top-3 orders by totalprice within each order priority (ties broken
+    by orderkey) — ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) <= 3
+    expressed as partial top-k per batch + final top-k per group."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                            ascending=[True, False, True], kind="mergesort")
+        return df.groupby("o_orderpriority").head(TOPK_PER_PRIORITY)
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True], kind="mergesort") \
+            .head(TOPK_PER_PRIORITY)
+        df = df.assign(rnk=np.arange(1, len(df) + 1, dtype=np.int64))
+        return df[["o_orderpriority", "rnk", "o_orderkey", "o_totalprice"]]
+
+    return (orders.map_batches(partial_topk, batch_format="pandas")
+            .groupby("o_orderpriority")
+            .map_groups(final_topk, batch_format="pandas"))
+
+
+TOP_ORDERS_PER_PRIORITY_SQL = f"""
+SELECT o_orderpriority,
+       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT)                                   AS rnk,
+       o_orderkey, o_totalprice
+FROM orders
+QUALIFY rnk <= {TOPK_PER_PRIORITY}
+"""
+
+
+# ------------------------------------------------------- hopping window
+
+def events_hopping_window(sf_dir: str):
+    """Hopping-window aggregate: 2-hour windows every 1 hour. Each event
+    belongs to exactly two windows (floor(ts, 1h) and the hour before);
+    both memberships are emitted and pre-aggregated inside the batch, so
+    the shuffle carries (window, partial) rows only."""
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+
+    ev = _read(sf_dir, "events", ["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["ts"].dt.floor("h")
+        v = cents(df["value"])
+        both = pd.DataFrame({
+            "window_start": pd.concat([h, h - pd.Timedelta(hours=1)],
+                                      ignore_index=True),
+            "v_c": np.concatenate([v, v])})
+        return both.groupby("window_start", as_index=False).agg(
+            n=("v_c", "size"), v=("v_c", "sum"))
+
+    agg = (ev.map_batches(partial, batch_format="pandas")
+           .groupby("window_start")
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("v", alias_name="v_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("sum_value", pc.divide(
+            pc.cast(t.column("v_c"), pa.float64()), pa.scalar(100.0)))
+        t = t.drop_columns(["v_c"])
+        return t.set_column(t.schema.get_field_index("n_events"), "n_events",
+                            pc.cast(t.column("n_events"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+EVENTS_HOPPING_WINDOW_SQL = """
+SELECT ws AS window_start, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value
+FROM (SELECT unnest([date_trunc('hour', ts),
+                     date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+             value
+      FROM events)
+GROUP BY ws
+"""
+
+
+# ------------------------------------------------------- user profile
+
+def events_user_profile(sf_dir: str):
+    """Per-user conditional aggregates + exact distinct-type count in one
+    shuffle: batch partials at (user_id, event_type) granularity carry
+    every needed sum; after the bucket reduce, COUNT(DISTINCT event_type)
+    is simply the user's row count at that granularity."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = cents(df["value"])
+        purch = (df["event_type"] == "purchase").to_numpy()
+        g = pd.DataFrame({
+            "user_id": df["user_id"].values,
+            "event_type": df["event_type"].values,
+            "n": np.ones(len(df), dtype=np.int64),
+            "pv_c": np.where(purch, v, 0).astype(np.int64),
+        }).groupby(["user_id", "event_type"], as_index=False).sum()
+        return g
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ut = df.groupby(["user_id", "event_type"], as_index=False) \
+            [["n", "pv_c"]].sum()
+        out = ut.groupby("user_id").agg(
+            n_events=("n", "sum"), n_types=("event_type", "size"),
+            pv_c=("pv_c", "sum")).reset_index()
+        purch = ut[ut["event_type"] == "purchase"] \
+            .set_index("user_id")["n"]
+        out["n_purchases"] = out["user_id"].map(purch).fillna(0).astype("int64")
+        out["purchase_value"] = out["pv_c"] / 100.0
+        return out[["user_id", "n_events", "n_types", "n_purchases",
+                    "purchase_value"]]
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(reduce_bucket, batch_format="pandas"))
+
+
+EVENTS_USER_PROFILE_SQL = """
+SELECT user_id,
+       count(*)                                          AS n_events,
+       count(DISTINCT event_type)                        AS n_types,
+       count(*) FILTER (event_type = 'purchase')         AS n_purchases,
+       sum(CASE WHEN event_type = 'purchase'
+                THEN CAST(round(value * 100) AS BIGINT)
+                ELSE 0 END) / 100.0                      AS purchase_value
+FROM events GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------- price-band range join
+
+# static fact-to-dimension range join: band edges are a true constant
+# (broadcast), facts bin locally — the canonical broadcast range join
+PRICE_BAND_EDGES = [0, 50_000, 100_000, 200_000, 300_000, 500_000]
+
+
+def orders_price_bands(sf_dir: str):
+    """Count + revenue per static price band (range join of orders
+    against band intervals, broadcast side constant)."""
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    edges = np.array(PRICE_BAND_EDGES, dtype=np.float64)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.searchsorted(edges, df["o_totalprice"].to_numpy(),
+                              side="right") - 1
+        g = pd.DataFrame({"band_lo": edges[idx].astype(np.int64),
+                          "tp_c": cents(df["o_totalprice"]),
+                          "n": np.ones(len(df), dtype=np.int64)})
+        return g.groupby("band_lo", as_index=False).sum()
+
+    agg = (orders.map_batches(partial, batch_format="pandas")
+           .groupby("band_lo")
+           .aggregate(Sum("n", alias_name="n_orders"),
+                      Sum("tp_c", alias_name="tp_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("total_price", pc.divide(
+            pc.cast(t.column("tp_c"), pa.float64()), pa.scalar(100.0)))
+        t = t.drop_columns(["tp_c"])
+        return t.set_column(t.schema.get_field_index("n_orders"), "n_orders",
+                            pc.cast(t.column("n_orders"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_BANDS_VALUES = ", ".join(
+    f"({lo}, {hi})" for lo, hi in
+    zip(PRICE_BAND_EDGES[:-1], PRICE_BAND_EDGES[1:])) + \
+    f", ({PRICE_BAND_EDGES[-1]}, 100000000)"
+
+ORDERS_PRICE_BANDS_SQL = f"""
+WITH bands(band_lo, band_hi) AS (VALUES {_BANDS_VALUES})
+SELECT CAST(band_lo AS BIGINT) AS band_lo,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders JOIN bands
+  ON o_totalprice >= band_lo AND o_totalprice < band_hi
+GROUP BY band_lo
+"""
+
+
+# ------------------------------------------------------- anti-join
+
+def customers_without_orders(sf_dir: str):
+    """Customers that never placed an order (distributed anti-join on
+    c_custkey; the right side ships key columns only)."""
+    from .joins import anti_join
+
+    from ._util import collect_with_schema
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        lambda df: df.rename(columns={"o_custkey": "c_custkey"}),
+        batch_format="pandas")
+    out = anti_join(cust, orders, on="c_custkey")
+    # a fully-ordered corpus can anti-join to zero rows; pin the schema
+    return collect_with_schema(out, pa.schema([
+        ("c_custkey", pa.int64()), ("c_name", pa.string())]))
+
+
+CUSTOMERS_WITHOUT_ORDERS_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""

@@ -127,6 +127,44 @@ def sum_join(left, right, on: list[str] | str, sum_cols: list[str],
                           pre_left=reduce_left, num_partitions=num_partitions)
 
 
+def anti_join(left, right, on: list[str] | str, num_buckets: int = 64,
+              num_partitions: int | None = None):
+    """Left anti-join: left rows whose key appears nowhere in ``right``.
+    Same partitioned-bucket shape as ``hash_join``; the per-bucket step is
+    a vectorized ``isin`` filter instead of a merge."""
+    on = [on] if isinstance(on, str) else list(on)
+    num_partitions = num_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    l_cols = left.schema().names
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(index=df.index)
+            out["__bucket"] = _bucket_of(df[on[0]], num_buckets)
+            out["__side"] = np.int8(side)
+            for c in l_cols:
+                out[c] = df[c] if c in df.columns else None
+            return out
+        return fn
+
+    # right ships only its key column(s)
+    right_keys = right.map_batches(lambda df: df[on], batch_format="pandas")
+    tagged = (left.map_batches(tag(0), batch_format="pandas")
+              .union(right_keys.map_batches(tag(1), batch_format="pandas")))
+
+    def filter_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["__side"].to_numpy()
+        lf = df.loc[side == 0, l_cols].infer_objects()
+        if len(on) == 1:
+            present = df.loc[side == 1, on[0]]
+            return lf[~lf[on[0]].isin(present)]
+        rk = df.loc[side == 1, on].drop_duplicates()
+        m = lf.merge(rk, on=on, how="left", indicator=True)
+        return m[m["_merge"] == "left_only"][l_cols]
+
+    return tagged.groupby("__bucket", num_partitions=num_partitions) \
+        .map_groups(filter_bucket, batch_format="pandas")
+
+
 def asof_join(left, right, key: str, ts: str = "ts",
               right_ts_out: str = "right_ts", num_buckets: int = 32,
               tolerance: pd.Timedelta | None = None,

@@ -36,6 +36,13 @@ LSH_MULTIPROBE_HAMMING = 1
 _POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
 
+def _emb_read(path: str, columns: list[str]):
+    # blocked-matmul stages want large batches: block count from actual
+    # row count, not Ray's 2xCPUs floor (see _util.sized_read)
+    from ._util import sized_read
+    return sized_read(path, columns, rows_per_block=4096)
+
+
 def _load_queries(sf_dir: str):
     import pyarrow.parquet as pq
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
@@ -57,7 +64,7 @@ def ann_topk_bruteforce(sf_dir: str):
     qids, qmat = _load_queries(sf_dir)
     q_ref = ray.put((qids, qmat))
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
     def block_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -121,7 +128,7 @@ def ann_lsh_topk(sf_dir: str):
     qsig = (qmat @ planes > 0) @ (1 << np.arange(LSH_PLANES))
     q_ref = ray.put((qids, qmat, qsig))
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
     def bucket_topk(df: pd.DataFrame) -> pd.DataFrame:
@@ -216,7 +223,7 @@ def ann_ivf_topk(sf_dir: str):
     qcells = np.argsort(-(qmat @ C.T), axis=1)[:, :min(IVF_NPROBE, len(C))]
     q_ref = ray.put((qids, qmat, C, qcells))
 
-    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"])
 
     def cell_topk(df: pd.DataFrame) -> pd.DataFrame:

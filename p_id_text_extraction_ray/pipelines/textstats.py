@@ -16,9 +16,11 @@ from ..functions import textops as T
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")):
-    import ray.data as rd
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                           columns=list(columns))
+    # moderate rows_per_block: these stages are vectorized Arrow kernels,
+    # so per-block task overhead dominates tiny blocks (see sized_read)
+    from ._util import sized_read
+    return sized_read(os.path.join(sf_dir, "documents.parquet"),
+                      list(columns), rows_per_block=4096)
 
 
 def doc_token_stats(sf_dir: str):
@@ -252,4 +254,58 @@ SELECT quantile_disc(n_words, 0.25) AS p25,
        max(n_words) AS max_words,
        count(*)     AS n_docs
 FROM n
+"""
+
+
+TOP_BIGRAMS_K = 20
+
+
+def top_bigrams(sf_dir: str):
+    """Corpus-wide top-20 word bigrams by count (ties broken
+    lexicographically) — the n-gram frequency profile a mixing pipeline
+    computes before building filters.
+
+    Per-batch bigram counting collapses each batch to (bigram, partial
+    count) rows, the bucketed grouped sum reduces them with a bounded
+    group count, and only the global top-k survives the final sort+limit.
+    The shuffle never carries document text — just distinct bigrams per
+    batch.
+    """
+    from ._util import bucketed_group_sum, collect_with_schema
+
+    ws = re.compile(r"\s+")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        c: Counter = Counter()
+        for text in df["text"]:
+            w = [t for t in ws.split(text.lower()) if t]
+            c.update(" ".join(p) for p in zip(w, w[1:]))
+        if not c:
+            return pd.DataFrame({"bigram": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"bigram": list(c.keys()),
+                             "n": pd.Series(list(c.values()), dtype="int64")})
+
+    sums = bucketed_group_sum(
+        _docs(sf_dir).map_batches(partial, batch_format="pandas"),
+        key="bigram", sum_cols=["n"])
+    top = sums.sort(["n", "bigram"], descending=[True, False]) \
+        .limit(TOP_BIGRAMS_K)
+    schema = pa.schema([("bigram", pa.string()), ("n", pa.int64())])
+    return collect_with_schema(top, schema)
+
+
+TOP_BIGRAMS_SQL = rf"""
+WITH words AS (
+  SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+bigrams AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS bigram
+  FROM words WHERE len(w) >= 2)
+SELECT bigram, count(*) AS n
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT {TOP_BIGRAMS_K}
 """
