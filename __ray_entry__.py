@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "text_clean": T.text_clean,
         "split_train_holdout": T.split_train_holdout,
         "top_bigrams": T.top_bigrams,
+        "sample_mix": T.sample_mix,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -105,6 +106,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands": A.ORDERS_PRICE_BANDS_SQL,
         "customers_without_orders": A.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
+        "sample_mix": T.SAMPLE_MIX_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

@@ -309,3 +309,41 @@ GROUP BY bigram
 ORDER BY n DESC, bigram
 LIMIT {TOP_BIGRAMS_K}
 """
+
+
+# Deterministic mixture weights per corpus source (permille kept). The
+# keep/drop decision is a pure function of doc_id (Knuth multiplicative
+# hash mod 1000), so the mix is reproducible across runs, machines and
+# partitionings — the property a training-data mixing stage must have.
+MIX_RATES_PERMILLE = {"default": 100}
+MIX_RATES_PERMILLE.update({f"src{i}": 1000 for i in range(5)})
+MIX_RATES_PERMILLE.update({f"src{i}": 500 for i in range(5, 10)})
+_MIX_KNUTH = 2654435761
+_MIX_MOD = 1 << 32
+
+
+def sample_mix(sf_dir: str):
+    """Weighted per-source corpus mixing: keep each document with its
+    source's configured probability, decided by a deterministic hash of
+    doc_id. Pure map+filter — no shuffle, no randomness, trivially
+    restartable at any scale."""
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        rates = df["source"].map(MIX_RATES_PERMILLE).fillna(
+            MIX_RATES_PERMILLE["default"]).to_numpy(dtype=np.int64)
+        h = (df["doc_id"].to_numpy(dtype=np.int64) * _MIX_KNUTH) \
+            % _MIX_MOD % 1000
+        return df[["doc_id", "source"]][h < rates]
+
+    return _docs(sf_dir, columns=("doc_id", "source")).map_batches(
+        gate, batch_format="pandas")
+
+
+SAMPLE_MIX_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE (doc_id * {_MIX_KNUTH}) % {_MIX_MOD} % 1000 <
+      CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1000
+           WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
+           ELSE 100 END
+"""
