@@ -93,16 +93,34 @@ def pid_grouping_stats(sf_dir: str):
 
     grouped = pid_extract(sf_dir, stop_after="group")
     n_after = grouped.count()
-    # one metrics row per image (groupby so an image split across blocks
-    # can't double-count), then a driver-side sum of the small result
-    firsts = grouped.groupby("media_ref").map_groups(
-        lambda df: df.head(1), batch_format="pandas").to_pandas()
+    # one metrics row per image without a per-image Python frame: batch-
+    # local dedup, a bucketed shuffle (bounded group count) that dedups
+    # images split across blocks, per-bucket partial sums, and a tiny
+    # (num-buckets-row) driver-side total
+    cols = ["media_ref", "n_boxes_before", "n_suppressed", "n_merges"]
+
+    def batch_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        from .joins import _bucket_of
+        d = df.drop_duplicates("media_ref")[cols]
+        return d.assign(bucket=_bucket_of(d["media_ref"], 64))
+
+    def bucket_sums(df: pd.DataFrame) -> pd.DataFrame:
+        d = df.drop_duplicates("media_ref")
+        return pd.DataFrame([{
+            "images": len(d),
+            "boxes_before": int(d["n_boxes_before"].sum()),
+            "suppressed": int(d["n_suppressed"].sum()),
+            "merges": int(d["n_merges"].sum())}])
+
+    parts = (grouped.map_batches(batch_dedup, batch_format="pandas")
+             .groupby("bucket", num_partitions=16)
+             .map_groups(bucket_sums, batch_format="pandas").to_pandas())
     return pd.DataFrame([{
-        "images": len(firsts),
-        "boxes_before": int(firsts["n_boxes_before"].sum()),
+        "images": int(parts["images"].sum()),
+        "boxes_before": int(parts["boxes_before"].sum()),
         "boxes_after": int(n_after),
-        "suppressed": int(firsts["n_suppressed"].sum()),
-        "merges": int(firsts["n_merges"].sum()),
+        "suppressed": int(parts["suppressed"].sum()),
+        "merges": int(parts["merges"].sum()),
     }]).astype("int64")
 
 

@@ -546,21 +546,38 @@ SESSION_GAP_MIN = 30
 
 def events_sessionize(sf_dir: str):
     """Session windows per user (gap > 30 min splits): Ray Data has no
-    event-time windows, so this is the documented groupby(key).map_groups
-    pattern over ts-sorted per-user groups (ray_guide.md 'Streaming-shaped
-    workloads'). Ordering assumption: per-user rows sorted inside the fn."""
+    event-time windows, so users are co-located by a bucketed shuffle and
+    each bucket sessionizes ALL its users in one vectorized pass
+    (sort by (user, ts), diff, per-user gap count) — no per-user Python
+    frame, so per-group overhead is bounded by the bucket count, not the
+    user count."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
     ev = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("ts")
-        gaps = df["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        return pd.DataFrame({
-            "user_id": [df["user_id"].iloc[0]],
-            "n_sessions": [int(gaps.sum()) + 1],
-            "n_events": [len(df)],
-        })
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
 
-    return ev.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        same_user = df["user_id"].to_numpy()[1:] == df["user_id"].to_numpy()[:-1]
+        gap = df["ts"].diff().to_numpy()[1:] > np.timedelta64(
+            SESSION_GAP_MIN, "m")
+        breaks = pd.Series(np.concatenate([[False], same_user & gap]),
+                           index=df.index)
+        g = df.groupby("user_id")
+        out = pd.DataFrame({
+            "n_sessions": breaks.groupby(df["user_id"].values).sum() + 1,
+            "n_events": g.size()})
+        return out.rename_axis("user_id").reset_index().astype(
+            {"n_sessions": "int64", "n_events": "int64"})
+
+    return (ev.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(sessions_bucket, batch_format="pandas"))
 
 
 EVENTS_SESSIONIZE_SQL = f"""

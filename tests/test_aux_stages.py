@@ -110,3 +110,20 @@ def test_annotation_render_stage(tmp_path):
     img = decode_image(out.column("annotated")[0].as_py())
     assert img[40, 30] == 0 and img[53, 61] == 0       # border drawn
     assert img[0, 0] == BACKGROUND                      # background untouched
+
+
+def test_grouping_stats_totals_match_direct(ray_session):
+    """pid_grouping_stats' bucketed per-image dedup must equal a direct
+    pandas recomputation from the grouped output."""
+    from p_id_text_extraction_ray.pipelines.flagship import (pid_extract,
+                                                             pid_grouping_stats)
+
+    sf = "/root/testdata/sf0.001"
+    st = pid_grouping_stats(sf).iloc[0]
+    g = pid_extract(sf, stop_after="group").to_pandas()
+    d = g.drop_duplicates("media_ref")
+    assert st["images"] == len(d)
+    assert st["boxes_before"] == d["n_boxes_before"].sum()
+    assert st["boxes_after"] == len(g)
+    assert st["suppressed"] == d["n_suppressed"].sum()
+    assert st["merges"] == d["n_merges"].sum()
