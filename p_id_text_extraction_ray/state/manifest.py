@@ -109,6 +109,41 @@ def _partition_stats(docs_path: str, num_partitions: int) -> dict[int, dict]:
     return {r["part"]: {"docs_in": r["docs_in"], "fp": r["fp"]} for r in rows}
 
 
+def _settle_fsspec_http_import() -> None:
+    """Make Ray's per-call ``from fsspec.implementations.http import
+    HTTPFileSystem`` probe succeed once and stay cached.
+
+    With ``aiohttp`` absent, that probe fails on EVERY read/write path
+    resolution; two driver threads (concurrent waves) attempting the
+    failing import at the same moment can observe a partially-initialized
+    module and crash with ``ImportError: cannot import name
+    'HTTPFileSystem'``. Installing inert placeholder modules for the
+    missing transitive deps lets the probe import complete once, after
+    which every later probe is a sys.modules hit — no import machinery,
+    no race. http:// URLs are not a supported input scheme for this
+    engine, so the placeholders are never exercised.
+    """
+    import importlib
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except Exception:
+        pass
+    for name in ("aiohttp", "yarl"):
+        if name not in sys.modules:
+            try:
+                importlib.import_module(name)
+            except Exception:
+                sys.modules[name] = types.ModuleType(name)
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        pass
+
+
 def run_resumable(docs_path: str, media_root: str, out_dir: str,
                   num_partitions: int = 16, wave_partitions: int = 8,
                   cfg: ExtractConfig | None = None,
@@ -124,10 +159,11 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
     executes that many waves at once from driver threads — partitions are
     disjoint and sinks partition-keyed, so overlap is correct, and wave
     N+1's read/tile phase hides under wave N's recognize tail. Each wave's
-    manifests commit only when that wave's sink completes. Needs cluster
-    headroom: each in-flight wave spawns its own actor pools, so only
-    raise this when the per-wave pools occupy well under 1/concurrent_waves
-    of the cluster (a 4-CPU test cluster deadlocks at 2).
+    manifests commit only when that wave's sink completes. Per-wave actor
+    pool caps are automatically divided by ``concurrent_waves`` (unless
+    explicitly configured) so the combined warm minimums always fit the
+    cluster — without that, N waves would demand N x min CPUs at once and
+    deadlock the scheduler.
     """
     import concurrent.futures as cf
     import shutil
@@ -138,6 +174,29 @@ def run_resumable(docs_path: str, media_root: str, out_dir: str,
     cfg = cfg or ExtractConfig()
     from ..pipelines.extract import extract_spans
     from .counters import counter_totals, make_drop_counter
+
+    if concurrent_waves > 1:
+        _settle_fsspec_http_import()
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else 8
+        # Every in-flight wave permanently holds >= 2 actor CPUs (detector
+        # + recognizer pool minimums) and still needs free CPUs for its
+        # task stages and shuffles; below ~6 CPUs per wave the actors
+        # squeeze the task stages out entirely and the run deadlocks.
+        # Clamp rather than hang — a tiny cluster just runs sequentially.
+        concurrent_waves = min(concurrent_waves, max(1, cpus // 6))
+    if concurrent_waves > 1 and cfg.detect_concurrency is None \
+            and cfg.recognize_concurrency is None:
+        # Each in-flight wave spawns its own actor pools with warm
+        # MINIMUMS sized for the whole cluster; N waves would then demand
+        # N x min CPUs at once and deadlock the scheduler. Split the
+        # per-wave caps so the combined minimums fit.
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg,
+            detect_concurrency=max(1, int(cpus * 0.6) // concurrent_waves),
+            recognize_concurrency=max(1, (cpus // 4) // concurrent_waves))
 
     manifest = Manifest(out_dir)
     spans_root = os.path.join(out_dir, "spans")

@@ -87,3 +87,19 @@ def test_manifest_counters(ray_session, tiny_fixture, tmp_path):
     docs = pq.read_table(tiny_fixture.docs).to_pandas()
     assert sum(r["docs_in"] for r in recs) == len(docs)
     assert all(r["input_fingerprint"] for r in recs)
+
+
+def test_resumable_concurrent_waves(ray_session, tiny_fixture, tmp_path):
+    """concurrent_waves=2 on the 4-CPU test cluster must clamp to a
+    sequential run (two waves' actor-pool minimums cannot fit alongside
+    task stages) instead of deadlocking — and produce golden-equal
+    output. The >1-wave overlap itself is exercised at 32 CPUs by the
+    bench-scale measurement recorded in BASELINE.md."""
+    out = str(tmp_path / "out_cw")
+    s = run_resumable(tiny_fixture.docs, tiny_fixture.media_root, out,
+                      num_partitions=4, wave_partitions=2,
+                      concurrent_waves=2)
+    assert s["processed"] == 4
+    got = _norm(pq.read_table(os.path.join(out, "spans")).to_pandas())
+    golden = _norm(pq.read_table(tiny_fixture.golden).to_pandas())
+    pd.testing.assert_frame_equal(got, golden)
