@@ -26,6 +26,8 @@ Execution shapes (SURVEY.md §7.0):
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -57,6 +59,14 @@ GROUPED_SCHEMA = pa.schema([
     ("rot", pa.int8()),
     ("img_w", pa.int32()), ("img_h", pa.int32()),
     ("n_src_tiles", pa.int32()),
+    # reference-format source-tile metadata (grouping_logic.py:896-905
+    # 'grouped_from_tiles' tile-id strings; metadata_manager.py:81
+    # grid_position): ids are "{media_basename}_T{ord:04d}"
+    # (sahi_slicer.py:106), listed in sorted-tile-ordinal order — the
+    # engine's deterministic D4 set-union replacing the reference's
+    # unordered list(set(...)).
+    ("src_tiles", pa.list_(pa.string())),
+    ("grid_positions", pa.list_(pa.list_(pa.int32()))),
     ("is_grouped", pa.bool_()),
     # per-image grouping metrics, repeated on each of the image's rows
     # (G5 parity: boxes before/after, suppression, merges —
@@ -358,17 +368,33 @@ def make_group_fn(cfg: ExtractConfig):
         g = fn(boxes[order], rot[order], tord[order], p, contained)
         ranks = reading_order_ranks(g.boxes, g.rot, tol)
         ng = len(g.boxes)
+        ref = t.column("media_ref")[0].as_py()
+        img_w = int(t.column("img_w")[0].as_py())
+        img_h = int(t.column("img_h")[0].as_py())
+        # reference-format tile ids + grid positions from the ordinals
+        # (one grid computation per image, shared by all its groups)
+        from ..functions.tiling import grid_positions as _grid_pos
+        base = os.path.splitext(os.path.basename(ref))[0]
+        tcfg = cfg.tiling
+        wins = tile_windows(img_w, img_h, tcfg.tile_size, tcfg.overlap_ratio)
+        gp = _grid_pos(wins, tcfg.tile_size, tcfg.overlap_ratio)
+        src_tiles = [[f"{base}_T{int(o):04d}" for o in ords]
+                     for ords in g.tile_ords]
+        gpos = [[[int(gp[o, 0]), int(gp[o, 1])] for o in ords]
+                for ords in g.tile_ords]
         return pa.table({
-            "media_ref": pa.array([t.column("media_ref")[0].as_py()] * ng, pa.string()),
+            "media_ref": pa.array([ref] * ng, pa.string()),
             "rank": pa.array(ranks, pa.int32()),
             "x_min": pa.array(g.boxes[:, 0], pa.int32()),
             "y_min": pa.array(g.boxes[:, 1], pa.int32()),
             "x_max": pa.array(g.boxes[:, 2], pa.int32()),
             "y_max": pa.array(g.boxes[:, 3], pa.int32()),
             "rot": pa.array(g.rot, pa.int8()),
-            "img_w": pa.array([int(t.column("img_w")[0].as_py())] * ng, pa.int32()),
-            "img_h": pa.array([int(t.column("img_h")[0].as_py())] * ng, pa.int32()),
+            "img_w": pa.array([img_w] * ng, pa.int32()),
+            "img_h": pa.array([img_h] * ng, pa.int32()),
             "n_src_tiles": pa.array([len(x) for x in g.tile_ords], pa.int32()),
+            "src_tiles": pa.array(src_tiles, pa.list_(pa.string())),
+            "grid_positions": pa.array(gpos, pa.list_(pa.list_(pa.int32()))),
             "is_grouped": pa.array(g.is_grouped, pa.bool_()),
             "n_boxes_before": pa.array([g.n_before] * ng, pa.int32()),
             "n_suppressed": pa.array([g.n_suppressed] * ng, pa.int32()),

@@ -99,6 +99,15 @@ def test_cross_tile_recovery_exact(tmp_path):
     straddler = df[(df["x_min"] == 640)]
     assert bool(straddler["is_grouped"].iloc[0])
     assert int(straddler["n_src_tiles"].iloc[0]) == 2
+    # reference-format source-tile metadata (sahi_slicer.py:106 ids,
+    # metadata_manager grid positions), sorted-ordinal order
+    tiles = list(straddler["src_tiles"].iloc[0])
+    assert tiles == ["c_T0000", "c_T0001"]
+    gpos = [list(p) for p in straddler["grid_positions"].iloc[0]]
+    assert gpos == [[0, 0], [0, 1]]
+    single = df[(df["x_min"] == 100)]
+    assert list(single["src_tiles"].iloc[0]) == ["c_T0000"]
+    assert not bool(single["is_grouped"].iloc[0])
 
 
 def test_hot_ref_salted_join_equals_unsalted(ray_session, tmp_path):
