@@ -104,9 +104,13 @@ def run_bench() -> dict:
         import __ray_entry__ as E
         queries = E.queries()
         for name in ("q1_pricing_summary", "q3_shipping_priority",
-                     "q6_revenue_forecast", "events_hourly", "dedup_exact",
-                     "dedup_minhash_lsh", "ann_topk_bruteforce",
-                     "doc_token_stats"):
+                     "q5_local_supplier_volume", "q6_revenue_forecast",
+                     "events_hourly", "events_sessionize",
+                     "events_user_profile", "order_priority_revenue",
+                     "dedup_exact", "dedup_minhash_lsh",
+                     "dedup_ngram_jaccard", "ann_topk_bruteforce",
+                     "ann_ivf_topk", "doc_token_stats", "top_bigrams",
+                     "sample_mix"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):

@@ -81,16 +81,34 @@ FROM c
 
 
 def tag_extract(sf_dir: str):
-    """ISA instrument tags embedded in document text -> (doc_id, tag) rows."""
+    """ISA instrument tags embedded in document text -> (doc_id, tag) rows.
+
+    One compiled-regex pass per BATCH, not per row: texts are joined with a
+    separator that cannot occur inside a tag match, matched once, and each
+    match is attributed to its document by binary-searching the cumulative
+    text offsets — the Python-level loop is over matches only."""
+    import numpy as np
     pattern = re.compile(T.ISA_TAG_FIND_PATTERN)
+    SEP = "\x00"
 
     def extract(df: pd.DataFrame) -> pa.Table:
-        ids, tags = [], []
-        for did, text in zip(df["doc_id"], df["text"]):
-            for m in pattern.findall(text):
-                ids.append(int(did))
-                tags.append(m)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+        texts = df["text"].tolist()
+        if not texts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tag": pa.array([], pa.string())})
+        joined = SEP.join(texts)
+        # cumulative start offset of each doc inside the joined buffer
+        lens = np.fromiter((len(t) + 1 for t in texts), dtype=np.int64,
+                           count=len(texts))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        pos, tags = [], []
+        for m in pattern.finditer(joined):
+            pos.append(m.start())
+            tags.append(m.group(0))
+        dids = df["doc_id"].to_numpy(dtype=np.int64)[
+            np.searchsorted(starts, np.array(pos, dtype=np.int64),
+                            side="right") - 1] if pos else []
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
                          "tag": pa.array(tags, pa.string())})
 
     from ._util import collect_with_schema
