@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": S.ann_topk_bruteforce,
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
+        "embedding_label_centroids": S.embedding_label_centroids,
         # text analysis
         "doc_token_stats": T.doc_token_stats,
         "lang_id_pred": T.lang_id_pred,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
         "ann_topk_bruteforce": S.ANN_TOPK_SQL,
+        "embedding_label_centroids": S.EMBEDDING_CENTROIDS_SQL,
         "doc_token_stats": T.DOC_TOKEN_STATS_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "lang_id_pred": T.LANG_ID_SQL,

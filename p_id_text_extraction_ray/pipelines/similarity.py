@@ -259,3 +259,52 @@ def ann_ivf_topk(sf_dir: str):
 
     return (ds.map_batches(cell_topk, batch_format="pandas")
             .groupby("query_id").map_groups(reduce_topk, batch_format="pandas"))
+
+
+def embedding_label_centroids(sf_dir: str):
+    """Per-label centroid vectors (class prototypes — the E-step of
+    k-means / nearest-class-mean classification), output exploded to
+    (label, dim, v) scalar rows so the driver can hash-compare exactly.
+
+    Scale shape: each batch collapses to one (sum-vector, count) partial
+    per label — a numpy column-sum per label group — so the shuffle
+    carries (labels x dims) floats per batch, never the vectors; the
+    final combine is a tiny per-label reduction.
+    """
+    import pandas as pd
+    import pyarrow as pa
+
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["embedding", "label"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array(df["embedding"].tolist(), dtype=np.float64)
+        out = []
+        for lab, idx in df.groupby("label").indices.items():
+            out.append((int(lab), len(idx), mat[idx].sum(axis=0)))
+        return pd.DataFrame({
+            "label": [o[0] for o in out],
+            "n": [o[1] for o in out],
+            "vsum": [o[2].tobytes() for o in out]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        mats = np.stack([np.frombuffer(b, dtype=np.float64)
+                         for b in df["vsum"]])
+        s = mats.sum(axis=0)
+        n = int(df["n"].sum())
+        d = s.shape[0]
+        return pd.DataFrame({
+            "label": np.full(d, int(df["label"].iloc[0]), dtype=np.int64),
+            "dim": np.arange(d, dtype=np.int64),
+            "v": np.round(s / n, 6)})
+
+    return (ds.map_batches(partial, batch_format="pandas")
+            .groupby("label")
+            .map_groups(combine, batch_format="pandas"))
+
+
+EMBEDDING_CENTROIDS_SQL = """
+SELECT label, CAST(i AS BIGINT) - 1 AS dim, round(avg(embedding[i]), 6) AS v
+FROM embeddings, generate_series(1, 64) AS t(i)
+GROUP BY label, i
+"""
