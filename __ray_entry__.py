@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.events_hourly,
         "events_sessionize": R.events_sessionize,
         "order_priority_revenue": R.order_priority_revenue,
+        "q4_order_priority_check": R.q4_order_priority_check,
         "events_last_error_before_purchase": R.events_last_error_before_purchase,
         # window / analytics operators
         "top_orders_per_priority": A.top_orders_per_priority,
@@ -56,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_profile": A.events_user_profile,
         "orders_price_bands": A.orders_price_bands,
         "customers_without_orders": A.customers_without_orders,
+        "events_latest_per_user": A.events_latest_per_user,
         # dedup suite
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -79,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train_holdout": T.split_train_holdout,
         "top_bigrams": T.top_bigrams,
         "sample_mix": T.sample_mix,
+        "doc_zscore_by_lang": T.doc_zscore_by_lang,
+        "tfidf_top_terms": T.tfidf_top_terms,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -100,14 +104,18 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": R.EVENTS_HOURLY_SQL,
         "events_sessionize": R.EVENTS_SESSIONIZE_SQL,
         "order_priority_revenue": R.ORDER_PRIORITY_REVENUE_SQL,
+        "q4_order_priority_check": R.Q4_ORDER_PRIORITY_CHECK_SQL,
         "events_last_error_before_purchase": R.EVENTS_ASOF_SQL,
         "top_orders_per_priority": A.TOP_ORDERS_PER_PRIORITY_SQL,
         "events_hopping_window": A.EVENTS_HOPPING_WINDOW_SQL,
         "events_user_profile": A.EVENTS_USER_PROFILE_SQL,
         "orders_price_bands": A.ORDERS_PRICE_BANDS_SQL,
         "customers_without_orders": A.CUSTOMERS_WITHOUT_ORDERS_SQL,
+        "events_latest_per_user": A.EVENTS_LATEST_PER_USER_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
         "sample_mix": T.SAMPLE_MIX_SQL,
+        "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,
+        "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

@@ -260,3 +260,45 @@ CUSTOMERS_WITHOUT_ORDERS_SQL = """
 SELECT c_custkey, c_name FROM customer
 WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
 """
+
+
+# --------------------------------------------------- latest event per key
+
+def events_latest_per_user(sf_dir: str):
+    """Keep-latest dedupe: each user's most recent event (ties broken by
+    event_id) — the canonical change-log compaction a feature store runs.
+    Per-batch partial argmax keeps one row per user per batch, so the
+    shuffle carries at most (users x batches) rows; a bucketed final
+    argmax (bounded group count, vectorized sort inside) finishes."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def latest(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            ascending=[True, False, False], kind="mergesort")
+        return df.groupby("user_id", group_keys=False).head(1)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return latest(df)[["user_id", "event_id", "ts", "event_type",
+                           "value"]]
+
+    return (ev.map_batches(latest, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(finish, batch_format="pandas"))
+
+
+EVENTS_LATEST_PER_USER_SQL = """
+SELECT user_id, event_id, ts, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""

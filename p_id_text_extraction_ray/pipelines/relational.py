@@ -591,3 +591,93 @@ WITH gapped AS (
 SELECT user_id, sum(new_session)::BIGINT AS n_sessions, count(*) AS n_events
 FROM gapped GROUP BY user_id
 """
+
+
+# -------------------------------------------------- q4-style semi-join
+
+Q4_QUARTER_START = "1996-01-01"
+Q4_QUARTER_END = "1996-04-01"
+Q4_LATE_DAYS = 60
+
+
+def q4_order_priority_check(sf_dir: str):
+    """TPC-H-Q4-style EXISTS semi-join: count orders per priority placed
+    in one quarter that have at least one line item shipped more than 60
+    days after the order date.
+
+    Distributed shape: lineitem reduces to one (orderkey, max_shipdate)
+    row per order — per-batch partial max, then a bucketed grouped max
+    (bounded group count, vectorized pandas inside) — so the semi-join
+    predicate needs only ONE row per order on the probe side; a
+    partitioned ``hash_join`` against the quarter's orders evaluates the
+    EXISTS, and the rollup is a tiny groupby over the 5 priorities.
+    The shuffle carries (int64, timestamp) pairs, never line items.
+    (At scale the quarter filter could also semi-filter lineitem before
+    the max — kept single-pass here because the max pre-reduction
+    already collapses the fact table to order cardinality.)
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join, DEFAULT_SHUFFLE_PARTITIONS
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def partial_max(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("l_orderkey", as_index=False)["l_shipdate"].max()
+        g.columns = ["o_orderkey", "max_ship"]
+        return g
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["o_orderkey"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def reduce_max(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderkey", as_index=False)["max_ship"].max()
+
+    order_max = (li.map_batches(partial_max, batch_format="pandas")
+                 .map_batches(add_bucket, batch_format="pandas")
+                 .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+                 .map_groups(reduce_max, batch_format="pandas"))
+
+    lo = np.datetime64(Q4_QUARTER_START)
+    hi = np.datetime64(Q4_QUARTER_END)
+
+    def quarter(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["o_orderdate"].to_numpy()
+        return df[(d >= lo) & (d < hi)][
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]]
+
+    orders_q = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_orderdate", "o_orderpriority"]) \
+        .map_batches(quarter, batch_format="pandas")
+
+    joined = hash_join(orders_q, order_max, on="o_orderkey")
+
+    def check(df: pd.DataFrame) -> pd.DataFrame:
+        late = df["max_ship"] > df["o_orderdate"] + pd.Timedelta(days=Q4_LATE_DAYS)
+        g = df[late].groupby("o_orderpriority", as_index=False).size()
+        g.columns = ["o_orderpriority", "n"]
+        return g
+
+    agg = (joined.map_batches(check, batch_format="pandas")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="n_orders")))
+
+    return agg.map_batches(
+        lambda t: t.set_column(t.schema.get_field_index("n_orders"),
+                               "n_orders",
+                               pc.cast(t.column("n_orders"), pa.int64())),
+        batch_format="pyarrow")
+
+
+Q4_ORDER_PRIORITY_CHECK_SQL = f"""
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= DATE '{Q4_QUARTER_START}'
+  AND o_orderdate <  DATE '{Q4_QUARTER_END}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL {Q4_LATE_DAYS} DAY)
+GROUP BY o_orderpriority
+"""

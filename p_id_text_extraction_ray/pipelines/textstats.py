@@ -365,3 +365,169 @@ WHERE (doc_id * {_MIX_KNUTH}) % {_MIX_MOD} % 1000 <
            WHEN source IN ('src5','src6','src7','src8','src9') THEN 500
            ELSE 100 END
 """
+
+
+# ------------------------------------------------- grouped normalization
+
+def doc_zscore_by_lang(sf_dir: str):
+    """Per-language z-score of document length — the grouped feature
+    normalization a training pipeline applies before length-balanced
+    sampling (reference analogue: per-run confidence statistics,
+    run_pipeline.py summary counters).
+
+    Two passes, zero fact shuffles: pass 1 reduces each batch to
+    (lang, n, sum, sumsq) integer partials and a tiny groupby over the
+    language DIMENSION (bounded cardinality) collects the moments to the
+    driver; pass 2 broadcasts the per-lang moments in the batch-fn
+    closure and computes z vectorized. All moment arithmetic is exact
+    int64 on both the engine and oracle sides, so z agrees bit-for-bit:
+    z = (n*x - s) / sqrt(n*q - s*s), one IEEE divide + sqrt each.
+    """
+    import numpy as np
+
+    docs = _docs(sf_dir, columns=("doc_id", "lang", "n_chars"))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype=np.int64)
+        g = pd.DataFrame({"lang": df["lang"].values, "n": 1,
+                          "s": x, "q": x * x})
+        return g.groupby("lang", as_index=False).sum()
+
+    moments = (docs.map_batches(partial, batch_format="pandas")
+               .groupby("lang")
+               .sum(["n", "s", "q"]))
+    mom = {r["lang"]: (int(r["sum(n)"]), int(r["sum(s)"]), int(r["sum(q)"]))
+           for r in moments.take_all()}
+
+    def zscore(df: pd.DataFrame) -> pd.DataFrame:
+        x = df["n_chars"].to_numpy(dtype=np.int64)
+        n = df["lang"].map({k: v[0] for k, v in mom.items()}).to_numpy(np.int64)
+        s = df["lang"].map({k: v[1] for k, v in mom.items()}).to_numpy(np.int64)
+        q = df["lang"].map({k: v[2] for k, v in mom.items()}).to_numpy(np.int64)
+        denom_sq = n * q - s * s
+        denom = np.sqrt(denom_sq.astype(np.float64))
+        denom[denom_sq == 0] = 1.0
+        z = np.round((n * x - s).astype(np.float64) / denom, 6)
+        return pd.DataFrame({"doc_id": df["doc_id"].values,
+                             "lang": df["lang"].values,
+                             "n_chars": x, "z": z})
+
+    return docs.map_batches(zscore, batch_format="pandas")
+
+
+DOC_ZSCORE_BY_LANG_SQL = """
+SELECT doc_id, lang, n_chars,
+       round((cnt * n_chars - s) /
+             (CASE WHEN cnt * q - s * s = 0 THEN 1.0
+                   ELSE sqrt((cnt * q - s * s)::DOUBLE) END), 6) AS z
+FROM (SELECT doc_id, lang, n_chars,
+             count(*) OVER w           AS cnt,
+             sum(n_chars) OVER w       AS s,
+             sum(n_chars * n_chars) OVER w AS q
+      FROM documents WINDOW w AS (PARTITION BY lang))
+"""
+
+
+# ------------------------------------------------------------ TF-IDF
+
+TFIDF_TOPK = 3
+
+
+def tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (keyword extraction).
+
+    Distributed plan: batches tokenize (same lower+whitespace convention
+    as ``top_bigrams``) and emit (doc_id, term, tf) rows; document
+    frequency is a bucketed grouped count over the same rows (the
+    tokenizer runs twice rather than materializing the token table —
+    recompute is cheaper than caching corpus-scale tokens); a
+    partitioned ``hash_join`` on term attaches df, and a bucketed
+    per-doc top-k keeps 3 rows per document. Scores are rounded to 6dp
+    BEFORE ranking on both sides so mathematically-tied scores (e.g.
+    2*ln(N/10) vs ln(N^2/100)) resolve by the term tie-break, not float
+    noise. The corpus size N is one driver scalar (parquet metadata).
+    """
+    import numpy as np
+    from collections import Counter
+    from .joins import hash_join, DEFAULT_SHUFFLE_PARTITIONS
+
+    ws = re.compile(r"\s+")
+    n_docs = float(_docs(sf_dir, columns=("doc_id",)).count())
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for did, text in zip(df["doc_id"], df["text"]):
+            c = Counter(t for t in ws.split(text.lower()) if t)
+            if not c:
+                continue
+            ids.append(np.full(len(c), did, dtype=np.int64))
+            terms.extend(c.keys())
+            tfs.append(np.fromiter(c.values(), dtype=np.int64, count=len(c)))
+        if not ids:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype="object"),
+                                 "tf": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"doc_id": np.concatenate(ids),
+                             "term": terms, "tf": np.concatenate(tfs)})
+
+    def df_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"term": df["term"].values,
+                             "n_df": np.ones(len(df), dtype=np.int64)})
+
+    from ._util import bucketed_group_sum
+    tf_ds = _docs(sf_dir).map_batches(tf_rows, batch_format="pandas")
+    df_ds = bucketed_group_sum(
+        _docs(sf_dir).map_batches(tf_rows, batch_format="pandas")
+        .map_batches(df_rows, batch_format="pandas"),
+        key="term", sum_cols=["n_df"])
+
+    joined = hash_join(tf_ds, df_ds, on="term")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["doc_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        score = np.round(
+            g["tf"].to_numpy(dtype=np.float64)
+            * np.log(n_docs / g["n_df"].to_numpy(dtype=np.float64)), 6)
+        g = g.assign(score=score).sort_values(
+            ["doc_id", "score", "term"], ascending=[True, False, True],
+            kind="mergesort")
+        g = g.groupby("doc_id", group_keys=False).head(TFIDF_TOPK)
+        rnk = g.groupby("doc_id").cumcount().to_numpy() + 1
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(dtype=np.int64),
+            "rnk": rnk.astype(np.int64),
+            "term": g["term"].values,
+            "tf": g["tf"].to_numpy(dtype=np.int64),
+            "n_df": g["n_df"].to_numpy(dtype=np.int64),
+            "score": g["score"].to_numpy(dtype=np.float64)})
+
+    return (joined.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(topk, batch_format="pandas"))
+
+
+TFIDF_TOP_TERMS_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+        FROM documents)
+  WHERE t <> ''),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS n_df FROM toks GROUP BY 1),
+scored AS (
+  SELECT doc_id, term, tf, n_df,
+         round(tf * ln((SELECT count(*) FROM documents)::DOUBLE / n_df), 6)
+           AS score
+  FROM tf JOIN dfreq USING (term))
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS BIGINT) AS rnk,
+       term, tf, n_df, score
+FROM scored QUALIFY rnk <= {TFIDF_TOPK}
+"""
