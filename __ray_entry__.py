@@ -23,6 +23,7 @@ from p_id_text_extraction_ray.pipelines import analytics as A
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import similarity as S
+from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
@@ -58,6 +59,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_price_bands": A.orders_price_bands,
         "customers_without_orders": A.customers_without_orders,
         "events_latest_per_user": A.events_latest_per_user,
+        "urgent_lineitem_revenue": A.urgent_lineitem_revenue,
+        "events_rolling_avg": A.events_rolling_avg,
+        "segment_priority_matrix": A.segment_priority_matrix,
+        # sketches
+        "approx_distinct_users": K.approx_distinct_users,
+        "heavy_hitter_tokens": K.heavy_hitter_tokens,
         # dedup suite
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -112,6 +119,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_bands": A.ORDERS_PRICE_BANDS_SQL,
         "customers_without_orders": A.CUSTOMERS_WITHOUT_ORDERS_SQL,
         "events_latest_per_user": A.EVENTS_LATEST_PER_USER_SQL,
+        "urgent_lineitem_revenue": A.URGENT_LINEITEM_REVENUE_SQL,
+        "events_rolling_avg": A.EVENTS_ROLLING_AVG_SQL,
+        "segment_priority_matrix": A.SEGMENT_PRIORITY_MATRIX_SQL,
+        "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
         "sample_mix": T.SAMPLE_MIX_SQL,
         "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,

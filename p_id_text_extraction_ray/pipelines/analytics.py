@@ -302,3 +302,174 @@ FROM events
 QUALIFY row_number() OVER (PARTITION BY user_id
                            ORDER BY ts DESC, event_id DESC) = 1
 """
+
+
+# ------------------------------------------------- Bloom-filtered semi-join
+
+def urgent_lineitem_revenue(sf_dir: str):
+    """Revenue by return flag over lineitems belonging to URGENT orders —
+    a selective fact⋉fact semi-join done the 100-TB way: a constant-size
+    Bloom bitmap of the urgent orderkeys is broadcast and drops ~non-
+    matching lineitems BEFORE the shuffle (the all-to-all then carries
+    matches + ~2% false positives, not the whole fact table); the exact
+    bucketed semi-join on the survivors removes the false positives."""
+    from ray.data.aggregate import Sum
+    import pyarrow.compute as pc
+    from .joins import bloom_semi_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice"])
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]) \
+        .map_batches(lambda df: df.loc[df["o_orderpriority"] == "1-URGENT",
+                                       ["o_orderkey"]]
+                     .rename(columns={"o_orderkey": "l_orderkey"}),
+                     batch_format="pandas")
+
+    matched = bloom_semi_join(li, urgent, on="l_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"].values,
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "rev_c": cents(df["l_extendedprice"])})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    agg = (matched.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n_items"),
+                      Sum("rev_c", alias_name="rev_c")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("revenue", pc.divide(
+            pc.cast(t.column("rev_c"), pa.float64()), pa.scalar(100.0)))
+        t = t.drop_columns(["rev_c"])
+        return t.set_column(t.schema.get_field_index("n_items"), "n_items",
+                            pc.cast(t.column("n_items"), pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+URGENT_LINEITEM_REVENUE_SQL = """
+SELECT l_returnflag, count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS revenue
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
+# ------------------------------------------------- rolling window average
+
+ROLL_WINDOW = 3  # current row + 2 preceding
+
+
+def events_rolling_avg(sf_dir: str):
+    """Per-user moving average of event value over the last 3 events
+    (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) — the per-entity rolling
+    feature a feature store materializes. Users are hash-bucketed so each
+    bucket computes every user's full ordered series with ONE vectorized
+    ``groupby(...).rolling`` — no per-user Python, and the shuffle moves
+    each event row exactly once. Sums use exact integer cents; the final
+    division mirrors the oracle's operand order bit-for-bit."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def roll(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        v_c = pd.Series(cents(df["value"]), index=df.index)
+        g = v_c.groupby(df["user_id"].values)
+        roll_sum = g.rolling(ROLL_WINDOW, min_periods=1).sum() \
+            .reset_index(level=0, drop=True).astype(np.int64)
+        roll_n = g.rolling(ROLL_WINDOW, min_periods=1).count() \
+            .reset_index(level=0, drop=True).astype(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].values, "user_id": df["user_id"].values,
+            "ts": df["ts"].values,
+            "roll_n": roll_n.values,
+            "roll_avg": roll_sum.values / 100.0 / roll_n.values})
+
+    return (ev.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(roll, batch_format="pandas"))
+
+
+EVENTS_ROLLING_AVG_SQL = f"""
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS roll_n,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0
+           / (count(*) OVER w) AS roll_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLL_WINDOW - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------------ pivot table
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_COLS = ["p1_urgent", "p2_high", "p3_medium", "p4_not_specified",
+                  "p5_low"]
+
+
+def segment_priority_matrix(sf_dir: str):
+    """Order counts pivoted to a (market segment × order priority) matrix —
+    the wide contingency table a monitoring job emits. The fact side is
+    pre-collapsed to (custkey, priority) partial counts inside the same
+    shuffle that joins the customer dimension (``sum_join``), the
+    (segment, priority) rollup shuffles ≤ 25 rows, and the pivot runs on
+    that tiny result."""
+    from .joins import sum_join
+    from ._util import collect_with_schema
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(lambda df: df.assign(n=np.int64(1))
+                     .groupby(["o_custkey", "o_orderpriority"],
+                              as_index=False)["n"].sum()
+                     .rename(columns={"o_custkey": "c_custkey"}),
+                     batch_format="pandas")
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    joined = sum_join(orders, cust, on="c_custkey", sum_cols=["n"],
+                      sum_keys=["c_custkey", "o_orderpriority"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["c_mktsegment", "o_orderpriority"],
+                          as_index=False)["n"].sum()
+
+    def pivot(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["c_mktsegment", "o_orderpriority"],
+                        as_index=False)["n"].sum()
+        wide = df.pivot_table(index="c_mktsegment", columns="o_orderpriority",
+                              values="n", aggfunc="sum", fill_value=0)
+        out = pd.DataFrame({"segment": wide.index.to_numpy()})
+        for p, col in zip(_PRIORITIES, _PRIORITY_COLS):
+            out[col] = (wide[p].to_numpy(dtype=np.int64)
+                        if p in wide.columns else np.int64(0))
+        return out
+
+    small = joined.map_batches(partial, batch_format="pandas")
+    # ≤ (segments × priorities) rows per block survive to the driver;
+    # the final pivot is a constant-size pandas frame
+    rollup = collect_with_schema(small, pa.schema(
+        [("c_mktsegment", pa.string()), ("o_orderpriority", pa.string()),
+         ("n", pa.int64())]))
+    return pivot(rollup)
+
+
+SEGMENT_PRIORITY_MATRIX_SQL = """
+SELECT c_mktsegment AS segment,
+       count(*) FILTER (o_orderpriority = '1-URGENT')        AS p1_urgent,
+       count(*) FILTER (o_orderpriority = '2-HIGH')          AS p2_high,
+       count(*) FILTER (o_orderpriority = '3-MEDIUM')        AS p3_medium,
+       count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4_not_specified,
+       count(*) FILTER (o_orderpriority = '5-LOW')           AS p5_low
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""

@@ -1,0 +1,185 @@
+"""Mergeable-sketch operators — the approximate primitives a 100-TB
+profiling pass runs where exact answers would need an unbounded shuffle.
+
+* HyperLogLog distinct count — per-group cardinality from CONSTANT-size
+  register arrays: each batch builds a private 2^p-register sketch per
+  group, the groupby merges them with an elementwise max, and the driver
+  never sees a raw key. The shuffle carries (group, 4 KiB) rows no matter
+  how many distinct values exist. Deterministic (splitmix64 hash), so the
+  estimate is stable run-to-run; accuracy ~1.04/sqrt(2^p) plus the
+  small-range linear-counting correction.
+
+* Misra–Gries heavy hitters — EXACT top-k frequent tokens via candidate
+  pruning: pass 1 runs a per-batch Misra–Gries summary (any token with
+  global frequency > N/k must exceed n_i/k in at least one batch, so the
+  union of batch summaries is a superset of the true heavy hitters);
+  pass 2 re-counts ONLY the candidate tokens (broadcast set) and takes
+  the top-k. Unlike a full token groupby, the all-to-all carries at most
+  (candidates × batches) partial rows — the corpus vocabulary never
+  shuffles.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ._util import collect_with_schema, sized_read
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def _read(sf_dir: str, name: str, columns: list[str]):
+    return sized_read(os.path.join(sf_dir, f"{name}.parquet"), columns,
+                      rows_per_block=150_000)
+
+
+# ----------------------------------------------------------- HyperLogLog
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _hll_registers(keys: np.ndarray, p: int = HLL_P) -> np.ndarray:
+    """Register array (uint8[2^p]) for a batch of int64 keys."""
+    m = 1 << p
+    h = _splitmix64(keys)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # pad low bits
+    # rho = leading-zero count of the remaining bits + 1, via float64 log2
+    # of the top 53 bits (exact for lzcount < 53, far beyond 2^p registers)
+    top = (rest >> np.uint64(11)).astype(np.float64)
+    with np.errstate(divide="ignore"):
+        lz = np.where(top > 0, 52 - np.floor(np.log2(top)), 53)
+    rho = (lz + 1).astype(np.uint8)
+    regs = np.zeros(m, dtype=np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    m = float(len(regs))
+    est = (0.7213 / (1 + 1.079 / m)) * m * m / np.sum(
+        np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # linear counting, small range
+    return float(est)
+
+
+def approx_distinct_users(sf_dir: str):
+    """Approximate distinct users per event type via mergeable HLL
+    sketches (rows-only check; pytest bounds the error vs the exact
+    count). Columns: event_type, approx_users (int64)."""
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, sub in df.groupby("event_type"):
+            regs = _hll_registers(sub["user_id"].to_numpy(dtype=np.int64))
+            rows.append({"event_type": et, "regs": regs.tobytes()})
+        return pd.DataFrame(rows, columns=["event_type", "regs"])
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        acc = np.zeros(1 << HLL_P, dtype=np.uint8)
+        for b in df["regs"]:
+            np.maximum(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "approx_users": np.array([round(_hll_estimate(acc))],
+                                     dtype=np.int64)})
+
+    out = (ev.map_batches(partial, batch_format="pandas")
+           .groupby("event_type").map_groups(merge, batch_format="pandas"))
+    return collect_with_schema(out, pa.schema(
+        [("event_type", pa.string()), ("approx_users", pa.int64())]))
+
+
+# ------------------------------------------------ Misra–Gries heavy hitters
+
+HEAVY_HITTER_K = 20        # result size
+MG_COUNTERS = 2000         # per-batch summary size (guarantee: freq > N/2000)
+
+_WS = None  # compiled lazily inside workers
+
+
+def _tokens_of(texts) -> "pd.Series":
+    import re
+    global _WS
+    if _WS is None:
+        _WS = re.compile(r"\s+")
+    out = []
+    for t in texts:
+        out.extend(w for w in _WS.split(t.lower()) if w)
+    return out
+
+
+def _misra_gries(tokens: list, k: int) -> dict:
+    """Classic MG summary: at most k counters; any item with frequency
+    > n/k in this stream survives with count >= freq - n/k."""
+    from collections import Counter
+    c = Counter(tokens)  # batch fits in memory; exact per-batch counts
+    if len(c) <= k:
+        return dict(c)
+    # keep the k largest — a strictly stronger summary than streaming MG
+    # for a batch we can count exactly (same superset guarantee)
+    return dict(sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k])
+
+
+def heavy_hitter_tokens(sf_dir: str):
+    """EXACT corpus top-20 tokens computed the sketch way: per-batch
+    Misra–Gries candidate generation, then an exact re-count restricted
+    to the (broadcast) candidate set. The vocabulary never shuffles —
+    only ≤ MG_COUNTERS candidates per batch in pass 1 and candidate-token
+    partials in pass 2. Oracle: full unnest+count+rank in DuckDB."""
+    import ray
+    from ._util import bucketed_group_sum
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def candidates(df: pd.DataFrame) -> pd.DataFrame:
+        mg = _misra_gries(_tokens_of(df["text"]), MG_COUNTERS)
+        return pd.DataFrame({"token": list(mg.keys())})
+
+    cand = set()
+    for row in docs.map_batches(candidates,
+                                batch_format="pandas").take_all():
+        cand.add(row["token"])
+    cand_ref = ray.put(cand)
+
+    def recount(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        keep = ray.get(cand_ref)
+        c = Counter(t for t in _tokens_of(df["text"]) if t in keep)
+        if not c:
+            return pd.DataFrame({"token": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": pd.Series(list(c.values()), dtype="int64")})
+
+    sums = bucketed_group_sum(
+        docs.map_batches(recount, batch_format="pandas"),
+        key="token", sum_cols=["n"])
+    top = sums.sort(["n", "token"], descending=[True, False]) \
+        .limit(HEAVY_HITTER_K)
+    return collect_with_schema(top, pa.schema(
+        [("token", pa.string()), ("n", pa.int64())]))
+
+
+HEAVY_HITTER_TOKENS_SQL = rf"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT {HEAVY_HITTER_K}
+"""
