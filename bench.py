@@ -110,7 +110,9 @@ def run_bench() -> dict:
                      "dedup_exact", "dedup_minhash_lsh",
                      "dedup_ngram_jaccard", "ann_topk_bruteforce",
                      "ann_ivf_topk", "doc_token_stats", "top_bigrams",
-                     "sample_mix"):
+                     "sample_mix", "urgent_lineitem_revenue",
+                     "heavy_hitter_tokens", "approx_distinct_users",
+                     "events_rolling_avg"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
