@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
         "heavy_hitter_tokens": K.heavy_hitter_tokens,
+        "approx_length_quantiles": K.approx_length_quantiles,
         # dedup suite
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
@@ -88,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_train_holdout": T.split_train_holdout,
         "top_bigrams": T.top_bigrams,
         "sample_mix": T.sample_mix,
+        "doc_repetition_stats": T.doc_repetition_stats,
         "doc_zscore_by_lang": T.doc_zscore_by_lang,
         "tfidf_top_terms": T.tfidf_top_terms,
         # flagship extraction (pixel pipeline; rows-only)
@@ -123,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "events_rolling_avg": A.EVENTS_ROLLING_AVG_SQL,
         "segment_priority_matrix": A.SEGMENT_PRIORITY_MATRIX_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
+        "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
         "sample_mix": T.SAMPLE_MIX_SQL,
         "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,

@@ -150,6 +150,61 @@ WHERE len(regexp_extract_all(text, '\w+'))
 """
 
 
+def doc_repetition_stats(sf_dir: str):
+    """Gopher/C4-style repetition signals per document: duplicate-line
+    fraction (1 − distinct/total lines) and top-word fraction (most
+    frequent word's share of all words) — the rules a pre-training
+    curation pass uses to drop boilerplate-heavy pages. Embarrassingly
+    parallel per-doc map; the only Python loop is over documents in the
+    batch (line/word multiset counting has no Arrow kernel). Division
+    operand order mirrors the SQL oracle exactly."""
+    import numpy as np
+    from collections import Counter
+    word_re = re.compile(r"\w+")
+
+    def stats(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        n_lines = np.zeros(n, dtype=np.int64)
+        dup_frac = np.zeros(n, dtype=np.float64)
+        top_frac = np.zeros(n, dtype=np.float64)
+        for i, text in enumerate(df["text"]):
+            lines = text.split("\n")
+            n_lines[i] = len(lines)
+            dup_frac[i] = 1.0 - len(set(lines)) / len(lines)
+            words = word_re.findall(text.lower())
+            if words:
+                top_frac[i] = Counter(words).most_common(1)[0][1] / len(words)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "n_lines": pa.array(n_lines),
+            "dup_line_frac": pa.array(np.round(dup_frac, 6)),
+            "top_word_frac": pa.array(np.round(top_frac, 6))})
+
+    return _docs(sf_dir).map_batches(stats, batch_format="pandas")
+
+
+DOC_REPETITION_STATS_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         regexp_split_to_array(text, '\n')              AS ls,
+         regexp_extract_all(lower(text), '\w+')          AS ws
+  FROM documents),
+tw AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS tot_c
+  FROM (SELECT doc_id, w, count(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT b.doc_id,
+       len(b.ls) AS n_lines,
+       round(1.0 - (len(list_distinct(b.ls))::DOUBLE / len(b.ls)), 6)
+           AS dup_line_frac,
+       round(coalesce(tw.top_c::DOUBLE / tw.tot_c, 0.0), 6)
+           AS top_word_frac
+FROM base b LEFT JOIN tw ON b.doc_id = tw.doc_id
+"""
+
+
 def doc_fingerprints(sf_dir: str):
     """Rolling-hash content fingerprints (rows-only: the 64-bit Horner hash
     has no DuckDB equivalent)."""

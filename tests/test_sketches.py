@@ -86,6 +86,22 @@ def test_bloom_prefilter_actually_prunes(ray_session):
     assert mhit.all()
 
 
+def test_histogram_quantiles_within_bin_error(ray_session):
+    from p_id_text_extraction_ray.pipelines.sketches import (
+        approx_length_quantiles, QUANTILES)
+    res = approx_length_quantiles(SF_DIR).set_index("q")["approx_value"]
+    exact = duckdb.sql(
+        f"SELECT " + ", ".join(
+            f"percentile_disc({q}) WITHIN GROUP (ORDER BY n_chars) AS q{i}"
+            for i, q in enumerate(QUANTILES)) +
+        f" FROM '{SF_DIR}/documents.parquet'").df().iloc[0]
+    for i, q in enumerate(QUANTILES):
+        ex = float(exact[f"q{i}"])
+        # log-spaced 512 bins over 7 decades → ≤ ~3.3% relative bin width;
+        # allow 2 bins of slack
+        assert abs(res[q] - ex) / ex < 0.08, f"q={q}: {res[q]} vs {ex}"
+
+
 def test_misra_gries_superset_guarantee():
     """Every token with true frequency > n/k appears in the summary."""
     from collections import Counter
