@@ -25,6 +25,9 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--wave", type=int, default=16)
     ap.add_argument("--num-cpus", type=int, default=None,
                     help="local-mode CPU count (ignored on a cluster)")
+    ap.add_argument("--concurrent-waves", type=int, default=1,
+                    help="overlap this many waves (wave N+1 reads under "
+                         "wave N's recognize tail; clamped to cluster size)")
     args = ap.parse_args(argv)
 
     import ray
@@ -39,7 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     from .state.manifest import run_resumable
     summary = run_resumable(args.docs, args.media, args.out,
                             num_partitions=args.partitions,
-                            wave_partitions=args.wave)
+                            wave_partitions=args.wave,
+                            concurrent_waves=args.concurrent_waves)
     print(json.dumps(summary))
     ray.shutdown()
     return 0
