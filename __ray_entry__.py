@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_label_centroids": S.embedding_label_centroids,
+        "knn_label_propagation": S.knn_label_propagation,
         # text analysis
         "doc_token_stats": T.doc_token_stats,
         "lang_id_pred": T.lang_id_pred,
@@ -136,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
         "ann_topk_bruteforce": S.ANN_TOPK_SQL,
         "embedding_label_centroids": S.EMBEDDING_CENTROIDS_SQL,
+        "knn_label_propagation": S.KNN_LABEL_PROPAGATION_SQL,
         "doc_token_stats": T.DOC_TOKEN_STATS_SQL,
         "doc_length_quantiles": T.DOC_LENGTH_QUANTILES_SQL,
         "lang_id_pred": T.LANG_ID_SQL,

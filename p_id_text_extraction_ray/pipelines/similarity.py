@@ -308,3 +308,85 @@ SELECT label, CAST(i AS BIGINT) - 1 AS dim, round(avg(embedding[i]), 6) AS v
 FROM embeddings, generate_series(1, 64) AS t(i)
 GROUP BY label, i
 """
+
+
+# ------------------------------------------------- kNN label propagation
+
+KNN_K = 5
+
+
+def knn_label_propagation(sf_dir: str):
+    """Label unlabeled vectors by majority vote of their 5 nearest labeled
+    neighbors (cosine) — the weak-supervision / label-propagation pass a
+    training-data pipeline runs to extend a small labeled set. Labeled
+    corpus = odd vec_ids, unlabeled queries = even vec_ids.
+
+    The labeled side (small by construction) is L2-normalized, sorted by
+    vec_id and broadcast once (``ray.put``); each query batch is ONE
+    matmul against it, top-k via a stable argsort (stability on the
+    cid-sorted corpus = the (sim DESC, cid ASC) tie-break for free), and
+    the vote is a vectorized per-row bincount-argmax (argmax ties pick the
+    smallest label, matching the oracle's ORDER BY c DESC, label). No
+    shuffle at all: the output maps each query row in place."""
+    import ray
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_numpy()
+    labeled = ids % 2 == 1
+    order = np.argsort(ids[labeled], kind="mergesort")
+    C = np.array(t.column("embedding").to_pylist(),
+                 dtype=np.float64)[labeled][order]
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0] = 1.0
+    C /= cn[:, None]
+    clab = t.column("label").to_numpy()[labeled][order].astype(np.int64)
+    n_labels = int(clab.max()) + 1 if len(clab) else 1
+    ref = ray.put((C, clab))
+
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["vec_id", "embedding"])
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        vids = df["vec_id"].to_numpy()
+        keep = vids % 2 == 0
+        if not keep.any():
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "pred_label": pd.Series([], dtype="int64")})
+        Cm, labs = ray.get(ref)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)[keep]
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        sims = (v / nv[:, None]) @ Cm.T                  # (batch, n_corpus)
+        k = min(KNN_K, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        votes = labs[top]                                # (batch, k)
+        counts = np.zeros((len(votes), n_labels), dtype=np.int64)
+        rows = np.repeat(np.arange(len(votes)), k)
+        np.add.at(counts, (rows, votes.ravel()), 1)
+        return pd.DataFrame({"vec_id": vids[keep].astype(np.int64),
+                             "pred_label": counts.argmax(axis=1)})
+
+    return ds.map_batches(classify, batch_format="pandas")
+
+
+KNN_LABEL_PROPAGATION_SQL = f"""
+WITH corpus AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS ce, label
+  FROM embeddings WHERE vec_id % 2 = 1),
+qry AS (
+  SELECT vec_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id % 2 = 0),
+topk AS (
+  SELECT q.vec_id, c.label
+  FROM qry q CROSS JOIN corpus c
+  QUALIFY row_number() OVER (
+      PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.qe, c.ce) DESC, c.cid) <= {KNN_K}),
+votes AS (
+  SELECT vec_id, label, count(*) AS c FROM topk GROUP BY vec_id, label)
+SELECT vec_id, CAST(label AS BIGINT) AS pred_label
+FROM votes
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1
+"""
