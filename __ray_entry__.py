@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": D.dedup_simhash,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_clusters": D.dedup_clusters,
+        "dedup_incremental": D.dedup_incremental,
         # similarity search
         "ann_topk_bruteforce": S.ann_topk_bruteforce,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -135,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
+        "dedup_incremental": D.DEDUP_INCREMENTAL_SQL,
         "ann_topk_bruteforce": S.ANN_TOPK_SQL,
         "embedding_label_centroids": S.EMBEDDING_CENTROIDS_SQL,
         "knn_label_propagation": S.KNN_LABEL_PROPAGATION_SQL,

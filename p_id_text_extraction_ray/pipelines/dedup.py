@@ -626,3 +626,59 @@ reach(a, b) AS (
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
 SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a
 """
+
+
+# --------------------------------------------------- incremental dedup
+
+CORPUS_SOURCE_MAX = 10  # sources src0..src9 = existing corpus; rest = new
+
+
+def dedup_incremental(sf_dir: str):
+    """Append-mode dedup: which NEW documents (sources src10+) bring
+    content not already in the existing corpus (sources src0..src9)?
+    The gate an ingestion pipeline runs on every new crawl drop.
+
+    Both sides reduce to (content_hash, doc_id) rows inside their own
+    batches, then a distributed ``anti_join`` on the hash keeps new docs
+    whose content never appears in the corpus — the shuffle carries
+    hashes, never text, and neither side is collected to the driver.
+    New-vs-new duplicates are intentionally kept (the corpus is the only
+    dedup reference; a later full-corpus pass handles intra-drop dups)."""
+    from .joins import anti_join
+
+    def hashed(new_side: bool):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            src_num = df["source"].str.slice(3).astype(int)
+            keep = (src_num >= CORPUS_SOURCE_MAX) if new_side \
+                else (src_num < CORPUS_SOURCE_MAX)
+            df = df[keep]
+            h = [hashlib.md5(normalize_whitespace(t).encode()).hexdigest()
+                 for t in df["text"]]
+            out = {"content_hash": pd.Series(h, dtype="object")}
+            if new_side:
+                out["doc_id"] = df["doc_id"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(out)
+        return fn
+
+    from ._util import sized_read
+    docs = lambda: sized_read(os.path.join(sf_dir, "documents.parquet"),
+                              ["doc_id", "text", "source"],
+                              rows_per_block=512)
+    new = docs().map_batches(hashed(True), batch_format="pandas")
+    corpus = docs().map_batches(hashed(False), batch_format="pandas")
+    out = anti_join(new, corpus, on="content_hash")
+    return out.map_batches(
+        lambda df: df[["doc_id"]].astype({"doc_id": "int64"}),
+        batch_format="pandas")
+
+
+DEDUP_INCREMENTAL_SQL = rf"""
+WITH h AS (
+  SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num,
+         md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash
+  FROM documents)
+SELECT doc_id FROM h
+WHERE src_num >= {CORPUS_SOURCE_MAX}
+  AND content_hash NOT IN (SELECT content_hash FROM h
+                           WHERE src_num < {CORPUS_SOURCE_MAX})
+"""
