@@ -239,9 +239,12 @@ def build_bloom(keys_ds, key: str, num_bits: int = 1 << 23,
                                            (pos & np.uint64(7)).astype(np.uint8)))
         return pd.DataFrame({"bits": [bits.tobytes()]})
 
-    # one constant-size row per batch; the reduce is a driver-side OR over
-    # #batches bitmaps (bounded by block count, independent of row count)
-    parts = keys_ds.map_batches(bitmap, batch_format="pandas").take_all()
+    # one constant-size row per BLOCK (batch_size=None), so the driver-side
+    # OR is over #blocks bitmaps — bounded by block count, independent of
+    # row count (default 1024-row batches would mint ~600 bitmaps per
+    # million rows and push them all through take_all)
+    parts = keys_ds.map_batches(bitmap, batch_format="pandas",
+                                batch_size=None).take_all()
     acc = np.zeros(num_bits // 8, dtype=np.uint8)
     for row in parts:
         acc |= np.frombuffer(row["bits"], dtype=np.uint8)

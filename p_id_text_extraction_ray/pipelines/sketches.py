@@ -97,7 +97,9 @@ def approx_distinct_users(sf_dir: str):
             "approx_users": np.array([round(_hll_estimate(acc))],
                                      dtype=np.int64)})
 
-    out = (ev.map_batches(partial, batch_format="pandas")
+    # batch_size=None: one register row per (block × group), not per 1024
+    # rows — the merge side stays proportional to block count
+    out = (ev.map_batches(partial, batch_format="pandas", batch_size=None)
            .groupby("event_type").map_groups(merge, batch_format="pandas"))
     return collect_with_schema(out, pa.schema(
         [("event_type", pa.string()), ("approx_users", pa.int64())]))
@@ -111,7 +113,7 @@ MG_COUNTERS = 2000         # per-batch summary size (guarantee: freq > N/2000)
 _WS = None  # compiled lazily inside workers
 
 
-def _tokens_of(texts) -> "pd.Series":
+def _tokens_of(texts) -> list:
     import re
     global _WS
     if _WS is None:
@@ -150,8 +152,8 @@ def heavy_hitter_tokens(sf_dir: str):
         return pd.DataFrame({"token": list(mg.keys())})
 
     cand = set()
-    for row in docs.map_batches(candidates,
-                                batch_format="pandas").take_all():
+    for row in docs.map_batches(candidates, batch_format="pandas",
+                                batch_size=None).take_all():
         cand.add(row["token"])
     cand_ref = ray.put(cand)
 
@@ -208,7 +210,7 @@ def approx_length_quantiles(sf_dir: str):
                              "n": counts.astype(np.int64)})
 
     hist = bucketed_group_sum(
-        docs.map_batches(partial, batch_format="pandas"),
+        docs.map_batches(partial, batch_format="pandas", batch_size=None),
         key="bin", sum_cols=["n"])
     small = collect_with_schema(hist, pa.schema(
         [("bin", pa.int64()), ("n", pa.int64())])).sort_values("bin")
