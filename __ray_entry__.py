@@ -22,6 +22,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 from p_id_text_extraction_ray.pipelines import analytics as A
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
+from p_id_text_extraction_ray.pipelines import relational_ext as RX
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import textstats as T
@@ -52,6 +53,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": R.order_priority_revenue,
         "q4_order_priority_check": R.q4_order_priority_check,
         "events_last_error_before_purchase": R.events_last_error_before_purchase,
+        "q7_nation_volume": RX.q7_nation_volume,
+        "q10_returned_items": RX.q10_returned_items,
+        "q14_promo_revenue": RX.q14_promo_revenue,
+        "q18_large_volume_orders": RX.q18_large_volume_orders,
         # window / analytics operators
         "top_orders_per_priority": A.top_orders_per_priority,
         "events_hopping_window": A.events_hopping_window,
@@ -117,6 +122,10 @@ def oracle_sql() -> dict[str, str]:
         "order_priority_revenue": R.ORDER_PRIORITY_REVENUE_SQL,
         "q4_order_priority_check": R.Q4_ORDER_PRIORITY_CHECK_SQL,
         "events_last_error_before_purchase": R.EVENTS_ASOF_SQL,
+        "q7_nation_volume": RX.Q7_SQL,
+        "q10_returned_items": RX.Q10_SQL,
+        "q14_promo_revenue": RX.Q14_SQL,
+        "q18_large_volume_orders": RX.Q18_SQL,
         "top_orders_per_priority": A.TOP_ORDERS_PER_PRIORITY_SQL,
         "events_hopping_window": A.EVENTS_HOPPING_WINDOW_SQL,
         "events_user_profile": A.EVENTS_USER_PROFILE_SQL,
