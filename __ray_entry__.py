@@ -20,6 +20,7 @@ from typing import Any
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from p_id_text_extraction_ray.pipelines import analytics as A
+from p_id_text_extraction_ray.pipelines import analytics_ext as AX
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
@@ -67,6 +68,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitem_revenue": A.urgent_lineitem_revenue,
         "events_rolling_avg": A.events_rolling_avg,
         "segment_priority_matrix": A.segment_priority_matrix,
+        "events_interarrival": AX.events_interarrival,
+        "orders_cumulative_revenue": AX.orders_cumulative_revenue,
+        "user_event_paths": AX.user_event_paths,
+        "events_props_stats": AX.events_props_stats,
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
         "heavy_hitter_tokens": K.heavy_hitter_tokens,
@@ -135,6 +140,10 @@ def oracle_sql() -> dict[str, str]:
         "urgent_lineitem_revenue": A.URGENT_LINEITEM_REVENUE_SQL,
         "events_rolling_avg": A.EVENTS_ROLLING_AVG_SQL,
         "segment_priority_matrix": A.SEGMENT_PRIORITY_MATRIX_SQL,
+        "events_interarrival": AX.EVENTS_INTERARRIVAL_SQL,
+        "orders_cumulative_revenue": AX.ORDERS_CUMULATIVE_REVENUE_SQL,
+        "user_event_paths": AX.USER_EVENT_PATHS_SQL,
+        "events_props_stats": AX.EVENTS_PROPS_STATS_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
