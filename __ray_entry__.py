@@ -21,6 +21,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from p_id_text_extraction_ray.pipelines import analytics as A
 from p_id_text_extraction_ray.pipelines import analytics_ext as AX
+from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
@@ -104,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": T.doc_repetition_stats,
         "doc_zscore_by_lang": T.doc_zscore_by_lang,
         "tfidf_top_terms": T.tfidf_top_terms,
+        "decontaminate_train": C.decontaminate_train,
+        "pack_sequences": C.pack_sequences,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -150,6 +153,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_mix": T.SAMPLE_MIX_SQL,
         "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
+        "decontaminate_train": C.DECONTAMINATE_SQL,
+        "pack_sequences": C.PACK_SEQUENCES_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

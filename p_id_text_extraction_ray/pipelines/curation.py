@@ -1,0 +1,144 @@
+"""Training-corpus curation operators: decontamination and sequence
+packing.
+
+* decontamination — flags training documents that share any word 8-gram
+  with the holdout split (the train/test-overlap check run before
+  pretraining; n-gram membership per Brown et al. '20 app. C /
+  Dodge et al. '21). Both sides shingle into stable 64-bit hashes
+  (functions/hashing.stable_hash64) so the all-to-all carries 8 bytes
+  per gram, not the gram text; the overlap test is the repo's bucketed
+  ``semi_join`` (pipelines/joins.py), so no side is ever collected to
+  the driver and a 100 TB corpus shuffles (hash, doc_id) pairs only.
+
+* sequence packing — concatenate-then-chunk bin assignment for fixed
+  token-budget training sequences: docs are hash-bucketed, ordered
+  deterministically inside each bucket, and a doc's bin is
+  ``floor(start_offset / budget)`` of the running token offset — the
+  standard pack-and-split layout, fully vectorized (sort + cumsum per
+  bucket; each doc shuffles exactly once). Buckets are independent, so
+  the operator scales by adding buckets; determinism is a pure function
+  of (doc_id, n_tok), not of block layout.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ..functions.hashing import stable_hash64
+from ._util import sized_read
+
+DECON_K = 8               # words per contamination gram
+HOLDOUT_MOD = 10          # doc_id % 10 == 0 -> holdout (textstats.split)
+PACK_BUDGET = 512         # tokens per packed training sequence
+NUM_PACK_BUCKETS = 16
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return sized_read(os.path.join(sf_dir, "documents.parquet"),
+                      list(columns), rows_per_block=4096)
+
+
+def _gram_rows(df: pd.DataFrame) -> pd.DataFrame:
+    """Distinct (gram_hash, doc_id) rows per batch. Docs shorter than
+    DECON_K words carry no gram (they cannot contain one)."""
+    out_h, out_d = [], []
+    for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+        words = text.lower().split()
+        if len(words) < DECON_K:
+            continue
+        grams = {" ".join(words[i:i + DECON_K])
+                 for i in range(len(words) - DECON_K + 1)}
+        h = np.fromiter((stable_hash64(g) for g in grams),
+                        dtype=np.uint64, count=len(grams))
+        out_h.append(h)
+        out_d.append(np.full(len(h), doc_id, dtype=np.int64))
+    if not out_h:
+        return pd.DataFrame({"gram": pd.Series([], dtype="int64"),
+                             "doc_id": pd.Series([], dtype="int64")})
+    return pd.DataFrame({"gram": np.concatenate(out_h).astype(np.int64),
+                         "doc_id": np.concatenate(out_d)})
+
+
+def decontaminate_train(sf_dir: str):
+    """(doc_id, n_shared) for every TRAIN doc sharing ≥1 word 8-gram with
+    any HOLDOUT doc; n_shared = number of distinct shared grams."""
+    from ._util import bucketed_group_sum
+    from .joins import semi_join
+
+    grams = _docs(sf_dir).map_batches(_gram_rows, batch_format="pandas")
+    train = grams.map_batches(
+        lambda df: df[df["doc_id"] % HOLDOUT_MOD != 0],
+        batch_format="pandas")
+    holdout = grams.map_batches(
+        lambda df: df.loc[df["doc_id"] % HOLDOUT_MOD == 0, ["gram"]],
+        batch_format="pandas")
+
+    shared = semi_join(train, holdout, on="gram")
+    flagged = bucketed_group_sum(
+        shared.map_batches(lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].values,
+             "n_shared": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        "doc_id", ["n_shared"])
+    return flagged
+
+
+DECONTAMINATE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+ok AS (SELECT doc_id, w FROM tok WHERE len(w) >= {DECON_K}),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {DECON_K - 1})) AS i
+        FROM ok),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(w[i:i+{DECON_K - 1}], ' ') AS g
+          FROM idx),
+hold AS (SELECT DISTINCT g FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0)
+SELECT grams.doc_id, count(*) AS n_shared
+FROM grams JOIN hold USING (g)
+WHERE grams.doc_id % {HOLDOUT_MOD} <> 0
+GROUP BY grams.doc_id
+"""
+
+
+def pack_sequences(sf_dir: str):
+    """(bucket, bin_id, doc_id, n_tok) pack layout: within each doc-hash
+    bucket, docs concatenate in doc_id order and a doc's bin is the
+    ``PACK_BUDGET``-token chunk its start offset falls in."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split().str.len().to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bucket": ids % NUM_PACK_BUCKETS,
+                             "doc_id": ids, "n_tok": n})
+
+    def assign_bins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        start = df["n_tok"].to_numpy(dtype=np.int64).cumsum() \
+            - df["n_tok"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bucket": df["bucket"].values,
+                             "bin_id": start // PACK_BUDGET,
+                             "doc_id": df["doc_id"].values,
+                             "n_tok": df["n_tok"].values})
+
+    return (_docs(sf_dir).map_batches(tok_counts, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(assign_bins, batch_format="pandas"))
+
+
+PACK_SEQUENCES_SQL = rf"""
+WITH t AS (
+  SELECT doc_id % {NUM_PACK_BUCKETS} AS bucket, doc_id,
+         len(regexp_extract_all(text, '\S+')) AS n_tok
+  FROM documents)
+SELECT bucket,
+       (CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        - n_tok) // {PACK_BUDGET}                     AS bin_id,
+       doc_id, n_tok
+FROM t
+"""

@@ -1,0 +1,54 @@
+"""Curation-operator properties: packing invariants, planted
+contamination recall, and determinism (the oracle-equality check runs
+separately in test_queries_vs_oracle)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from p_id_text_extraction_ray.pipelines import curation as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_covers_every_doc_once(ray_session):
+    out = C.pack_sequences(SF).to_pandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id"])
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+
+
+def test_pack_bins_are_contiguous_chunks(ray_session):
+    """Within a bucket, bin boundaries are exactly the PACK_BUDGET-token
+    chunk edges of the running offset (pack-then-split semantics)."""
+    out = C.pack_sequences(SF).to_pandas()
+    for _, g in out.groupby("bucket"):
+        g = g.sort_values("doc_id")
+        start = g["n_tok"].to_numpy().cumsum() - g["n_tok"].to_numpy()
+        assert (g["bin_id"].to_numpy() == start // C.PACK_BUDGET).all()
+        # bin ids are nondecreasing in pack order, starting at 0
+        assert g["bin_id"].iloc[0] == 0
+        assert (np.diff(g["bin_id"].to_numpy()) >= 0).all()
+
+
+def test_decontaminate_flags_planted_overlap(ray_session, tmp_path):
+    """A train doc that copies 8 consecutive words from a holdout doc is
+    flagged; unrelated train docs are not."""
+    hold_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame({
+        "doc_id": [10, 1, 2],          # 10 -> holdout (doc_id % 10 == 0)
+        "text": [hold_text,
+                 "x y " + " ".join(hold_text.split()[:8]) + " z",
+                 "totally different words with no overlap at all here"],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = C.decontaminate_train(str(tmp_path)).to_pandas()
+    assert set(out["doc_id"]) == {1}
+    assert int(out.loc[out["doc_id"] == 1, "n_shared"].iloc[0]) == 1
+
+
+def test_decontaminate_deterministic(ray_session):
+    a = C.decontaminate_train(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = C.decontaminate_train(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert a.equals(b)
