@@ -73,6 +73,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_cumulative_revenue": AX.orders_cumulative_revenue,
         "user_event_paths": AX.user_event_paths,
         "events_props_stats": AX.events_props_stats,
+        "events_funnel": AX.events_funnel,
+        "customer_order_totals": AX.customer_order_totals,
+        "events_value_histogram": AX.events_value_histogram,
+        "discount_quantity_corr": AX.discount_quantity_corr,
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
         "heavy_hitter_tokens": K.heavy_hitter_tokens,
@@ -147,6 +151,10 @@ def oracle_sql() -> dict[str, str]:
         "orders_cumulative_revenue": AX.ORDERS_CUMULATIVE_REVENUE_SQL,
         "user_event_paths": AX.USER_EVENT_PATHS_SQL,
         "events_props_stats": AX.EVENTS_PROPS_STATS_SQL,
+        "events_funnel": AX.EVENTS_FUNNEL_SQL,
+        "customer_order_totals": AX.CUSTOMER_ORDER_TOTALS_SQL,
+        "events_value_histogram": AX.EVENTS_VALUE_HISTOGRAM_SQL,
+        "discount_quantity_corr": AX.DISCOUNT_QUANTITY_CORR_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,

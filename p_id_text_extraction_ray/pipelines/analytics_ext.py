@@ -227,3 +227,196 @@ SELECT event_type,
        round(sum(k) / count(*), 6)      AS avg_k
 FROM e GROUP BY event_type
 """
+
+
+# ------------------------------------------------------ funnel analysis
+
+def events_funnel(sf_dir: str):
+    """signup→purchase conversion funnel: of the users who ever signed
+    up, how many later purchased. One bucketed shuffle carries per-user
+    (first-signup, last-purchase) partials — min/max combine across
+    batches, so each event row is reduced before the all-to-all — and
+    three integers reach the driver."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[df["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        p = df[df["event_type"] == "purchase"].groupby("user_id")["ts"].max()
+        out = pd.concat([s.rename("first_signup"), p.rename("last_purchase")],
+                        axis=1).reset_index()
+        return out
+
+    per_user = ev.map_batches(partial, batch_format="pandas") \
+        .groupby("user_id") \
+        .aggregate(Min("first_signup", alias_name="first_signup",
+                       ignore_nulls=True),
+                   Max("last_purchase", alias_name="last_purchase",
+                       ignore_nulls=True))
+
+    def count_partial(df: pd.DataFrame) -> pd.DataFrame:
+        signed = df["first_signup"].notna()
+        conv = signed & df["last_purchase"].notna() \
+            & (df["last_purchase"] > df["first_signup"])
+        return pd.DataFrame({"n_signup_users": [int(signed.sum())],
+                             "n_converted": [int(conv.sum())]})
+
+    agg = per_user.map_batches(count_partial, batch_format="pandas") \
+        .aggregate(Sum("n_signup_users", alias_name="s"),
+                   Sum("n_converted", alias_name="c"))
+    return pd.DataFrame({
+        "n_signup_users": pd.Series([agg["s"]], dtype="int64"),
+        "n_converted": pd.Series([agg["c"]], dtype="int64"),
+        "conversion_pct": [round(100.0 * agg["c"] / agg["s"], 6)]})
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s AS (SELECT user_id, min(ts) AS first_signup
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, max(ts) AS last_purchase
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id)
+SELECT count(*) AS n_signup_users,
+       count(CASE WHEN last_purchase > first_signup THEN 1 END)
+         AS n_converted,
+       round(100.0 * count(CASE WHEN last_purchase > first_signup THEN 1 END)
+             / count(*), 6) AS conversion_pct
+FROM s LEFT JOIN p USING (user_id)
+"""
+
+
+# ------------------------------------- left join with zero-fill rollup
+
+def customer_order_totals(sf_dir: str):
+    """Per-customer order count and lifetime spend INCLUDING customers
+    with no orders (left-outer semantics): order partials pre-reduce per
+    custkey inside the join's shuffle; unmatched customers zero-fill."""
+    from .joins import sum_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["o_custkey"].values,
+                             "n_orders": np.ones(len(df), dtype=np.int64),
+                             "sp_c": cents(df["o_totalprice"])})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = sum_join(orders.map_batches(o_rows, batch_format="pandas"),
+                      cust, on="c_custkey", sum_cols=["n_orders", "sp_c"],
+                      how="right")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_orders"].fillna(0).to_numpy(dtype=np.int64)
+        sp = df["sp_c"].fillna(0).to_numpy(dtype=np.int64)
+        return pd.DataFrame({"c_custkey": df["c_custkey"].values,
+                             "c_mktsegment": df["c_mktsegment"].values,
+                             "n_orders": n,
+                             "total_spent": sp / 100.0})
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+CUSTOMER_ORDER_TOTALS_SQL = """
+SELECT c_custkey, c_mktsegment,
+       count(o_custkey) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) / 100.0 AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+# ----------------------------------------------------- value histogram
+
+HIST_BIN_WIDTH = 50.0
+
+
+def events_value_histogram(sf_dir: str):
+    """Fixed-width histogram of event value (count + exact-cents sum per
+    bin): per-batch vectorized binning and partial aggregation, then a
+    tiny per-bin shuffle — the profiling scan that sizes downstream
+    quantile/outlier work."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(dtype=np.float64)
+        b = np.floor(v / HIST_BIN_WIDTH).astype(np.int64)
+        g = pd.DataFrame({"bin": b, "n": np.ones(len(b), dtype=np.int64),
+                          "sum_c": cents(v)}) \
+            .groupby("bin", as_index=False).sum()
+        return g
+
+    agg = ev.map_batches(partial, batch_format="pandas") \
+        .groupby("bin").aggregate(Sum("n", alias_name="n_events"),
+                                  Sum("sum_c", alias_name="sum_c"))
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "bin": df["bin"].to_numpy(dtype=np.int64),
+            "lo": df["bin"].to_numpy(dtype=np.float64) * HIST_BIN_WIDTH,
+            "n_events": df["n_events"].to_numpy(dtype=np.int64),
+            "bin_sum": df["sum_c"].to_numpy(dtype=np.int64) / 100.0}),
+        batch_format="pandas")
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(value / {HIST_BIN_WIDTH}) AS BIGINT) AS bin, value
+  FROM events)
+SELECT bin,
+       CAST(bin AS DOUBLE) * {HIST_BIN_WIDTH} AS lo,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS bin_sum
+FROM b GROUP BY bin
+"""
+
+
+# ------------------------------------- exact-integer Pearson correlation
+
+def discount_quantity_corr(sf_dir: str):
+    """Pearson correlation of l_discount vs l_quantity from exact
+    integer moment sums: the five sufficient statistics accumulate as
+    int64 partials per batch (products are bounded — discount-cents
+    ≤ 1000, quantity ≤ 50 — so the global sums stay in int64 to ~10^12
+    rows), and the final normalized products run in Python arbitrary-
+    precision ints on the driver, so the result is bit-identical to the
+    oracle's HUGEINT math at any scale."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = cents(df["l_discount"])                       # 0..1000
+        y = np.rint(df["l_quantity"].to_numpy(dtype=np.float64)) \
+            .astype(np.int64)                             # 1..50
+        return pd.DataFrame({
+            "n": [len(df)], "sx": [int(x.sum())], "sy": [int(y.sum())],
+            "sxy": [int((x * y).sum())], "sxx": [int((x * x).sum())],
+            "syy": [int((y * y).sum())]})
+
+    a = li.map_batches(partial, batch_format="pandas") \
+        .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                   Sum("sy", alias_name="sy"), Sum("sxy", alias_name="sxy"),
+                   Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"))
+    n, sx, sy = int(a["n"]), int(a["sx"]), int(a["sy"])
+    sxy, sxx, syy = int(a["sxy"]), int(a["sxx"]), int(a["syy"])
+    import math
+    r = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx)
+                                        * (n * syy - sy * sy))
+    return pd.DataFrame({"pearson_r": [round(r, 6)]})
+
+
+DISCOUNT_QUANTITY_CORR_SQL = """
+WITH m AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+         CAST(round(l_quantity) AS BIGINT)       AS y
+  FROM lineitem),
+s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      FROM m)
+SELECT round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
+       AS pearson_r
+FROM s
+"""
