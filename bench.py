@@ -112,7 +112,11 @@ def run_bench() -> dict:
                      "ann_ivf_topk", "doc_token_stats", "top_bigrams",
                      "sample_mix", "urgent_lineitem_revenue",
                      "heavy_hitter_tokens", "approx_distinct_users",
-                     "events_rolling_avg"):
+                     "events_rolling_avg", "q7_nation_volume",
+                     "q10_returned_items", "q18_large_volume_orders",
+                     "events_interarrival", "user_event_paths",
+                     "events_props_stats", "decontaminate_train",
+                     "pack_sequences", "customer_order_totals"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
