@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_totals": AX.customer_order_totals,
         "events_value_histogram": AX.events_value_histogram,
         "discount_quantity_corr": AX.discount_quantity_corr,
+        "funnel_latency": AX.funnel_latency,
+        "doc_length_median_by_lang": T.doc_length_median_by_lang,
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
         "heavy_hitter_tokens": K.heavy_hitter_tokens,
@@ -155,6 +157,8 @@ def oracle_sql() -> dict[str, str]:
         "customer_order_totals": AX.CUSTOMER_ORDER_TOTALS_SQL,
         "events_value_histogram": AX.EVENTS_VALUE_HISTOGRAM_SQL,
         "discount_quantity_corr": AX.DISCOUNT_QUANTITY_CORR_SQL,
+        "funnel_latency": AX.FUNNEL_LATENCY_SQL,
+        "doc_length_median_by_lang": T.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,

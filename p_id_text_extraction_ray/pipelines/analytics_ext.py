@@ -420,3 +420,61 @@ SELECT round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 6)
        AS pearson_r
 FROM s
 """
+
+
+# ---------------------------------------------------- funnel latency
+
+def funnel_latency(sf_dir: str):
+    """Time from first signup to the first purchase AFTER it: converted-
+    user count, mean and max latency seconds. Each user bucket holds all
+    of that user's events, so first-signup / first-qualifying-purchase
+    resolve vectorized inside the bucket; constant-size (n, sum, max)
+    partials are all that reach the final reduce."""
+    from ray.data.aggregate import Max, Sum
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type"])
+
+    def bucket_latency(df: pd.DataFrame) -> pd.DataFrame:
+        fs = df[df["event_type"] == "signup"].groupby("user_id")["ts"].min()
+        p = df[df["event_type"] == "purchase"][["user_id", "ts"]].merge(
+            fs.rename("fs"), left_on="user_id", right_index=True)
+        p = p[p["ts"] > p["fs"]]
+        if not len(p):
+            return pd.DataFrame({"n": np.array([0], np.int64),
+                                 "sum_us": np.array([0], np.int64),
+                                 "max_us": np.array([0], np.int64)})
+        fp = p.groupby("user_id").agg(fp=("ts", "min"), fs=("fs", "first"))
+        lat = (fp["fp"] - fp["fs"]).to_numpy(dtype="timedelta64[us]") \
+            .astype(np.int64)
+        return pd.DataFrame({"n": np.array([len(lat)], np.int64),
+                             "sum_us": np.array([int(lat.sum())], np.int64),
+                             "max_us": np.array([int(lat.max())], np.int64)})
+
+    agg = (ev.map_batches(_user_bucket, batch_format="pandas")
+           .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+           .map_groups(bucket_latency, batch_format="pandas")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_us", alias_name="sum_us"),
+                      Max("max_us", alias_name="max_us")))
+    n = int(agg["n"])
+    return pd.DataFrame({
+        "n_converted": pd.Series([n], dtype="int64"),
+        "avg_latency_s": [round(agg["sum_us"] / n / 1_000_000.0, 6)],
+        "max_latency_s": [agg["max_us"] / 1_000_000.0]})
+
+
+FUNNEL_LATENCY_SQL = """
+WITH s AS (SELECT user_id, min(ts) AS fs
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT e.user_id, min(e.ts) AS fp
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s.fs
+      GROUP BY e.user_id),
+lat AS (SELECT date_diff('microsecond', fs, fp) AS us
+        FROM s JOIN p USING (user_id))
+SELECT count(*) AS n_converted,
+       round(sum(us) / count(*) / 1000000.0, 6) AS avg_latency_s,
+       max(us) / 1000000.0 AS max_latency_s
+FROM lat
+"""

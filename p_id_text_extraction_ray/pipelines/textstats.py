@@ -586,3 +586,61 @@ SELECT doc_id,
        term, tf, n_df, score
 FROM scored QUALIFY rnk <= {TFIDF_TOPK}
 """
+
+
+# ------------------------------------------- grouped exact quantiles
+
+GROUP_QUANTILE_QS = (0.5, 0.9)
+
+
+def doc_length_median_by_lang(sf_dir: str):
+    """Exact per-language token-count median and p90 (percentile_disc
+    semantics) — the grouped variant of ``doc_length_quantiles``.
+
+    Same scale shape, now keyed: the shuffle carries one (lang, n_words,
+    count) row per batch per distinct length, the grouped histogram is
+    tiny (langs × distinct lengths), and each language's quantiles are
+    read off its cumulative counts inside a per-lang ``map_groups`` —
+    nothing returns to the driver but the |langs|-row result."""
+    import numpy as np
+    from ray.data.aggregate import Sum
+
+    def counts(t: pa.Table) -> pa.Table:
+        n = pc.cast(T.token_count(t.column("text").combine_chunks()), pa.int64())
+        vc = pa.table({"lang": t.column("lang"), "n_words": n}) \
+            .group_by(["lang", "n_words"]).aggregate([("n_words", "count")])
+        return pa.table({"lang": vc.column("lang"),
+                         "n_words": vc.column("n_words"),
+                         "cnt": pc.cast(vc.column("n_words_count"), pa.int64())})
+
+    hist = _docs(sf_dir, columns=("text", "lang")) \
+        .map_batches(counts, batch_format="pyarrow") \
+        .groupby(["lang", "n_words"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+    def lang_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("n_words")
+        values = df["n_words"].to_numpy(dtype=np.int64)
+        cum = df["cnt"].to_numpy(dtype=np.int64).cumsum()
+        n_total = int(cum[-1])
+
+        def disc(q: float) -> int:
+            k = max(1, int(np.ceil(q * n_total)))
+            return int(values[np.searchsorted(cum, k)])
+
+        return pd.DataFrame({"lang": [df["lang"].iloc[0]],
+                             "n_docs": np.array([n_total], dtype=np.int64),
+                             "median_words": np.array([disc(0.5)], np.int64),
+                             "p90_words": np.array([disc(0.9)], np.int64)})
+
+    return hist.groupby("lang").map_groups(lang_quantiles,
+                                           batch_format="pandas")
+
+
+DOC_LENGTH_MEDIAN_BY_LANG_SQL = r"""
+WITH n AS (SELECT lang, len(regexp_extract_all(text, '\w+')) AS n_words
+           FROM documents)
+SELECT lang, count(*) AS n_docs,
+       quantile_disc(n_words, 0.5) AS median_words,
+       quantile_disc(n_words, 0.9) AS p90_words
+FROM n GROUP BY lang
+"""
