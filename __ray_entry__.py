@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": T.tfidf_top_terms,
         "decontaminate_train": C.decontaminate_train,
         "pack_sequences": C.pack_sequences,
+        "curate_corpus": C.curate_corpus,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "decontaminate_train": C.DECONTAMINATE_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
+        "curate_corpus": C.CURATE_CORPUS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

@@ -142,3 +142,121 @@ SELECT bucket,
        doc_id, n_tok
 FROM t
 """
+
+
+# ------------------------------------------- composed curation pipeline
+
+def curate_corpus(sf_dir: str):
+    """The full curation chain a pretraining corpus runs, as ONE lazy
+    Ray Data plan: quality gate → exact dedup (keep min doc_id per
+    normalized-content hash) → holdout decontamination → sequence
+    packing of the surviving train docs.
+
+    Composition stays streaming end-to-end: the quality gate fuses into
+    the read; the dedup shuffle carries each surviving doc once (text
+    rides along so no second join is needed to recover it); the decon
+    step shuffles 8-byte gram hashes; the final anti-join drops
+    contaminated docs before packing. Every stage is the same bucketed
+    primitive the standalone operators use — this pipeline is evidence
+    the pieces compose, not new machinery.
+    """
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..functions import textops as T
+    from ..functions.textops import normalize_whitespace
+    from .joins import anti_join, semi_join, DEFAULT_SHUFFLE_PARTITIONS
+    from .textstats import QUALITY_MIN_WORDS, QUALITY_MAX_WORDS
+
+    def gate(t: pa.Table) -> pa.Table:
+        n = pc.cast(T.token_count(t.column("text").combine_chunks()),
+                    pa.int64())
+        keep = pc.and_(pc.greater_equal(n, QUALITY_MIN_WORDS),
+                       pc.less_equal(n, QUALITY_MAX_WORDS))
+        return t.filter(keep)
+
+    quality = _docs(sf_dir).map_batches(gate, batch_format="pyarrow")
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = [hashlib.md5(normalize_whitespace(t).encode()).hexdigest()
+             for t in df["text"]]
+        b = np.array([int(x[:2], 16) for x in h], dtype=np.int64) % 64
+        return pd.DataFrame({"content_hash": h, "bucket": b,
+                             "doc_id": df["doc_id"].values,
+                             "text": df["text"].values})
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return g.drop_duplicates("content_hash")[["doc_id", "text"]]
+
+    deduped = (quality.map_batches(hash_batch, batch_format="pandas")
+               .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+               .map_groups(keep_min, batch_format="pandas"))
+
+    grams = deduped.map_batches(_gram_rows, batch_format="pandas")
+    train_grams = grams.map_batches(
+        lambda df: df[df["doc_id"] % HOLDOUT_MOD != 0],
+        batch_format="pandas")
+    hold_grams = grams.map_batches(
+        lambda df: df.loc[df["doc_id"] % HOLDOUT_MOD == 0, ["gram"]],
+        batch_format="pandas")
+    contaminated = semi_join(train_grams, hold_grams, on="gram") \
+        .map_batches(lambda df: df[["doc_id"]].drop_duplicates(),
+                     batch_format="pandas")
+
+    train = deduped.map_batches(
+        lambda df: df[df["doc_id"] % HOLDOUT_MOD != 0],
+        batch_format="pandas")
+    clean_train = anti_join(train, contaminated, on="doc_id")
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.split().str.len().to_numpy(dtype=np.int64)
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"bucket": ids % NUM_PACK_BUCKETS,
+                             "doc_id": ids, "n_tok": n})
+
+    def assign_bins(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("doc_id", kind="mergesort")
+        ntok = df["n_tok"].to_numpy(dtype=np.int64)
+        start = ntok.cumsum() - ntok
+        return pd.DataFrame({"bucket": df["bucket"].values,
+                             "bin_id": start // PACK_BUDGET,
+                             "doc_id": df["doc_id"].values,
+                             "n_tok": ntok})
+
+    return (clean_train.map_batches(tok_counts, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(assign_bins, batch_format="pandas"))
+
+
+CURATE_CORPUS_SQL = rf"""
+WITH q AS (
+  SELECT doc_id, text FROM documents
+  WHERE len(regexp_extract_all(text, '\w+')) BETWEEN 30 AND 60),
+d AS (SELECT min(doc_id) AS doc_id FROM q
+      GROUP BY md5(trim(regexp_replace(text, '\s+', ' ', 'g')))),
+dd AS (SELECT q.doc_id, q.text FROM q JOIN d USING (doc_id)),
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM dd),
+idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w) - {DECON_K - 1}))
+               AS i
+        FROM tok WHERE len(w) >= {DECON_K}),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(w[i:i+{DECON_K - 1}], ' ') AS g FROM idx),
+hold AS (SELECT DISTINCT g FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0),
+contam AS (SELECT DISTINCT grams.doc_id FROM grams JOIN hold USING (g)
+           WHERE grams.doc_id % {HOLDOUT_MOD} <> 0),
+train AS (SELECT dd.doc_id, dd.text FROM dd
+          WHERE dd.doc_id % {HOLDOUT_MOD} <> 0
+            AND dd.doc_id NOT IN (SELECT doc_id FROM contam)),
+t AS (SELECT doc_id % {NUM_PACK_BUCKETS} AS bucket, doc_id,
+             len(regexp_extract_all(text, '\S+')) AS n_tok
+      FROM train)
+SELECT bucket,
+       (CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        - n_tok) // {PACK_BUDGET}                     AS bin_id,
+       doc_id, n_tok
+FROM t
+"""
