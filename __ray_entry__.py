@@ -78,6 +78,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_value_histogram": AX.events_value_histogram,
         "discount_quantity_corr": AX.discount_quantity_corr,
         "funnel_latency": AX.funnel_latency,
+        "segment_priority_rollup": AX.segment_priority_rollup,
         "doc_length_median_by_lang": T.doc_length_median_by_lang,
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
@@ -159,6 +160,7 @@ def oracle_sql() -> dict[str, str]:
         "events_value_histogram": AX.EVENTS_VALUE_HISTOGRAM_SQL,
         "discount_quantity_corr": AX.DISCOUNT_QUANTITY_CORR_SQL,
         "funnel_latency": AX.FUNNEL_LATENCY_SQL,
+        "segment_priority_rollup": AX.SEGMENT_PRIORITY_ROLLUP_SQL,
         "doc_length_median_by_lang": T.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,

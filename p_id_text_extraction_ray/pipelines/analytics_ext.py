@@ -478,3 +478,65 @@ SELECT count(*) AS n_converted,
        max(us) / 1000000.0 AS max_latency_s
 FROM lat
 """
+
+
+# ------------------------------------------------- rollup grouping sets
+
+def segment_priority_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(segment, priority): base cells plus per-segment
+    subtotals plus a grand total. The fact side reduces to per-custkey
+    partials inside the customer join's shuffle; the (5 × 5)-cell base
+    cube is scale-independent, so the subtotal levels derive from it in
+    one final block — the rollup costs nothing beyond the base
+    aggregate."""
+    from ray.data.aggregate import Sum
+    from .joins import sum_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["o_custkey"].values,
+                             "priority": df["o_orderpriority"].values,
+                             "n_orders": np.ones(len(df), dtype=np.int64),
+                             "rev_c": cents(df["o_totalprice"])})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = sum_join(orders.map_batches(o_rows, batch_format="pandas"),
+                      cust, on="c_custkey",
+                      sum_keys=["c_custkey", "priority"],
+                      sum_cols=["n_orders", "rev_c"])
+
+    base = joined.map_batches(
+        lambda df: df.groupby(["c_mktsegment", "priority"], as_index=False)
+        [["n_orders", "rev_c"]].sum().rename(columns={"c_mktsegment": "segment"}),
+        batch_format="pandas") \
+        .groupby(["segment", "priority"]) \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("rev_c", alias_name="rev_c"))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df.groupby("segment", as_index=False)[["n_orders", "rev_c"]] \
+            .sum().assign(priority="ALL")
+        total = pd.DataFrame({"segment": ["ALL"], "priority": ["ALL"],
+                              "n_orders": [df["n_orders"].sum()],
+                              "rev_c": [df["rev_c"].sum()]})
+        out = pd.concat([df, seg, total], ignore_index=True)
+        return pd.DataFrame({"segment": out["segment"].values,
+                             "priority": out["priority"].values,
+                             "n_orders": out["n_orders"].to_numpy(np.int64),
+                             "revenue": out["rev_c"].to_numpy(np.int64) / 100.0})
+
+    return base.repartition(1).map_batches(rollup, batch_format="pandas",
+                                           batch_size=None)
+
+
+SEGMENT_PRIORITY_ROLLUP_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL')   AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
+"""
