@@ -98,6 +98,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_label_centroids": S.embedding_label_centroids,
         "knn_label_propagation": S.knn_label_propagation,
+        "embedding_quantize_int8": S.embedding_quantize_int8,
         # text analysis
         "doc_token_stats": T.doc_token_stats,
         "lang_id_pred": T.lang_id_pred,

@@ -390,3 +390,35 @@ SELECT vec_id, CAST(label AS BIGINT) AS pred_label
 FROM votes
 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, label) = 1
 """
+
+
+# ------------------------------------------------ int8 quantization
+
+def embedding_quantize_int8(sf_dir: str):
+    """Per-vector symmetric int8 quantization with reconstruction-error
+    audit — the vector-compression pass an embedding store runs before
+    serving (4x smaller, dot products in int8). Per vector: scale =
+    max|v|/127, q = rint(v/scale); emitted are the scale and the exact
+    reconstruction errors (max-abs and MSE), NOT the vectors, so the
+    result stays rows-per-vector small while the quantization itself is
+    one vectorized pass per batch. Rows-only (no SQL oracle: round-half
+    semantics differ between numpy and SQL engines); the error bound
+    max_abs_err <= scale/2 is asserted by pytest."""
+    import pandas as pd
+
+    def quant(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        scale = np.abs(m).max(axis=1) / 127.0
+        scale[scale == 0] = 1.0
+        q = np.rint(m / scale[:, None]).clip(-127, 127).astype(np.int8)
+        recon = q.astype(np.float64) * scale[:, None]
+        err = np.abs(m - recon)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(dtype=np.int64),
+            "scale": np.round(scale, 9),
+            "max_abs_err": np.round(err.max(axis=1), 9),
+            "mse": np.round((err * err).mean(axis=1), 12)})
+
+    return _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                     ["vec_id", "embedding"]) \
+        .map_batches(quant, batch_format="pandas")

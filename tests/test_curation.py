@@ -52,3 +52,18 @@ def test_decontaminate_deterministic(ray_session):
     b = C.decontaminate_train(SF).to_pandas().sort_values("doc_id") \
         .reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_embedding_quantize_error_bound(ray_session):
+    """int8 reconstruction error is bounded by scale/2 per component and
+    the output is deterministic."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        embedding_quantize_int8)
+    out = embedding_quantize_int8(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    assert len(out) == len(emb)
+    assert (out["max_abs_err"] <= out["scale"] / 2 + 1e-9).all()
+    assert (out["mse"] >= 0).all()
+    again = embedding_quantize_int8(SF).to_pandas()
+    assert out.sort_values("vec_id").reset_index(drop=True).equals(
+        again.sort_values("vec_id").reset_index(drop=True))
