@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_quantity_corr": AX.discount_quantity_corr,
         "funnel_latency": AX.funnel_latency,
         "segment_priority_rollup": AX.segment_priority_rollup,
+        "retention_cohorts": AX.retention_cohorts,
+        "source_vocab_overlap": C.source_vocab_overlap,
         "doc_length_median_by_lang": T.doc_length_median_by_lang,
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
@@ -162,6 +164,8 @@ def oracle_sql() -> dict[str, str]:
         "discount_quantity_corr": AX.DISCOUNT_QUANTITY_CORR_SQL,
         "funnel_latency": AX.FUNNEL_LATENCY_SQL,
         "segment_priority_rollup": AX.SEGMENT_PRIORITY_ROLLUP_SQL,
+        "retention_cohorts": AX.RETENTION_COHORTS_SQL,
+        "source_vocab_overlap": C.SOURCE_VOCAB_OVERLAP_SQL,
         "doc_length_median_by_lang": T.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,

@@ -540,3 +540,46 @@ SELECT coalesce(c_mktsegment, 'ALL')   AS segment,
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY ROLLUP (c_mktsegment, o_orderpriority)
 """
+
+
+# --------------------------------------------------- retention cohorts
+
+def retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users cohorted by first-activity day,
+    distinct active users per (cohort_day, day_offset). Each user bucket
+    derives first-activity and per-day activity vectorized; the bucket
+    emits DISTINCT (cohort_day, offset, user) rows — global distinctness
+    is free because a user lives in exactly one bucket — and the final
+    shuffle carries one count partial per cohort cell."""
+    from ._util import bucketed_group_sum
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def cohort_rows(df: pd.DataFrame) -> pd.DataFrame:
+        day = df["ts"].dt.floor("D")
+        first = day.groupby(df["user_id"]).transform("min")
+        off = (day - first).dt.days.to_numpy(dtype=np.int64)
+        out = pd.DataFrame({"cohort_day": first.values,
+                            "day_offset": off,
+                            "user_id": df["user_id"].values}) \
+            .drop_duplicates()
+        return pd.DataFrame({"cohort_day": out["cohort_day"].values,
+                             "day_offset": out["day_offset"].values,
+                             "n_active": np.ones(len(out), dtype=np.int64)})
+
+    return bucketed_group_sum(
+        (ev.map_batches(_user_bucket, batch_format="pandas")
+         .groupby("bucket", num_partitions=16)
+         .map_groups(cohort_rows, batch_format="pandas")),
+        ["cohort_day", "day_offset"], ["n_active"])
+
+
+RETENTION_COHORTS_SQL = """
+WITH f AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+           FROM events GROUP BY user_id)
+SELECT cohort_day,
+       date_diff('day', cohort_day, date_trunc('day', e.ts)) AS day_offset,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN f USING (user_id)
+GROUP BY 1, 2
+"""

@@ -260,3 +260,90 @@ SELECT bucket,
        doc_id, n_tok
 FROM t
 """
+
+
+# ------------------------------------------- source vocabulary overlap
+
+def source_vocab_overlap(sf_dir: str):
+    """Pairwise Jaccard overlap of the word vocabularies of each source
+    (the corpus-mixing diagnostic: near-identical sources should be
+    down-weighted). Pair generation is the inverted-index shape, never
+    all-pairs over docs: distinct (term, source) rows group by term, each
+    term group emits its source pairs (bounded by the source count, not
+    the corpus), pair counts and vocab sizes reduce in bucketed shuffles,
+    and the final join runs over |sources|² rows at most."""
+    from ._util import bucketed_group_sum
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    docs = _docs(sf_dir, columns=("text", "source"))
+
+    def term_rows(df: pd.DataFrame) -> pd.DataFrame:
+        srcs, terms = [], []
+        for src, text in zip(df["source"], df["text"]):
+            for t in set(text.lower().split()):
+                srcs.append(src)
+                terms.append(t)
+        return pd.DataFrame({"term": terms, "source": srcs}).drop_duplicates()
+
+    st = docs.map_batches(term_rows, batch_format="pandas")
+
+    # global distinct (term, source): term is the shuffle key, so one
+    # group holds every copy of a (term, source) row
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g[["term", "source"]].drop_duplicates()
+
+    st_distinct = st.groupby("term",
+                             num_partitions=DEFAULT_SHUFFLE_PARTITIONS) \
+        .map_groups(dedup_group, batch_format="pandas")
+
+    sizes = bucketed_group_sum(
+        st_distinct.map_batches(
+            lambda df: pd.DataFrame({"source": df["source"].values,
+                                     "n": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        "source", ["n"]).to_pandas()
+    vocab_n = dict(zip(sizes["source"], sizes["n"]))
+
+    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, grp in g.groupby("term"):
+            s = sorted(grp["source"].unique())
+            for i in range(len(s)):
+                for j in range(i + 1, len(s)):
+                    out_a.append(s[i])
+                    out_b.append(s[j])
+        return pd.DataFrame({"src_a": out_a, "src_b": out_b,
+                             "n_common": np.ones(len(out_a), dtype=np.int64)})
+
+    pairs = bucketed_group_sum(
+        st_distinct.groupby("term",
+                            num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+        .map_groups(pair_rows, batch_format="pandas"),
+        ["src_a", "src_b"], ["n_common"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        na = df["src_a"].map(vocab_n).to_numpy(dtype=np.int64)
+        nb = df["src_b"].map(vocab_n).to_numpy(dtype=np.int64)
+        nc = df["n_common"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"src_a": df["src_a"].values,
+                             "src_b": df["src_b"].values,
+                             "n_common": nc,
+                             "jaccard": np.round(nc / (na + nb - nc), 6)})
+
+    return pairs.map_batches(finish, batch_format="pandas")
+
+
+SOURCE_VOCAB_OVERLAP_SQL = r"""
+WITH st AS (
+  SELECT DISTINCT source, t AS term
+  FROM (SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+        FROM documents)),
+sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+inter AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+          FROM st a JOIN st b ON a.term = b.term AND a.source < b.source
+          GROUP BY 1, 2)
+SELECT src_a, src_b, n_common,
+       round(n_common / (na.n + nb.n - n_common), 6) AS jaccard
+FROM inter JOIN sizes na ON na.source = src_a
+           JOIN sizes nb ON nb.source = src_b
+"""
