@@ -101,6 +101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_centroids": S.embedding_label_centroids,
         "knn_label_propagation": S.knn_label_propagation,
         "embedding_quantize_int8": S.embedding_quantize_int8,
+        "embedding_kmeans_clusters": S.embedding_kmeans_clusters,
         # text analysis
         "doc_token_stats": T.doc_token_stats,
         "lang_id_pred": T.lang_id_pred,

@@ -422,3 +422,48 @@ def embedding_quantize_int8(sf_dir: str):
     return _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                      ["vec_id", "embedding"]) \
         .map_batches(quant, batch_format="pandas")
+
+
+# -------------------------------------------------- kmeans clustering
+
+def embedding_kmeans_clusters(sf_dir: str):
+    """Cluster assignment + per-cluster stats over the IVF centroids
+    (the corpus-topic-clustering pass a mixing pipeline runs): centroids
+    train once on the driver's deterministic bounded sample
+    (``_ivf_centroids``), broadcast to every batch, each batch assigns
+    its vectors with one matmul and emits per-cluster partials, and the
+    result is one row per cluster (size, mean cosine-to-centroid).
+    Rows-only: kmeans is iterative and not SQL-expressible; determinism
+    and partition-invariance are pytest-checked."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    C = _ivf_centroids(sf_dir)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        sims = m @ C.T
+        cell = sims.argmax(axis=1).astype(np.int64)
+        best = sims[np.arange(len(m)), cell]
+        g = pd.DataFrame({"cluster": cell, "n": np.ones(len(m), np.int64),
+                          "sim_sum": best}) \
+            .groupby("cluster", as_index=False).sum()
+        return g
+
+    agg = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                    ["vec_id", "embedding"]) \
+        .map_batches(assign, batch_format="pandas") \
+        .groupby("cluster").aggregate(Sum("n", alias_name="n_vectors"),
+                                      Sum("sim_sum", alias_name="sim_sum"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cluster": df["cluster"].to_numpy(np.int64),
+            "n_vectors": df["n_vectors"].to_numpy(np.int64),
+            "mean_cosine": np.round(df["sim_sum"].to_numpy(np.float64)
+                                    / df["n_vectors"].to_numpy(np.float64), 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")

@@ -67,3 +67,17 @@ def test_embedding_quantize_error_bound(ray_session):
     again = embedding_quantize_int8(SF).to_pandas()
     assert out.sort_values("vec_id").reset_index(drop=True).equals(
         again.sort_values("vec_id").reset_index(drop=True))
+
+
+def test_kmeans_clusters_cover_all_vectors(ray_session):
+    """Every vector lands in exactly one cluster; output is deterministic
+    and mean cosine is a valid similarity."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        embedding_kmeans_clusters)
+    out = embedding_kmeans_clusters(SF).to_pandas()
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id"])
+    assert out["n_vectors"].sum() == len(emb)
+    assert out["mean_cosine"].between(-1.0, 1.0 + 1e-9).all()
+    again = embedding_kmeans_clusters(SF).to_pandas()
+    assert out.sort_values("cluster").reset_index(drop=True).equals(
+        again.sort_values("cluster").reset_index(drop=True))
