@@ -95,3 +95,21 @@ def test_asof_join_matches_pandas(ray_session):
     cols = ["k", "ts", "v", "rts"]
     pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
                                   check_dtype=False)
+
+
+def test_hash_join_hot_key_skew(ray_session):
+    """A key owning half of both sides (hot-key skew) still joins
+    exactly: the bucketed plan concentrates the key in one group but
+    produces the full cross-product for it, matching a pandas merge."""
+    rng = np.random.RandomState(11)
+    lk = np.where(rng.rand(400) < 0.5, 7, rng.randint(100, 160, 400))
+    rk = np.where(rng.rand(80) < 0.5, 7, rng.randint(100, 160, 80))
+    left = pd.DataFrame({"k": lk, "v": np.arange(400)})
+    right = pd.DataFrame({"k": rk, "w": np.arange(80)})
+    got = hash_join(_ds(left), _ds(right), on="k", num_buckets=8).to_pandas()
+    exp = left.merge(right, on="k")
+    cols = ["k", "v", "w"]
+    pd.testing.assert_frame_equal(_canon(got, cols), _canon(exp, cols),
+                                  check_dtype=False)
+    # the hot key's fan-out really happened (cross product ~200x40)
+    assert (got["k"] == 7).sum() == (lk == 7).sum() * (rk == 7).sum()
