@@ -149,7 +149,13 @@ def run_scaling() -> dict:
                              check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    # Default 8 vs 32; override with GRAFT_SCALING_LO/HI (e.g. 4 vs 16)
+    # when external host load occupies part of the machine — the ratio is
+    # what the efficiency normalizes by, so any N vs 4N pair is a valid
+    # two-parallelism measurement and a pair that leaves headroom above
+    # the noise floor isolates the engine's scaling from the neighbors'.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     r_lo, r_hi = run(lo), run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
