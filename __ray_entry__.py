@@ -25,6 +25,7 @@ from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
+from p_id_text_extraction_ray.pipelines import relational_ext2 as R2
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import textstats as T
@@ -59,6 +60,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": RX.q10_returned_items,
         "q14_promo_revenue": RX.q14_promo_revenue,
         "q18_large_volume_orders": RX.q18_large_volume_orders,
+        "q2_min_price_supplier": R2.q2_min_price_supplier,
+        "q9_profit_by_nation_year": R2.q9_profit_by_nation_year,
+        "q12_priority_by_returnflag": R2.q12_priority_by_returnflag,
+        "q13_customer_distribution": R2.q13_customer_distribution,
+        "q15_top_supplier": R2.q15_top_supplier,
+        "q16_part_supplier_counts": R2.q16_part_supplier_counts,
+        "q17_small_quantity_revenue": R2.q17_small_quantity_revenue,
+        "q22_idle_rich_customers": R2.q22_idle_rich_customers,
         # window / analytics operators
         "top_orders_per_priority": A.top_orders_per_priority,
         "events_hopping_window": A.events_hopping_window,
@@ -146,6 +155,14 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": RX.Q10_SQL,
         "q14_promo_revenue": RX.Q14_SQL,
         "q18_large_volume_orders": RX.Q18_SQL,
+        "q2_min_price_supplier": R2.Q2_SQL,
+        "q9_profit_by_nation_year": R2.Q9_SQL,
+        "q12_priority_by_returnflag": R2.Q12_SQL,
+        "q13_customer_distribution": R2.Q13_SQL,
+        "q15_top_supplier": R2.Q15_SQL,
+        "q16_part_supplier_counts": R2.Q16_SQL,
+        "q17_small_quantity_revenue": R2.Q17_SQL,
+        "q22_idle_rich_customers": R2.Q22_SQL,
         "top_orders_per_priority": A.TOP_ORDERS_PER_PRIORITY_SQL,
         "events_hopping_window": A.EVENTS_HOPPING_WINDOW_SQL,
         "events_user_profile": A.EVENTS_USER_PROFILE_SQL,

@@ -1,0 +1,571 @@
+"""Remaining TPC-H-style query shapes (q2/q9/q12/q13/q15/q16/q17/q22
+analogues) over the graft test tables.
+
+Each query exercises a join/aggregate shape the other relational modules
+do not: argmin-per-group with tie-break (q2), fact⋈fact count
+classification (q12), LEFT-join count distribution (q13), scalar-max
+subquery (q15), distinct-count after an anti-join (q16),
+per-group-threshold self-aggregation (q17), and scalar-average threshold
++ anti-join (q22).
+
+Scale conventions match ``relational.py``: pruned reads, exact
+integer-cents money math (``_util.cents``), distributed
+``hash_join``/``sum_join``/``anti_join``/``semi_join`` for every side
+that grows with the fact table, broadcast dicts only for true dimensions
+(nation), per-batch partial aggregation before every shuffle, and
+integer-exact threshold comparisons (``5*q*cnt < sum_q`` instead of
+``q < 0.2*avg``) so the Ray plan and the DuckDB oracle agree bit-for-bit
+at boundaries.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ._util import bucketed_group_sum, cents
+
+
+def _pq(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read(sf_dir: str, name: str, columns: list[str]):
+    from ._util import sized_read
+    return sized_read(_pq(sf_dir, name), columns, rows_per_block=150_000)
+
+
+def _ts(s: str):
+    return pa.scalar(pd.Timestamp(s))
+
+
+def _nation_names(sf_dir: str) -> dict:
+    import pyarrow.parquet as pq
+    t = pq.read_table(_pq(sf_dir, "nation"),
+                      columns=["n_nationkey", "n_name"]).to_pandas()
+    return dict(zip(t["n_nationkey"], t["n_name"]))
+
+
+# --------------------------------- q2: cheapest supplier per small part
+
+Q2_MAX_SIZE = 10
+
+
+def q2_min_price_supplier(sf_dir: str):
+    """For every small part, the supplier offering its cheapest lineitem
+    — the argmin-per-group shape with a deterministic tie-break.
+
+    (min price, then min suppkey) is an associative reduction, so it runs
+    as a per-batch partial argmin followed by one bucketed shuffle of
+    (partkey, suppkey, price) triples — facts never move twice. Part and
+    supplier both grow with the scale factor and attach via distributed
+    ``hash_join``.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice"]).map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("l_partkey"),
+            "s_suppkey": t.column("l_suppkey"),
+            "min_c": pa.array(cents(t.column("l_extendedprice").to_numpy()),
+                              pa.int64())}),
+        batch_format="pyarrow")
+
+    def argmin(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.sort_values(["min_c", "s_suppkey"])
+                .groupby("p_partkey", as_index=False).first())
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__bucket=_bucket_of(df["p_partkey"], 64))
+
+    cheapest = (li.map_batches(argmin, batch_format="pandas")
+                .map_batches(add_bucket, batch_format="pandas")
+                .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+                .map_groups(lambda g: argmin(g.drop(columns="__bucket")),
+                            batch_format="pandas"))
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_name", "p_size"]) \
+        .map_batches(lambda t: t.filter(
+            pc.less_equal(t.column("p_size"), pa.scalar(Q2_MAX_SIZE)))
+            .select(["p_partkey", "p_name"]),
+            batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    out = hash_join(hash_join(cheapest, part, on="p_partkey"),
+                    supp, on="s_suppkey").sort("p_partkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "p_partkey": df["p_partkey"].values,
+            "p_name": df["p_name"].values,
+            "s_suppkey": df["s_suppkey"].values,
+            "s_name": df["s_name"].values,
+            "min_price": df["min_c"].to_numpy(np.float64) / 100.0}),
+        batch_format="pandas")
+
+
+Q2_SQL = f"""
+WITH mp AS (
+  SELECT l_partkey AS p_partkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)) AS min_c
+  FROM lineitem GROUP BY l_partkey),
+win AS (
+  SELECT l.l_partkey AS p_partkey, min(l.l_suppkey) AS s_suppkey, mp.min_c
+  FROM lineitem l JOIN mp ON l.l_partkey = mp.p_partkey
+   AND CAST(round(l.l_extendedprice * 100) AS BIGINT) = mp.min_c
+  GROUP BY l.l_partkey, mp.min_c)
+SELECT p.p_partkey, p.p_name, w.s_suppkey, s.s_name,
+       w.min_c / 100.0 AS min_price
+FROM win w JOIN part p ON p.p_partkey = w.p_partkey
+           JOIN supplier s ON s.s_suppkey = w.s_suppkey
+WHERE p.p_size <= {Q2_MAX_SIZE}
+ORDER BY p.p_partkey
+"""
+
+
+# ------------------------------------ q9: profit by nation and year
+
+def q9_profit_by_nation_year(sf_dir: str):
+    """Revenue by supplier nation and ship year (q9's rollup shape
+    without partsupp, which the test tables do not carry).
+
+    Lineitem pre-reduces per (suppkey, year) inside each batch, then one
+    bucketed shuffle finishes the partials — the supplier ``hash_join``
+    sees |suppliers|×|years| aggregate rows, never facts. Nation is a
+    25-row broadcast dict; the final rollup is ≤ |nations|×|years|.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    nation_name = _nation_names(sf_dir)
+
+    def li_rows(t: pa.Table) -> pd.DataFrame:
+        ep_c = cents(t.column("l_extendedprice").to_numpy())
+        disc_c = cents(t.column("l_discount").to_numpy())
+        df = pd.DataFrame({
+            "s_suppkey": t.column("l_suppkey").to_numpy(),
+            "o_year": pc.cast(pc.year(t.column("l_shipdate")),
+                              pa.int64()).to_numpy(),
+            "rev_u": ep_c * (100 - disc_c)})
+        return df.groupby(["s_suppkey", "o_year"], as_index=False).sum()
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    per_supp_year = bucketed_group_sum(li, ["s_suppkey", "o_year"], ["rev_u"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    joined = hash_join(per_supp_year, supp, on="s_suppkey")
+
+    agg = joined.map_batches(
+        lambda df: pd.DataFrame({
+            "nation": df["s_nationkey"].map(nation_name).values,
+            "o_year": df["o_year"].values,
+            "rev_u": df["rev_u"].values}),
+        batch_format="pandas") \
+        .groupby(["nation", "o_year"]).aggregate(Sum("rev_u", alias_name="u")) \
+        .sort(["nation", "o_year"], descending=[False, True])
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "nation": df["nation"].values,
+            "o_year": df["o_year"].values,
+            "profit": df["u"].to_numpy(np.float64) / 10000.0}),
+        batch_format="pandas")
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS profit
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(l_shipdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+# ---------------------- q12: order-priority classes per return flag
+
+Q12_LO, Q12_HI = "1997-01-01", "1998-01-01"
+_Q12_HIGH = ("1-URGENT", "2-HIGH")
+
+
+def q12_priority_by_returnflag(sf_dir: str):
+    """Count of high- vs low-priority order lines per return flag for one
+    ship year — q12's fact⋈fact classification shape (return flag
+    standing in for ship mode, which the test tables do not carry).
+
+    Both join sides are fact tables, so the orderkey join is the
+    distributed ``hash_join``; the classification then collapses per
+    batch to ≤3×2 partial counts before the final 3-row rollup.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag",
+                                    "l_shipdate"]).map_batches(
+        lambda t: t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _ts(Q12_LO)),
+            pc.less(t.column("l_shipdate"), _ts(Q12_HI))))
+        .select(["l_orderkey", "l_returnflag"])
+        .rename_columns(["o_orderkey", "l_returnflag"]),
+        batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, on="o_orderkey")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        hi = df["o_orderpriority"].isin(_Q12_HIGH)
+        return (pd.DataFrame({"l_returnflag": df["l_returnflag"].values,
+                              "high_line_count": hi.to_numpy(np.int64),
+                              "low_line_count": (~hi).to_numpy(np.int64)})
+                .groupby("l_returnflag", as_index=False).sum())
+
+    return joined.map_batches(partial, batch_format="pandas") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("high_line_count", alias_name="high_line_count"),
+                   Sum("low_line_count", alias_name="low_line_count")) \
+        .sort("l_returnflag")
+
+
+Q12_SQL = f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '{Q12_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q12_HI}'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ------------------------- q13: customer order-count distribution
+
+Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+def q13_customer_distribution(sf_dir: str):
+    """How many customers placed 0, 1, 2, … qualifying orders — the
+    LEFT-join-then-distribution shape (zero-order customers must appear).
+
+    Orders pre-count per custkey in one bucketed shuffle; customer LEFT
+    hash-joins the counts (missing → 0); the count-of-counts rollup then
+    collapses per batch to ≤ max_orders_per_customer partial rows.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]) \
+        .map_batches(
+            lambda df: df.loc[df["o_orderpriority"] != Q13_EXCL_PRIORITY,
+                              ["o_custkey"]]
+            .rename(columns={"o_custkey": "c_custkey"})
+            .groupby("c_custkey", as_index=False).size()
+            .rename(columns={"size": "c_count"}),
+            batch_format="pandas")
+    per_cust = bucketed_group_sum(orders, "c_custkey", ["c_count"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    left = hash_join(cust, per_cust, on="c_custkey", how="left")
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["c_count"].fillna(0).astype(np.int64)
+        return (pd.DataFrame({"c_count": c.values})
+                .groupby("c_count", as_index=False).size()
+                .rename(columns={"size": "custdist"}))
+
+    return left.map_batches(partial, batch_format="pandas") \
+        .groupby("c_count").aggregate(Sum("custdist", alias_name="custdist")) \
+        .sort(["custdist", "c_count"], descending=[True, True])
+
+
+Q13_SQL = f"""
+SELECT c_count, count(*) AS custdist
+FROM (SELECT c.c_custkey, count(o.o_custkey) AS c_count
+      FROM customer c
+      LEFT JOIN (SELECT o_custkey FROM orders
+                 WHERE o_orderpriority <> '{Q13_EXCL_PRIORITY}') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# --------------------------------------- q15: top revenue supplier
+
+Q15_LO, Q15_HI = "1997-01-01", "1997-04-01"
+
+
+def q15_top_supplier(sf_dir: str):
+    """Supplier(s) with the maximum quarterly revenue — the scalar-max
+    subquery shape.
+
+    Per-supplier revenue reduces per batch then in one bucketed shuffle;
+    that aggregate set (|suppliers| rows, facts already collapsed) is
+    materialized once so the global max and the equality filter reuse it
+    without re-reading lineitem. Names attach via distributed hash_join.
+    """
+    from .joins import hash_join
+
+    def li_rows(t: pa.Table) -> pd.DataFrame:
+        t = t.filter(pc.and_(
+            pc.greater_equal(t.column("l_shipdate"), _ts(Q15_LO)),
+            pc.less(t.column("l_shipdate"), _ts(Q15_HI))))
+        ep_c = cents(t.column("l_extendedprice").to_numpy())
+        disc_c = cents(t.column("l_discount").to_numpy())
+        return (pd.DataFrame({"s_suppkey": t.column("l_suppkey").to_numpy(),
+                              "rev_u": ep_c * (100 - disc_c)})
+                .groupby("s_suppkey", as_index=False).sum())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    rev = bucketed_group_sum(li, "s_suppkey", ["rev_u"]).materialize()
+    mx = rev.max("rev_u")
+
+    top = rev.map_batches(lambda df: df[df["rev_u"] == mx],
+                          batch_format="pandas")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    out = hash_join(top, supp, on="s_suppkey").sort("s_suppkey")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "s_suppkey": df["s_suppkey"].values,
+            "s_name": df["s_name"].values,
+            "total_revenue": df["rev_u"].to_numpy(np.float64) / 10000.0}),
+        batch_format="pandas")
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS s_suppkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS rev_u
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_HI}'
+  GROUP BY l_suppkey)
+SELECT r.s_suppkey, s.s_name, r.rev_u / 10000.0 AS total_revenue
+FROM rev r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.rev_u = (SELECT max(rev_u) FROM rev)
+ORDER BY r.s_suppkey
+"""
+
+
+# ---------------- q16: supplier variety per part class (anti-join)
+
+Q16_EXCL_BAL = 2000.0
+
+
+def q16_part_supplier_counts(sf_dir: str):
+    """Distinct qualifying suppliers per (brand, type, size) part class —
+    the distinct-count-after-anti-join shape.
+
+    (partkey, suppkey) pairs dedup per batch then in one bucketed
+    shuffle; low-balance suppliers drop via distributed ``anti_join``
+    (the right side ships keys only); part attributes attach via
+    ``hash_join``; a second bucketed dedup on (brand, type, size,
+    suppkey) makes the final count DISTINCT across parts sharing a
+    class. Every shuffle carries keys/attributes, never fact rows.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, anti_join, hash_join
+    from ._util import bucketed_group_sum as _bgs
+
+    pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
+        .map_batches(
+            lambda df: df.rename(columns={"l_partkey": "p_partkey",
+                                          "l_suppkey": "s_suppkey"})
+            .drop_duplicates(),
+            batch_format="pandas")
+    # finish the pair dedup in the same bucketed shape as the joins
+    pairs = _bgs(pairs.map_batches(lambda df: df.assign(__one=1),
+                                   batch_format="pandas"),
+                 ["p_partkey", "s_suppkey"], ["__one"]) \
+        .map_batches(lambda df: df[["p_partkey", "s_suppkey"]],
+                     batch_format="pandas")
+
+    excl = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]) \
+        .map_batches(
+            lambda df: df.loc[df["s_acctbal"] < Q16_EXCL_BAL, ["s_suppkey"]],
+            batch_format="pandas")
+    kept = anti_join(pairs, excl, on="s_suppkey")
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type", "p_size"])
+    attrs = hash_join(kept, part, on="p_partkey").map_batches(
+        lambda df: df[["p_brand", "p_type", "p_size", "s_suppkey"]]
+        .drop_duplicates(),
+        batch_format="pandas")
+
+    distinct = _bgs(attrs.map_batches(lambda df: df.assign(__one=1),
+                                      batch_format="pandas"),
+                    ["p_brand", "p_type", "p_size", "s_suppkey"], ["__one"])
+
+    return distinct.map_batches(
+        lambda df: df.groupby(["p_brand", "p_type", "p_size"],
+                              as_index=False).size()
+        .rename(columns={"size": "supplier_cnt"}),
+        batch_format="pandas") \
+        .groupby(["p_brand", "p_type", "p_size"]) \
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt")) \
+        .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
+              descending=[True, False, False, False])
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < {Q16_EXCL_BAL})
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ------------------ q17: small-quantity revenue for one brand
+
+Q17_BRAND = "Brand#2"
+
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """Average yearly revenue from orders far below a part's typical
+    quantity — the per-group-threshold self-aggregation shape.
+
+    The brand's partkeys select lineitem via distributed ``semi_join``;
+    one bucketed shuffle then computes each part's (sum_qty, count) AND
+    the thresholded revenue sum in a single pass — no second scan, no
+    join back. The threshold compares integers (5·qty·cnt < sum_qty ⟺
+    qty < avg/5), so the boundary is exact in both plans.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of, semi_join
+
+    parts_b = _read(sf_dir, "part", ["p_partkey", "p_brand"]).map_batches(
+        lambda df: df.loc[df["p_brand"] == Q17_BRAND, ["p_partkey"]],
+        batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice"]).map_batches(
+        lambda t: pd.DataFrame({
+            "p_partkey": t.column("l_partkey").to_numpy(),
+            "q": t.column("l_quantity").to_numpy().astype(np.int64),
+            "ep_c": cents(t.column("l_extendedprice").to_numpy())}),
+        batch_format="pyarrow")
+    li_b = semi_join(li, parts_b, on="p_partkey")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(__bucket=_bucket_of(df["p_partkey"], 64))
+
+    def below_threshold_sum(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("p_partkey")
+        sq = grp["q"].transform("sum").to_numpy(np.int64)
+        cnt = grp["q"].transform("size").to_numpy(np.int64)
+        mask = 5 * g["q"].to_numpy(np.int64) * cnt < sq
+        return pd.DataFrame({"ep_sum":
+                             [int(g["ep_c"].to_numpy(np.int64)[mask].sum())]})
+
+    total = (li_b.map_batches(add_bucket, batch_format="pandas")
+             .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+             .map_groups(below_threshold_sum, batch_format="pandas")
+             .aggregate(Sum("ep_sum", alias_name="s")))
+    s = total["s"] if total and total.get("s") is not None else 0
+    return pa.table({"avg_yearly": pa.array([s / 700.0], pa.float64())})
+
+
+Q17_SQL = f"""
+WITH t AS (
+  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ep_c,
+         sum(CAST(l_quantity AS BIGINT))
+           OVER (PARTITION BY l_partkey) AS sq,
+         count(*) OVER (PARTITION BY l_partkey) AS cnt
+  FROM lineitem)
+SELECT sum(ep_c) / 700.0 AS avg_yearly
+FROM t JOIN part ON p_partkey = l_partkey
+WHERE p_brand = '{Q17_BRAND}' AND 5 * q * cnt < sq
+"""
+
+
+# ------------- q22: well-funded customers with no recent orders
+
+Q22_SINCE = "1999-01-01"
+
+
+def q22_idle_rich_customers(sf_dir: str):
+    """Customers above the average positive balance with no orders since
+    a cutoff, rolled up by nation — scalar-subquery threshold plus
+    anti-join.
+
+    The global (sum, count) of positive balances reduces to two driver
+    ints (a true scalar broadcast); the threshold compares
+    ``bal_c · n > sum_c`` in integers so the boundary matches DuckDB
+    exactly; recent orderers drop via distributed ``anti_join`` (keys
+    only move); the nation rollup collapses per batch first.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import anti_join
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"]).map_batches(
+        lambda t: pd.DataFrame({
+            "c_custkey": t.column("c_custkey").to_numpy(),
+            "c_nationkey": t.column("c_nationkey").to_numpy(),
+            "bal_c": cents(t.column("c_acctbal").to_numpy())}),
+        batch_format="pyarrow")
+
+    pos = cust.map_batches(
+        lambda df: pd.DataFrame({
+            "s": [int(df.loc[df["bal_c"] > 0, "bal_c"].sum())],
+            "n": [int((df["bal_c"] > 0).sum())]}),
+        batch_format="pandas").aggregate(Sum("s", alias_name="s"),
+                                         Sum("n", alias_name="n"))
+    s_c, n = int(pos["s"]), int(pos["n"])
+
+    rich = cust.map_batches(lambda df: df[df["bal_c"] * n > s_c],
+                            batch_format="pandas")
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]) \
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("o_orderdate"),
+                                                _ts(Q22_SINCE)))
+            .select(["o_custkey"]).rename_columns(["c_custkey"]),
+            batch_format="pyarrow")
+    idle = anti_join(rich, recent, on="c_custkey")
+
+    agg = idle.map_batches(
+        lambda df: df.groupby("c_nationkey", as_index=False)
+        .agg(numcust=("c_custkey", "size"), bal=("bal_c", "sum")),
+        batch_format="pandas") \
+        .groupby("c_nationkey").aggregate(Sum("numcust", alias_name="numcust"),
+                                          Sum("bal", alias_name="bal")) \
+        .sort("c_nationkey")
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "c_nationkey": df["c_nationkey"].values,
+            "numcust": df["numcust"].values,
+            "totacctbal": df["bal"].to_numpy(np.float64) / 100.0}),
+        batch_format="pandas")
+
+
+Q22_SQL = f"""
+WITH pos AS (
+  SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
+         count(*) AS n
+  FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, count(*) AS numcust,
+       sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0 AS totacctbal
+FROM customer, pos
+WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_orderdate >= TIMESTAMP '{Q22_SINCE}')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
