@@ -21,6 +21,7 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
 
 from p_id_text_extraction_ray.pipelines import analytics as A
 from p_id_text_extraction_ray.pipelines import analytics_ext as AX
+from p_id_text_extraction_ray.pipelines import chunking as CH
 from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
@@ -128,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_train": C.decontaminate_train,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
+        "chunk_documents": CH.chunk_documents,
+        "vocab_oov_rate": CH.vocab_oov_rate,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -194,6 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_train": C.DECONTAMINATE_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
+        "chunk_documents": CH.CHUNK_SQL,
+        "vocab_oov_rate": CH.VOCAB_OOV_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
