@@ -555,6 +555,62 @@ def q22_idle_rich_customers(sf_dir: str):
         batch_format="pandas")
 
 
+def daily_activity_full_join(sf_dir: str):
+    """Daily order revenue FULL OUTER JOIN daily event volume — the only
+    join type the other modules do not exercise (days with only orders
+    and days with only events must both survive with nulls).
+
+    Each side collapses to per-day aggregates per batch, finishes in a
+    bucketed shuffle, and the outer merge runs per day-bucket — correct
+    globally because bucketing is on the join key. Missing-side counts
+    surface as NaN (mirroring SQL NULL→float64), never as zeros.
+    """
+    from .joins import hash_join
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"]) \
+        .map_batches(
+            lambda df: pd.DataFrame({
+                "day": df["o_orderdate"].dt.floor("D"),
+                "order_cnt": np.int64(1),
+                "rev_c": cents(df["o_totalprice"])})
+            .groupby("day", as_index=False).sum(),
+            batch_format="pandas")
+    o_agg = bucketed_group_sum(orders, "day", ["order_cnt", "rev_c"])
+
+    events = _read(sf_dir, "events", ["ts"]).map_batches(
+        lambda df: pd.DataFrame({"day": df["ts"].dt.floor("D"),
+                                 "event_cnt": np.int64(1)})
+        .groupby("day", as_index=False).sum(),
+        batch_format="pandas")
+    e_agg = bucketed_group_sum(events, "day", ["event_cnt"])
+
+    out = hash_join(o_agg, e_agg, on="day", how="outer").sort("day")
+    return out.map_batches(
+        lambda df: pd.DataFrame({
+            "day": df["day"].values,
+            "order_cnt": df["order_cnt"].to_numpy(np.float64),
+            "order_revenue": df["rev_c"].to_numpy(np.float64) / 100.0,
+            "event_cnt": df["event_cnt"].to_numpy(np.float64)}),
+        batch_format="pandas")
+
+
+DAILY_ACTIVITY_SQL = """
+WITH o AS (
+  SELECT date_trunc('day', o_orderdate) AS day,
+         CAST(count(*) AS BIGINT) AS order_cnt,
+         sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+  FROM orders GROUP BY 1),
+e AS (
+  SELECT date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS event_cnt
+  FROM events GROUP BY 1)
+SELECT coalesce(o.day, e.day) AS day, o.order_cnt,
+       o.rev_c / 100.0 AS order_revenue, e.event_cnt
+FROM o FULL JOIN e ON o.day = e.day
+ORDER BY day
+"""
+
+
 Q22_SQL = f"""
 WITH pos AS (
   SELECT sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS s,
