@@ -381,18 +381,15 @@ def q16_part_supplier_counts(sf_dir: str):
     from .joins import DEFAULT_SHUFFLE_PARTITIONS, anti_join, hash_join
     from ._util import bucketed_group_sum as _bgs
 
+    # per-batch dedup only: a global pair dedup here would cost a whole
+    # extra shuffle to remove <2% of rows (the class-level distinct below
+    # is the dedup that matters)
     pairs = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]) \
         .map_batches(
             lambda df: df.rename(columns={"l_partkey": "p_partkey",
                                           "l_suppkey": "s_suppkey"})
             .drop_duplicates(),
             batch_format="pandas")
-    # finish the pair dedup in the same bucketed shape as the joins
-    pairs = _bgs(pairs.map_batches(lambda df: df.assign(__one=1),
-                                   batch_format="pandas"),
-                 ["p_partkey", "s_suppkey"], ["__one"]) \
-        .map_batches(lambda df: df[["p_partkey", "s_suppkey"]],
-                     batch_format="pandas")
 
     excl = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]) \
         .map_batches(
@@ -410,13 +407,15 @@ def q16_part_supplier_counts(sf_dir: str):
                                       batch_format="pandas"),
                     ["p_brand", "p_type", "p_size", "s_suppkey"], ["__one"])
 
-    return distinct.map_batches(
+    # final count rides the bucketed grouped sum, not Ray's native
+    # groupby().aggregate(): at ~10^4 (brand, type, size) classes the
+    # native path pays per-group overhead (23 s at sf0.1 vs <1 s bucketed)
+    counts = distinct.map_batches(
         lambda df: df.groupby(["p_brand", "p_type", "p_size"],
                               as_index=False).size()
         .rename(columns={"size": "supplier_cnt"}),
-        batch_format="pandas") \
-        .groupby(["p_brand", "p_type", "p_size"]) \
-        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt")) \
+        batch_format="pandas")
+    return _bgs(counts, ["p_brand", "p_type", "p_size"], ["supplier_cnt"]) \
         .sort(["supplier_cnt", "p_brand", "p_type", "p_size"],
               descending=[True, False, False, False])
 
