@@ -116,7 +116,11 @@ def run_bench() -> dict:
                      "q10_returned_items", "q18_large_volume_orders",
                      "events_interarrival", "user_event_paths",
                      "events_props_stats", "decontaminate_train",
-                     "pack_sequences", "customer_order_totals"):
+                     "pack_sequences", "customer_order_totals",
+                     "q2_min_price_supplier", "q9_profit_by_nation_year",
+                     "q13_customer_distribution", "q16_part_supplier_counts",
+                     "daily_activity_full_join", "chunk_documents",
+                     "vocab_oov_rate"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):

@@ -554,6 +554,137 @@ def q22_idle_rich_customers(sf_dir: str):
         batch_format="pandas")
 
 
+Q20_FAIR_MULT = 2  # dominant = supplier's share > 2x the part's fair share
+
+
+def q20_dominant_suppliers(sf_dir: str):
+    """Suppliers that dominate at least one part (shipped more than 2x
+    the part's fair per-supplier share), with how many parts they
+    dominate — q20's grouped-threshold semi-join shape. The fair-share
+    form (ns·q > 2·qt, integer-exact) keeps the predicate meaningful at
+    every scale factor, unlike a fixed percentage that degenerates as
+    supplier count grows.
+
+    One bucketed shuffle on partkey computes the per-(part, supplier)
+    sums AND each part's total in the same group (they are co-located by
+    construction), applies the integer-exact share test, and emits only
+    (suppkey, 1) survivors; a second bucketed sum counts per supplier and
+    the name attaches via distributed ``hash_join``.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_quantity"]).map_batches(
+        lambda t: pd.DataFrame({
+            "p_partkey": t.column("l_partkey").to_numpy(),
+            "s_suppkey": t.column("l_suppkey").to_numpy(),
+            "q": t.column("l_quantity").to_numpy().astype(np.int64)})
+        .groupby(["p_partkey", "s_suppkey"], as_index=False).sum(),
+        batch_format="pyarrow")
+
+    def dominant(g: pd.DataFrame) -> pd.DataFrame:
+        ps = g.groupby(["p_partkey", "s_suppkey"], as_index=False)["q"].sum()
+        grp = ps.groupby("p_partkey")["q"]
+        qt = grp.transform("sum").to_numpy(np.int64)
+        ns = grp.transform("size").to_numpy(np.int64)
+        win = ps[ns * ps["q"].to_numpy(np.int64) > Q20_FAIR_MULT * qt]
+        return (win.groupby("s_suppkey", as_index=False).size()
+                .rename(columns={"size": "n_dominant_parts"}))
+
+    per_supp = bucketed_group_sum(
+        (li.map_batches(
+            lambda df: df.assign(__bucket=_bucket_of(df["p_partkey"], 64)),
+            batch_format="pandas")
+         .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+         .map_groups(lambda g: dominant(g.drop(columns="__bucket")),
+                     batch_format="pandas")),
+        "s_suppkey", ["n_dominant_parts"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return hash_join(per_supp, supp, on="s_suppkey").sort("s_suppkey") \
+        .map_batches(lambda df: df[["s_suppkey", "s_name",
+                                    "n_dominant_parts"]],
+                     batch_format="pandas")
+
+
+Q20_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS BIGINT) AS q
+  FROM lineitem GROUP BY 1, 2),
+agg AS (
+  SELECT l_partkey, CAST(sum(q) AS BIGINT) AS qt,
+         CAST(count(*) AS BIGINT) AS ns
+  FROM ps GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominant_parts
+FROM ps JOIN agg USING (l_partkey)
+        JOIN supplier ON s_suppkey = l_suppkey
+WHERE agg.ns * ps.q > {Q20_FAIR_MULT} * agg.qt
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+def q21_problem_suppliers(sf_dir: str):
+    """For multi-supplier orders where exactly one supplier produced the
+    returned ('R') lines, count such orders per offending supplier —
+    q21's per-group multi-EXISTS shape.
+
+    The whole EXISTS/NOT-EXISTS evaluation happens inside one bucketed
+    shuffle on orderkey (all of an order's lines share a bucket):
+    distinct-supplier and distinct-R-supplier counts per order reduce to
+    (suppkey, 1) partials, a second bucketed sum totals them, and names
+    attach via distributed ``hash_join``.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of, hash_join
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_returnflag"]).map_batches(
+        lambda df: df.drop_duplicates(),
+        batch_format="pandas")
+
+    def offenders(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["l_orderkey", "l_suppkey"]].drop_duplicates()
+        ns = d.groupby("l_orderkey").size()
+        r = g.loc[g["l_returnflag"] == "R",
+                  ["l_orderkey", "l_suppkey"]].drop_duplicates()
+        nr = r.groupby("l_orderkey").size()
+        bad = r.groupby("l_orderkey")["l_suppkey"].min()
+        ok = (ns.reindex(bad.index) > 1) & (nr == 1)
+        return (pd.DataFrame({"s_suppkey": bad[ok].values})
+                .groupby("s_suppkey", as_index=False).size()
+                .rename(columns={"size": "numwait"}))
+
+    per_supp = bucketed_group_sum(
+        (li.map_batches(
+            lambda df: df.assign(__bucket=_bucket_of(df["l_orderkey"], 64)),
+            batch_format="pandas")
+         .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+         .map_groups(lambda g: offenders(g.drop(columns="__bucket")),
+                     batch_format="pandas")),
+        "s_suppkey", ["numwait"])
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return hash_join(per_supp, supp, on="s_suppkey") \
+        .sort(["numwait", "s_suppkey"], descending=[True, False]) \
+        .map_batches(lambda df: df[["s_suppkey", "s_name", "numwait"]],
+                     batch_format="pandas")
+
+
+Q21_SQL = """
+WITH g AS (
+  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                        THEN l_suppkey END) AS nr,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS bad
+  FROM lineitem GROUP BY l_orderkey)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM g JOIN supplier ON s_suppkey = bad
+WHERE ns > 1 AND nr = 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+"""
+
+
 def daily_activity_full_join(sf_dir: str):
     """Daily order revenue FULL OUTER JOIN daily event volume — the only
     join type the other modules do not exercise (days with only orders
