@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": S.ann_ivf_topk,
         "embedding_label_centroids": S.embedding_label_centroids,
         "knn_label_propagation": S.knn_label_propagation,
+        "embedding_pca_project": S.embedding_pca_project,
         "embedding_quantize_int8": S.embedding_quantize_int8,
         "embedding_kmeans_clusters": S.embedding_kmeans_clusters,
         # text analysis

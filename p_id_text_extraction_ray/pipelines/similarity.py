@@ -467,3 +467,88 @@ def embedding_kmeans_clusters(sf_dir: str):
                                     / df["n_vectors"].to_numpy(np.float64), 6)})
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# ------------------------------------------------------ distributed PCA
+
+PCA_K = 8  # projected dimensionality
+
+
+def embedding_pca_project(sf_dir: str):
+    """PCA-project every embedding to the top-K principal components —
+    the dimensionality-reduction pass an embedding pipeline runs before
+    cheap downstream clustering/ANN.
+
+    Two streaming passes. Pass 1 reduces each batch to the fixed-size
+    sufficient statistics (n, Σx, ΣxᵀX as a d² list) — the driver only
+    ever sums one tiny row per batch, independent of corpus size — and
+    the d×d covariance eigendecomposition runs once on the driver
+    (d=64: microseconds). Pass 2 broadcasts the (d×K) component matrix
+    into a per-batch matmul. Components use a deterministic sign
+    convention (largest-|loading| coordinate positive) so output is
+    reproducible across runs and partitionings. Rows-only: eigh is not
+    SQL-expressible; determinism, orthonormality and variance ordering
+    are pytest-checked.
+    """
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"n": [len(m)],
+                             "s": [m.sum(axis=0)],
+                             "sxx": [(m.T @ m).ravel()]})
+
+    parts = _emb_read(path, ["embedding"]) \
+        .map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = (sxx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:PCA_K]
+    w = evecs[:, order]                          # (d, K)
+    flip = np.sign(w[np.abs(w).argmax(axis=0), np.arange(w.shape[1])])
+    flip[flip == 0] = 1.0
+    w = w * flip[None, :]
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        z = (m - mu[None, :]) @ w
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "proj": list(np.round(z, 6)),
+            "recon_mse": np.round(
+                ((m - mu[None, :]) - z @ w.T).__pow__(2).mean(axis=1), 9)})
+
+    return _emb_read(path, ["vec_id", "embedding"]) \
+        .map_batches(project, batch_format="pandas")
+
+
+def pca_variance_explained(sf_dir: str) -> "np.ndarray":
+    """Eigenvalue spectrum helper for tests: descending top-K explained
+    variances of the embedding covariance (same statistics path as
+    ``embedding_pca_project``)."""
+    import pandas as pd
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"n": [len(m)], "s": [m.sum(axis=0)],
+                             "sxx": [(m.T @ m).ravel()]})
+
+    parts = _emb_read(path, ["embedding"]) \
+        .map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = (sxx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    evals = np.linalg.eigvalsh(cov)
+    return np.sort(evals)[::-1][:PCA_K]
