@@ -1,0 +1,119 @@
+"""Deterministic sampling / compaction operators.
+
+``stratified_sample_by_source`` draws an exact per-source quota with a
+content-addressed order (md5 of doc_id) — the "balance the mixture"
+stage of a corpus pipeline, reproducible across runs, machines and
+partitionings because the keep decision is a pure function of the key,
+never of arrival order. ``events_window_dedup`` keeps the earliest
+event per (user, type, hour) — the keep-first-in-window compaction a
+log pipeline runs before sessionization.
+
+Both have exact DuckDB oracles (md5 and row_number are deterministic in
+both engines).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+
+
+def _read(sf_dir: str, name: str, columns: list[str], rows_per_block: int):
+    from ._util import sized_read
+    return sized_read(os.path.join(sf_dir, f"{name}.parquet"), columns,
+                      rows_per_block=rows_per_block)
+
+
+# ------------------------------------- stratified per-source sampling
+
+SAMPLE_QUOTA = 10  # docs kept per source
+
+
+def stratified_sample_by_source(sf_dir: str):
+    """Keep exactly ``SAMPLE_QUOTA`` documents per source, chosen by
+    smallest (md5(doc_id), doc_id).
+
+    Top-K-per-group is associative, so each batch pre-trims to its local
+    top-K per source and only (source, doc_id, digest) triples enter the
+    bucketed shuffle — never text. The md5 order makes the sample a pure
+    function of the keys: stable under repartitioning and incremental
+    reruns, unlike random sampling.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "source": df["source"].values,
+            "doc_id": df["doc_id"].values,
+            "h": [hashlib.md5(str(d).encode()).hexdigest()
+                  for d in df["doc_id"]]})
+        return (out.sort_values(["h", "doc_id"])
+                .groupby("source", as_index=False).head(SAMPLE_QUOTA))
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["h", "doc_id"])
+                .groupby("source", as_index=False).head(SAMPLE_QUOTA))
+
+    trimmed = _read(sf_dir, "documents", ["doc_id", "source"],
+                    rows_per_block=64_000) \
+        .map_batches(local_topk, batch_format="pandas")
+    return (trimmed.map_batches(
+        lambda df: df.assign(__bucket=_bucket_of(df["source"], 64)),
+        batch_format="pandas")
+        .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+        .map_groups(lambda g: final_topk(g.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .sort(["source", "h", "doc_id"])
+        .map_batches(lambda df: df[["source", "doc_id"]],
+                     batch_format="pandas"))
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+SELECT source, doc_id
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) <= {SAMPLE_QUOTA}
+ORDER BY source, md5(CAST(doc_id AS VARCHAR)), doc_id
+"""
+
+
+# --------------------------------------- keep-first-in-window dedup
+
+def events_window_dedup(sf_dir: str):
+    """Keep the earliest event per (user, event type, hour) — windowed
+    dedup compaction (ties break on event_id).
+
+    All of a user's events share a bucket, so one bucketed shuffle
+    evaluates every window exactly; within the bucket it is a vectorized
+    sort + drop_duplicates, no per-window loop.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"],
+               rows_per_block=150_000)
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(hour=g["ts"].dt.floor("h"))
+        g = g.sort_values(["user_id", "event_type", "hour", "ts", "event_id"])
+        g = g.drop_duplicates(["user_id", "event_type", "hour"])
+        return g[["event_id", "user_id", "event_type", "ts"]]
+
+    return (ev.map_batches(
+        lambda df: df.assign(__bucket=_bucket_of(df["user_id"], 64)),
+        batch_format="pandas")
+        .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+        .map_groups(lambda g: keep_first(g.drop(columns="__bucket")),
+                    batch_format="pandas")
+        .sort("event_id"))
+
+
+EVENTS_WINDOW_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, ts
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type,
+                                        date_trunc('hour', ts)
+                           ORDER BY ts, event_id) = 1
+ORDER BY event_id
+"""
