@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": R2.q17_small_quantity_revenue,
         "q22_idle_rich_customers": R2.q22_idle_rich_customers,
         "daily_activity_full_join": R2.daily_activity_full_join,
+        "q8_market_share": R2.q8_market_share,
+        "q19_disjunctive_revenue": R2.q19_disjunctive_revenue,
         "q20_dominant_suppliers": R2.q20_dominant_suppliers,
         "q21_problem_suppliers": R2.q21_problem_suppliers,
         # window / analytics operators
@@ -174,6 +176,8 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": R2.Q17_SQL,
         "q22_idle_rich_customers": R2.Q22_SQL,
         "daily_activity_full_join": R2.DAILY_ACTIVITY_SQL,
+        "q8_market_share": R2.Q8_SQL,
+        "q19_disjunctive_revenue": R2.Q19_SQL,
         "q20_dominant_suppliers": R2.Q20_SQL,
         "q21_problem_suppliers": R2.Q21_SQL,
         "top_orders_per_priority": A.TOP_ORDERS_PER_PRIORITY_SQL,

@@ -554,6 +554,170 @@ def q22_idle_rich_customers(sf_dir: str):
         batch_format="pandas")
 
 
+# ------------------------ q8: supplier-nation market share per year
+
+Q8_TARGET_NATION = 0       # supplier nation whose share we track
+Q8_REGION = "EUROPE"       # customer market
+
+
+def q8_market_share(sf_dir: str):
+    """The target supplier nation's share of revenue in one customer
+    region, per order year — q8's grouped ratio-of-sums shape.
+
+    Mirrors the q7 plan: lineitem ⋈ supplier collapses to per-(order,
+    is-target) partials, orders attach year/custkey inside a
+    ``sum_join``, a bucketed reduce re-keys to custkey, customer attaches
+    its nation, and the region gate uses the 25-row nation broadcast.
+    The share divides two exact integer sums once per year at the end.
+    """
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+    from .joins import hash_join, sum_join
+
+    nat = pq.read_table(_pq(sf_dir, "nation"),
+                        columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = pq.read_table(_pq(sf_dir, "region"),
+                        columns=["r_regionkey", "r_name"]).to_pandas()
+    rkey = int(reg.loc[reg["r_name"] == Q8_REGION, "r_regionkey"].iloc[0])
+    region_nations = set(nat.loc[nat["n_regionkey"] == rkey, "n_nationkey"])
+
+    def li_rows(t: pa.Table) -> pa.Table:
+        ep_c = cents(t.column("l_extendedprice").to_numpy())
+        disc_c = cents(t.column("l_discount").to_numpy())
+        return pa.table({"s_suppkey": t.column("l_suppkey"),
+                         "o_orderkey": t.column("l_orderkey"),
+                         "rev_u": pa.array(ep_c * (100 - disc_c), pa.int64())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]) \
+        .map_batches(li_rows, batch_format="pyarrow")
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_s = hash_join(li, supp, on="s_suppkey").map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].values,
+            "tgt_u": np.where(df["s_nationkey"] == Q8_TARGET_NATION,
+                              df["rev_u"], 0).astype(np.int64),
+            "rev_u": df["rev_u"].values})
+        .groupby("o_orderkey", as_index=False).sum(),
+        batch_format="pandas")
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                      "o_orderdate"]).map_batches(
+        lambda df: pd.DataFrame({
+            "o_orderkey": df["o_orderkey"].values,
+            "c_custkey": df["o_custkey"].values,
+            "o_year": df["o_orderdate"].dt.year.to_numpy(np.int64)}),
+        batch_format="pandas")
+    per_cust = bucketed_group_sum(
+        sum_join(li_s, orders, on="o_orderkey",
+                 sum_keys=["o_orderkey"], sum_cols=["tgt_u", "rev_u"])
+        .map_batches(lambda df: df[["c_custkey", "o_year", "tgt_u", "rev_u"]],
+                     batch_format="pandas"),
+        ["c_custkey", "o_year"], ["tgt_u", "rev_u"])
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    joined = hash_join(per_cust, cust, on="c_custkey").map_batches(
+        lambda df: df.loc[df["c_nationkey"].isin(region_nations),
+                          ["o_year", "tgt_u", "rev_u"]],
+        batch_format="pandas")
+
+    agg = joined.groupby("o_year") \
+        .aggregate(Sum("tgt_u", alias_name="t"), Sum("rev_u", alias_name="r")) \
+        .sort("o_year")
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "o_year": df["o_year"].values,
+            "mkt_share": np.round(df["t"].to_numpy(np.float64)
+                                  / df["r"].to_numpy(np.float64), 6)}),
+        batch_format="pandas")
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(sum(CASE WHEN s_nationkey = {Q8_TARGET_NATION}
+                 THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 ELSE 0 END)
+             / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))), 6)
+         AS mkt_share
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q8_REGION}'
+GROUP BY year(o_orderdate)
+ORDER BY o_year
+"""
+
+
+# --------------------- q19: disjunctive-predicate join revenue
+
+Q19_CLAUSES = (("Brand#1", 1, 15, 1, 20),
+               ("Brand#2", 10, 30, 10, 35),
+               ("Brand#3", 20, 50, 20, 50))
+
+
+def q19_disjunctive_revenue(sf_dir: str):
+    """Revenue from lineitems matching any of three (brand, size-range,
+    qty-range) conjunctions — q19's OR-of-ANDs predicate join.
+
+    The common predicate components push into both scans (part prunes to
+    the three brands, ~12% of rows, before the join), the residual
+    disjunction evaluates as one vectorized boolean expression per
+    batch, and only two int64 cells reach the driver.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import hash_join
+
+    brands = {c[0] for c in Q19_CLAUSES}
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]) \
+        .map_batches(lambda df: df[df["p_brand"].isin(brands)],
+                     batch_format="pandas")
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_quantity", "l_extendedprice",
+                "l_discount"]).map_batches(
+        lambda t: pd.DataFrame({
+            "p_partkey": t.column("l_partkey").to_numpy(),
+            "qty": t.column("l_quantity").to_numpy().astype(np.int64),
+            "rev_u": cents(t.column("l_extendedprice").to_numpy())
+            * (100 - cents(t.column("l_discount").to_numpy()))}),
+        batch_format="pyarrow")
+
+    def residual(df: pd.DataFrame) -> pd.DataFrame:
+        keep = np.zeros(len(df), dtype=bool)
+        for brand, slo, shi, qlo, qhi in Q19_CLAUSES:
+            keep |= ((df["p_brand"] == brand)
+                     & df["p_size"].between(slo, shi)
+                     & df["qty"].between(qlo, qhi)).to_numpy()
+        return pd.DataFrame({"rev_u": [int(df["rev_u"].to_numpy()[keep].sum())],
+                             "n": [int(keep.sum())]})
+
+    agg = hash_join(li, part, on="p_partkey") \
+        .map_batches(residual, batch_format="pandas") \
+        .aggregate(Sum("rev_u", alias_name="r"), Sum("n", alias_name="n"))
+    return pa.table({
+        "revenue": pa.array([agg["r"] / 10000.0], pa.float64()),
+        "n_lines": pa.array([int(agg["n"])], pa.int64())})
+
+
+_Q19_PRED = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN {slo} AND {shi} "
+    f"AND l_quantity BETWEEN {qlo} AND {qhi})"
+    for b, slo, shi, qlo, qhi in Q19_CLAUSES)
+
+Q19_SQL = f"""
+SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 10000.0
+         AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED}
+"""
+
+
 Q20_FAIR_MULT = 2  # dominant = supplier's share > 2x the part's fair share
 
 
