@@ -22,9 +22,21 @@ def sized_read(path: str, columns: list[str], rows_per_block: int,
     input is many files, each sized independently), so the heuristic is
     scale-neutral.
     """
+    import os
     import ray.data as rd
     import pyarrow.parquet as pq
-    nrows = pq.ParquetFile(path).metadata.num_rows
+    if os.path.isdir(path):
+        # a table at scale is a DIRECTORY of parquet files (the engine's
+        # own partitioned sinks produce exactly that); row count sums the
+        # footers, never the data
+        files = sorted(
+            os.path.join(root, f)
+            for root, _, names in os.walk(path)
+            for f in names if f.endswith((".parquet", ".pq")))
+        nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        max_blocks = max_blocks * max(1, len(files))
+    else:
+        nrows = pq.ParquetFile(path).metadata.num_rows
     nb = max(1, min(max_blocks, (nrows + rows_per_block - 1) // rows_per_block))
     return rd.read_parquet(path, columns=columns, override_num_blocks=nb)
 
