@@ -25,6 +25,7 @@ from p_id_text_extraction_ray.pipelines import chunking as CH
 from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
+from p_id_text_extraction_ray.pipelines import ranking as RK
 from p_id_text_extraction_ray.pipelines import sampling as SP
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
 from p_id_text_extraction_ray.pipelines import relational_ext2 as R2
@@ -140,6 +141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_oov_rate": CH.vocab_oov_rate,
         "stratified_sample_by_source": SP.stratified_sample_by_source,
         "events_window_dedup": SP.events_window_dedup,
+        "doc_ntile_by_lang": RK.doc_ntile_by_lang,
+        "brand_revenue_rank": RK.brand_revenue_rank,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -215,6 +218,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_oov_rate": CH.VOCAB_OOV_SQL,
         "stratified_sample_by_source": SP.STRATIFIED_SAMPLE_SQL,
         "events_window_dedup": SP.EVENTS_WINDOW_DEDUP_SQL,
+        "doc_ntile_by_lang": RK.DOC_NTILE_SQL,
+        "brand_revenue_rank": RK.BRAND_REVENUE_RANK_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
