@@ -143,6 +143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_dedup": SP.events_window_dedup,
         "doc_ntile_by_lang": RK.doc_ntile_by_lang,
         "brand_revenue_rank": RK.brand_revenue_rank,
+        "events_hourly_gapfill": AX.events_hourly_gapfill,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -220,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
         "events_window_dedup": SP.EVENTS_WINDOW_DEDUP_SQL,
         "doc_ntile_by_lang": RK.DOC_NTILE_SQL,
         "brand_revenue_rank": RK.BRAND_REVENUE_RANK_SQL,
+        "events_hourly_gapfill": AX.EVENTS_HOURLY_GAPFILL_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

@@ -583,3 +583,61 @@ SELECT cohort_day,
 FROM events e JOIN f USING (user_id)
 GROUP BY 1, 2
 """
+
+
+# ------------------------------------- gap-filled hourly densification
+
+def events_hourly_gapfill(sf_dir: str):
+    """Per-(event type, hour) counts with ZERO rows for every hour in the
+    global [min, max] range that saw no events — the densification pass a
+    time-series store runs before windowed models (missing ≠ absent).
+
+    The distributed side reduces to per-(type, hour) partials per batch
+    plus two timestamp scalars; the dense grid (|types| × |hours|, a
+    fixed-size frame independent of event volume) is then built and
+    zero-filled driver-side from those aggregates.
+    """
+    from ._util import bucketed_group_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = (pd.DataFrame({"event_type": df["event_type"].values,
+                             "hour": df["ts"].dt.floor("h")})
+               .groupby(["event_type", "hour"], as_index=False).size()
+               .rename(columns={"size": "n_events"}))
+        return out
+
+    counts = bucketed_group_sum(
+        ev.map_batches(partial, batch_format="pandas"),
+        ["event_type", "hour"], ["n_events"]).to_pandas()
+
+    lo, hi = counts["hour"].min(), counts["hour"].max()
+    hours = pd.date_range(lo, hi, freq="h")
+    types = sorted(counts["event_type"].unique())
+    grid = pd.MultiIndex.from_product([types, hours],
+                                      names=["event_type", "hour"]) \
+        .to_frame(index=False)
+    out = grid.merge(counts, on=["event_type", "hour"], how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    return out.sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+EVENTS_HOURLY_GAPFILL_SQL = """
+WITH b AS (
+  SELECT min(date_trunc('hour', ts)) AS lo,
+         max(date_trunc('hour', ts)) AS hi
+  FROM events),
+grid AS (
+  SELECT t.event_type, h.hour
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+              FROM b) h),
+c AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.hour, coalesce(c.n_events, 0) AS n_events
+FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour
+ORDER BY g.event_type, g.hour
+"""
