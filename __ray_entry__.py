@@ -98,6 +98,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_rollup": AX.segment_priority_rollup,
         "retention_cohorts": AX.retention_cohorts,
         "source_vocab_overlap": C.source_vocab_overlap,
+        "source_kl_divergence": C.source_kl_divergence,
+        "hard_negatives_topk": S.hard_negatives_topk,
         "doc_length_median_by_lang": T.doc_length_median_by_lang,
         # sketches
         "approx_distinct_users": K.approx_distinct_users,
@@ -205,6 +207,8 @@ def oracle_sql() -> dict[str, str]:
         "segment_priority_rollup": AX.SEGMENT_PRIORITY_ROLLUP_SQL,
         "retention_cohorts": AX.RETENTION_COHORTS_SQL,
         "source_vocab_overlap": C.SOURCE_VOCAB_OVERLAP_SQL,
+        "source_kl_divergence": C.SOURCE_KL_SQL,
+        "hard_negatives_topk": S.HARD_NEGATIVES_SQL,
         "doc_length_median_by_lang": T.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,

@@ -347,3 +347,93 @@ SELECT src_a, src_b, n_common,
 FROM inter JOIN sizes na ON na.source = src_a
            JOIN sizes nb ON nb.source = src_b
 """
+
+
+# ------------------------------- per-source KL divergence vs corpus
+
+def source_kl_divergence(sf_dir: str):
+    """KL(source unigram distribution ‖ corpus unigram distribution) per
+    source — the distribution-shift audit a mixing pipeline runs to spot
+    outlier corpora.
+
+    Counts stay exact integers end-to-end: per-(source, term) partials
+    reduce per batch then in one term-bucketed shuffle; the global term
+    counts derive from the same table in a second bucketed sum and join
+    back by term (distributed — the term vocabulary can exceed driver
+    memory at scale); only the fixed-cardinality per-source totals and
+    the grand total are driver scalars. Floats appear only in the final
+    per-term KL contribution.
+    """
+    from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
+    from .joins import hash_join
+
+    docs = _docs(sf_dir, columns=("source", "text"))
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        rows = {"source": [], "t": [], "c": []}
+        for src, g in df.groupby("source"):
+            cnt: Counter = Counter()
+            for text in g["text"]:
+                cnt.update(text.lower().split())
+            rows["source"].extend([src] * len(cnt))
+            rows["t"].extend(cnt.keys())
+            rows["c"].extend(cnt.values())
+        return pd.DataFrame({"source": rows["source"], "t": rows["t"],
+                             "c": pd.Series(rows["c"], dtype="int64")})
+
+    st = bucketed_group_sum(
+        docs.map_batches(term_counts, batch_format="pandas"),
+        ["source", "t"], ["c"]).materialize()
+
+    # fixed-cardinality side: per-source totals + grand total (scalars)
+    totals = st.map_batches(
+        lambda df: df.groupby("source", as_index=False)["c"].sum(),
+        batch_format="pandas").groupby("source") \
+        .aggregate(Sum("c", alias_name="n")).to_pandas()
+    n_of = dict(zip(totals["source"], totals["n"].astype(np.int64)))
+    grand = int(totals["n"].sum())
+
+    # global per-term counts join back by term (term space is unbounded)
+    g = bucketed_group_sum(
+        st.map_batches(lambda df: df[["t", "c"]].rename(columns={"c": "cg"}),
+                       batch_format="pandas"),
+        "t", ["cg"])
+    joined = hash_join(st, g, on="t")
+
+    def kl_partial(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["source"].map(n_of).to_numpy(np.float64)
+        p = df["c"].to_numpy(np.float64) / n
+        q = df["cg"].to_numpy(np.float64) / float(grand)
+        return pd.DataFrame({"source": df["source"].values,
+                             "kl": p * np.log(p / q)}) \
+            .groupby("source", as_index=False).sum()
+
+    agg = joined.map_batches(kl_partial, batch_format="pandas") \
+        .groupby("source").aggregate(Sum("kl", alias_name="kl_sum")) \
+        .sort("source")
+    return agg.map_batches(
+        lambda df: pd.DataFrame({
+            "source": df["source"].values,
+            "kl": np.round(df["kl_sum"].to_numpy(np.float64), 6)}),
+        batch_format="pandas")
+
+
+SOURCE_KL_SQL = r"""
+WITH tok AS (
+  SELECT source, unnest(regexp_extract_all(lower(text), '\S+')) AS t
+  FROM documents),
+st AS (
+  SELECT source, t, CAST(count(*) AS BIGINT) AS c
+  FROM tok GROUP BY 1, 2),
+s_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
+g AS (SELECT t, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY 1),
+tot AS (SELECT CAST(sum(cg) AS BIGINT) AS grand FROM g)
+SELECT source,
+       round(sum((c * 1.0 / n) * ln((c * 1.0 / n) / (cg * 1.0 / grand))), 6)
+         AS kl
+FROM st JOIN s_tot USING (source) JOIN g USING (t) CROSS JOIN tot
+GROUP BY source
+ORDER BY source
+"""

@@ -552,3 +552,82 @@ def pca_variance_explained(sf_dir: str) -> "np.ndarray":
     cov = (sxx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
     evals = np.linalg.eigvalsh(cov)
     return np.sort(evals)[::-1][:PCA_K]
+
+
+# ------------------------------------------- hard-negative mining
+
+HARD_NEG_K = 3
+
+
+def hard_negatives_topk(sf_dir: str):
+    """Per query vector, the top-3 most-cosine-similar vectors with a
+    DIFFERENT label — contrastive-training hard-negative mining.
+
+    Same broadcast-query blocked-matmul shape as the brute-force ANN
+    (queries ride one ``ray.put``, each batch emits its local top-k per
+    query, one grouped reduce finishes), plus a vectorized label mask.
+    Output: (query_id, rank, vec_id, cosine).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding", "label"])
+    ids = t.column("vec_id").to_numpy()
+    mask = ids < N_QUERIES
+    q = np.array(t.column("embedding").to_pylist(),
+                 dtype=np.float64)[mask]
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    qids = ids[mask]
+    qlabels = t.column("label").to_numpy()[mask]
+    q_ref = ray.put((qids, q / qn[:, None], qlabels))
+
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["vec_id", "embedding", "label"])
+
+    def block_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, Q, lab_q = ray.get(q_ref)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        sims = (v / nv[:, None]) @ Q.T
+        vids = df["vec_id"].to_numpy()
+        vlab = df["label"].to_numpy()
+        out = []
+        for j, qid in enumerate(ids_q):
+            s = sims[:, j].copy()
+            s[vlab == lab_q[j]] = -np.inf       # negatives only
+            take = min(HARD_NEG_K, len(s))
+            top = np.argpartition(-s, take - 1)[:take]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": vids[top],
+                                     "sim": s[top]}))
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[np.isfinite(df["sim"])]
+        df = df.sort_values(["sim", "vec_id"],
+                            ascending=[False, True]).head(HARD_NEG_K)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64),
+                       cosine=np.round(df["sim"].to_numpy(), 6))
+        return df[["query_id", "rank", "vec_id", "cosine"]]
+
+    return (ds.map_batches(block_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(reduce_topk,
+                                            batch_format="pandas"))
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH queries AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS q, label AS qlabel
+  FROM embeddings WHERE vec_id < {N_QUERIES}),
+sims AS (
+  SELECT query_id, e.vec_id,
+         list_cosine_similarity(q, e.embedding::DOUBLE[]) AS sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY list_cosine_similarity(q, e.embedding::DOUBLE[])
+                            DESC, e.vec_id) AS rank
+  FROM queries CROSS JOIN embeddings e WHERE e.label != qlabel)
+SELECT query_id, rank, vec_id, round(sim, 6) AS cosine
+FROM sims WHERE rank <= {HARD_NEG_K}
+"""
