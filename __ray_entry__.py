@@ -25,6 +25,7 @@ from p_id_text_extraction_ray.pipelines import chunking as CH
 from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import relational as R
+from p_id_text_extraction_ray.pipelines import media_dedup as MD
 from p_id_text_extraction_ray.pipelines import ranking as RK
 from p_id_text_extraction_ray.pipelines import sampling as SP
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
@@ -150,6 +151,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
         "pid_grouping_stats": pid_grouping_stats,
+        "media_ahash_index": MD.media_ahash_index,
         "media_resize": media_resize,
     }
 
