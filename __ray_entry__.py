@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives_topk": S.hard_negatives_topk,
         "doc_length_median_by_lang": T.doc_length_median_by_lang,
         # sketches
+        "cms_user_event_counts": K.cms_user_event_counts,
         "approx_distinct_users": K.approx_distinct_users,
         "heavy_hitter_tokens": K.heavy_hitter_tokens,
         "approx_length_quantiles": K.approx_length_quantiles,

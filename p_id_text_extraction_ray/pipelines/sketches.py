@@ -237,3 +237,59 @@ GROUP BY token
 ORDER BY n DESC, token
 LIMIT {HEAVY_HITTER_K}
 """
+
+
+# ------------------------------------------------- Count-Min sketch
+
+CMS_D, CMS_W = 4, 2048            # depth x width; eps = e/w, delta = e^-d
+CMS_PROBE_USERS = 20              # point-query the first N user ids
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def _cms_rows(keys: np.ndarray) -> np.ndarray:
+    """One (CMS_D, CMS_W) count-min table for a key batch, vectorized."""
+    cms = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+    k = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        for d in range(CMS_D):
+            pos = (_splitmix64(k ^ _CMS_SEEDS[d]) % np.uint64(CMS_W)) \
+                .astype(np.int64)
+            np.add.at(cms[d], pos, 1)
+    return cms
+
+
+def cms_user_event_counts(sf_dir: str):
+    """Count-Min-estimated event counts for a fixed probe set of users —
+    the mergeable frequency sketch a streaming profiler keeps where the
+    exact per-key map would not fit.
+
+    Each block collapses to ONE flattened (4×2048) table row (64 KB,
+    independent of row count); the driver sums #blocks tables and reads
+    the probe minima. Guarantee: exact ≤ estimate ≤ exact + e/W·N with
+    probability 1−e^−D — pytest asserts both bounds against the exact
+    counts. Deterministic (fixed seeds); rows-only driver check.
+    """
+    ev = _read(sf_dir, "events", ["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cms = _cms_rows(df["user_id"].to_numpy(np.int64))
+        return pd.DataFrame({"cms": [cms.ravel()],
+                             "n": np.int64(len(df))})
+
+    parts = ev.map_batches(partial, batch_format="pandas",
+                           batch_size=None).to_pandas()
+    cms = np.sum(np.stack(parts["cms"].to_numpy()), axis=0) \
+        .reshape(CMS_D, CMS_W)
+
+    uids = np.arange(CMS_PROBE_USERS, dtype=np.int64)
+    k = uids.astype(np.uint64)
+    est = np.full(len(uids), np.iinfo(np.int64).max, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for d in range(CMS_D):
+            pos = (_splitmix64(k ^ _CMS_SEEDS[d]) % np.uint64(CMS_W)) \
+                .astype(np.int64)
+            est = np.minimum(est, cms[d, pos])
+    return pa.table({"user_id": pa.array(uids, pa.int64()),
+                     "est_events": pa.array(est, pa.int64())})

@@ -116,3 +116,32 @@ def test_misra_gries_superset_guarantee():
     for tok, n in true.items():
         if n > thresh:
             assert tok in summary, f"{tok} (freq {n}) missing at k={k}"
+
+
+def test_cms_bounds_vs_exact(ray_session):
+    import duckdb
+    import numpy as np
+    from p_id_text_extraction_ray.pipelines.sketches import (
+        CMS_D, CMS_W, CMS_PROBE_USERS, cms_user_event_counts)
+    est = cms_user_event_counts(SF_DIR).to_pandas().set_index("user_id")
+    con = duckdb.connect()
+    exact = dict(con.sql(
+        f"SELECT user_id, count(*) FROM '{SF_DIR}/events.parquet' "
+        f"WHERE user_id < {CMS_PROBE_USERS} GROUP BY 1").fetchall())
+    n_total = con.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet'").fetchone()[0]
+    eps_bound = int(np.ceil(np.e / CMS_W * n_total))
+    for uid, e in est["est_events"].items():
+        ex = exact.get(uid, 0)
+        assert e >= ex                      # never undercounts
+        assert e <= ex + eps_bound          # over-count bounded by e/W * N
+
+
+def test_cms_merge_is_partition_invariant(ray_session):
+    import numpy as np
+    from p_id_text_extraction_ray.pipelines.sketches import _cms_rows
+    rng = np.random.default_rng(3)
+    keys = rng.integers(0, 500, 10_000).astype(np.int64)
+    whole = _cms_rows(keys)
+    parts = sum(_cms_rows(c) for c in np.array_split(keys, 7))
+    assert np.array_equal(whole, parts)
