@@ -10,8 +10,9 @@ representative query set over ``$GRAFT_SF_DIR`` (default
      "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
 
 ``--scaling``: runs the plain bench twice in fresh processes at
-RAY_GRAFT_CPUS=8 and =32 on the same input and reports both headline times
-plus scaling efficiency = (t8 / t32) / (32/8)  (1.0 = linear).
+RAY_GRAFT_CPUS=8 and =32 (override the pair with GRAFT_SCALING_LO/HI)
+on the same input and reports both headline times plus scaling
+efficiency = (t_lo / t_hi) / (hi/lo)  (1.0 = linear).
 
 Env: GRAFT_SF_DIR, RAY_GRAFT_CPUS (default 32), GRAFT_BENCH_DOCS (default
 2000).
@@ -164,9 +165,10 @@ def run_scaling() -> dict:
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     return {
         "metric": "headline extraction scaling (same input, fresh sessions)",
-        "sec_8": r_lo["value"], "sec_32": r_hi["value"],
-        "docs_per_sec_8": r_lo["docs_per_sec"],
-        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        f"sec_{lo}": r_lo["value"], f"sec_{hi}": r_hi["value"],
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
         "scaling_efficiency": round(eff, 3),
         "unit": "sec", "bench_docs": r_lo["bench_docs"],
     }

@@ -28,13 +28,18 @@ def sized_read(path: str, columns: list[str], rows_per_block: int,
     if os.path.isdir(path):
         # a table at scale is a DIRECTORY of parquet files (the engine's
         # own partitioned sinks produce exactly that); row count sums the
-        # footers, never the data
+        # footers, never the data. Read the explicit shard list so the
+        # counted set and the read set are identical (a _SUCCESS/.done
+        # sidecar must neither crash the read nor skew the count).
         files = sorted(
             os.path.join(root, f)
             for root, _, names in os.walk(path)
             for f in names if f.endswith((".parquet", ".pq")))
+        if not files:
+            raise FileNotFoundError(f"no parquet shards under {path}")
         nrows = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
-        max_blocks = max_blocks * max(1, len(files))
+        max_blocks = max_blocks * len(files)
+        path = files
     else:
         nrows = pq.ParquetFile(path).metadata.num_rows
     nb = max(1, min(max_blocks, (nrows + rows_per_block - 1) // rows_per_block))

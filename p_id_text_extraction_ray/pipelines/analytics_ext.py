@@ -612,6 +612,10 @@ def events_hourly_gapfill(sf_dir: str):
         ev.map_batches(partial, batch_format="pandas"),
         ["event_type", "hour"], ["n_events"]).to_pandas()
 
+    if not len(counts):   # empty input shard: empty grid, like the oracle
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "hour": pd.Series([], dtype="datetime64[us]"),
+                             "n_events": pd.Series([], dtype="int64")})
     lo, hi = counts["hour"].min(), counts["hour"].max()
     hours = pd.date_range(lo, hi, freq="h")
     types = sorted(counts["event_type"].unique())

@@ -431,8 +431,7 @@ s_tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM st GROUP BY 1),
 g AS (SELECT t, CAST(sum(c) AS BIGINT) AS cg FROM st GROUP BY 1),
 tot AS (SELECT CAST(sum(cg) AS BIGINT) AS grand FROM g)
 SELECT source,
-       round(sum((c * 1.0 / n) * ln((c * 1.0 / n) / (cg * 1.0 / grand))), 6)
-         AS kl
+       sum((c * 1.0 / n) * ln((c * 1.0 / n) / (cg * 1.0 / grand))) AS kl
 FROM st JOIN s_tot USING (source) JOIN g USING (t) CROSS JOIN tot
 GROUP BY source
 ORDER BY source

@@ -120,8 +120,10 @@ def media_ahash_pairs(media_root: str):
                                  "ref_b": pd.Series([], dtype="object"),
                                  "hamming": pd.Series([], dtype="int64")})
         ii, jj = np.triu_indices(len(refs), k=1)
-        ham = np.array([bin(int(h[i] ^ h[j])).count("1")
-                        for i, j in zip(ii, jj)], dtype=np.int64)
+        # vectorized popcount: a hot band (e.g. many near-blank images)
+        # can hold thousands of refs -> n^2/2 pairs; keep it in numpy
+        xor = (h[ii] ^ h[jj]).copy().view(np.uint8).reshape(len(ii), 8)
+        ham = np.unpackbits(xor, axis=1).sum(axis=1).astype(np.int64)
         keep = ham <= HAMMING_T
         return pd.DataFrame({"ref_a": refs[ii[keep]], "ref_b": refs[jj[keep]],
                              "hamming": ham[keep]})

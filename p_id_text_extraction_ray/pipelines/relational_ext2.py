@@ -377,8 +377,7 @@ def q16_part_supplier_counts(sf_dir: str):
     suppkey) makes the final count DISTINCT across parts sharing a
     class. Every shuffle carries keys/attributes, never fact rows.
     """
-    from ray.data.aggregate import Sum
-    from .joins import DEFAULT_SHUFFLE_PARTITIONS, anti_join, hash_join
+    from .joins import anti_join, hash_join
     from ._util import bucketed_group_sum as _bgs
 
     # per-batch dedup only: a global pair dedup here would cost a whole

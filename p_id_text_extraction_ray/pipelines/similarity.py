@@ -79,7 +79,9 @@ def ann_topk_bruteforce(sf_dir: str):
             s = sims[:, j].copy()
             s[vids == qid] = -np.inf            # exclude self
             take = min(TOP_K, len(s))
-            top = np.argpartition(-s, take - 1)[:take]
+            # (sim desc, vec_id asc) — ties at the block boundary must
+            # keep the same candidate the oracle's window order keeps
+            top = np.lexsort((vids, -s))[:take]
             out.append(pd.DataFrame({"query_id": qid, "vec_id": vids[top],
                                      "sim": s[top]}))
         return pd.concat(out, ignore_index=True)
@@ -148,7 +150,7 @@ def ann_lsh_topk(sf_dir: str):
             s = vn[in_bucket] @ Q[j]
             bids = vids[in_bucket]
             take = min(TOP_K, len(s))
-            top = np.argpartition(-s, take - 1)[:take]
+            top = np.lexsort((bids, -s))[:take]
             out.append(pd.DataFrame({"query_id": qid, "vec_id": bids[top],
                                      "sim": s[top]}))
         if not out:
@@ -242,7 +244,7 @@ def ann_ivf_topk(sf_dir: str):
             s = vn[in_cells] @ Q[j]
             bids = vids[in_cells]
             take = min(TOP_K, len(s))
-            top = np.argpartition(-s, take - 1)[:take]
+            top = np.lexsort((bids, -s))[:take]
             out.append(pd.DataFrame({"query_id": qid, "vec_id": bids[top],
                                      "sim": s[top]}))
         if not out:
@@ -474,6 +476,27 @@ def embedding_kmeans_clusters(sf_dir: str):
 PCA_K = 8  # projected dimensionality
 
 
+def _pca_stats(path: str):
+    """Streaming sufficient statistics for PCA: one (n, Σx, ΣxᵀX) row per
+    batch reduced on the driver → (n, mean, covariance)."""
+    import pandas as pd
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        return pd.DataFrame({"n": [len(m)], "s": [m.sum(axis=0)],
+                             "sxx": [(m.T @ m).ravel()]})
+
+    parts = _emb_read(path, ["embedding"]) \
+        .map_batches(moments, batch_format="pandas").to_pandas()
+    n = int(parts["n"].sum())
+    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0)
+    d = s.shape[0]
+    mu = s / n
+    cov = (sxx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    return n, mu, cov
+
+
 def embedding_pca_project(sf_dir: str):
     """PCA-project every embedding to the top-K principal components —
     the dimensionality-reduction pass an embedding pipeline runs before
@@ -493,21 +516,7 @@ def embedding_pca_project(sf_dir: str):
     import pandas as pd
 
     path = os.path.join(sf_dir, "embeddings.parquet")
-
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame({"n": [len(m)],
-                             "s": [m.sum(axis=0)],
-                             "sxx": [(m.T @ m).ravel()]})
-
-    parts = _emb_read(path, ["embedding"]) \
-        .map_batches(moments, batch_format="pandas").to_pandas()
-    n = int(parts["n"].sum())
-    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
-    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0)
-    d = s.shape[0]
-    mu = s / n
-    cov = (sxx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    _, mu, cov = _pca_stats(path)
 
     evals, evecs = np.linalg.eigh(cov)          # ascending
     order = np.argsort(evals)[::-1][:PCA_K]
@@ -533,23 +542,7 @@ def pca_variance_explained(sf_dir: str) -> "np.ndarray":
     """Eigenvalue spectrum helper for tests: descending top-K explained
     variances of the embedding covariance (same statistics path as
     ``embedding_pca_project``)."""
-    import pandas as pd
-
-    path = os.path.join(sf_dir, "embeddings.parquet")
-
-    def moments(df: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
-        return pd.DataFrame({"n": [len(m)], "s": [m.sum(axis=0)],
-                             "sxx": [(m.T @ m).ravel()]})
-
-    parts = _emb_read(path, ["embedding"]) \
-        .map_batches(moments, batch_format="pandas").to_pandas()
-    n = int(parts["n"].sum())
-    s = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
-    sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0)
-    d = s.shape[0]
-    mu = s / n
-    cov = (sxx.reshape(d, d) - n * np.outer(mu, mu)) / (n - 1)
+    _, _, cov = _pca_stats(os.path.join(sf_dir, "embeddings.parquet"))
     evals = np.linalg.eigvalsh(cov)
     return np.sort(evals)[::-1][:PCA_K]
 
@@ -599,7 +592,7 @@ def hard_negatives_topk(sf_dir: str):
             s = sims[:, j].copy()
             s[vlab == lab_q[j]] = -np.inf       # negatives only
             take = min(HARD_NEG_K, len(s))
-            top = np.argpartition(-s, take - 1)[:take]
+            top = np.lexsort((vids, -s))[:take]
             out.append(pd.DataFrame({"query_id": qid, "vec_id": vids[top],
                                      "sim": s[top]}))
         return pd.concat(out, ignore_index=True)
