@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_quantity_corr": AX.discount_quantity_corr,
         "funnel_latency": AX.funnel_latency,
         "segment_priority_rollup": AX.segment_priority_rollup,
+        "segment_status_cube": AX.segment_status_cube,
         "retention_cohorts": AX.retention_cohorts,
         "source_vocab_overlap": C.source_vocab_overlap,
         "source_kl_divergence": C.source_kl_divergence,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "discount_quantity_corr": AX.DISCOUNT_QUANTITY_CORR_SQL,
         "funnel_latency": AX.FUNNEL_LATENCY_SQL,
         "segment_priority_rollup": AX.SEGMENT_PRIORITY_ROLLUP_SQL,
+        "segment_status_cube": AX.SEGMENT_STATUS_CUBE_SQL,
         "retention_cohorts": AX.RETENTION_COHORTS_SQL,
         "source_vocab_overlap": C.SOURCE_VOCAB_OVERLAP_SQL,
         "source_kl_divergence": C.SOURCE_KL_SQL,

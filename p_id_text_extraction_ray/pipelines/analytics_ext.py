@@ -645,3 +645,71 @@ SELECT g.event_type, g.hour, coalesce(c.n_events, 0) AS n_events
 FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour
 ORDER BY g.event_type, g.hour
 """
+
+
+# --------------------------------------------- CUBE grouping sets
+
+def segment_status_cube(sf_dir: str):
+    """GROUP BY CUBE(segment, order status): base cells plus BOTH
+    one-dimension subtotal levels plus the grand total — the full
+    grouping-sets lattice (ROLLUP only emits one subtotal chain).
+
+    Same plan as the rollup: the fact side reduces per custkey inside
+    the customer join's shuffle, the scale-independent base cube
+    finishes distributed, and all four grouping sets derive from it in
+    one final block.
+    """
+    from ray.data.aggregate import Sum
+    from .joins import sum_join
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderstatus", "o_totalprice"])
+
+    def o_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"c_custkey": df["o_custkey"].values,
+                             "status": df["o_orderstatus"].values,
+                             "n_orders": np.ones(len(df), dtype=np.int64),
+                             "rev_c": cents(df["o_totalprice"])})
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    joined = sum_join(orders.map_batches(o_rows, batch_format="pandas"),
+                      cust, on="c_custkey",
+                      sum_keys=["c_custkey", "status"],
+                      sum_cols=["n_orders", "rev_c"])
+
+    base = joined.map_batches(
+        lambda df: df.groupby(["c_mktsegment", "status"], as_index=False)
+        [["n_orders", "rev_c"]].sum()
+        .rename(columns={"c_mktsegment": "segment"}),
+        batch_format="pandas") \
+        .groupby(["segment", "status"]) \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("rev_c", alias_name="rev_c"))
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        seg = df.groupby("segment", as_index=False)[["n_orders", "rev_c"]] \
+            .sum().assign(status="ALL")
+        st = df.groupby("status", as_index=False)[["n_orders", "rev_c"]] \
+            .sum().assign(segment="ALL")
+        total = pd.DataFrame({"segment": ["ALL"], "status": ["ALL"],
+                              "n_orders": [df["n_orders"].sum()],
+                              "rev_c": [df["rev_c"].sum()]})
+        out = pd.concat([df, seg, st, total], ignore_index=True)
+        return pd.DataFrame({"segment": out["segment"].values,
+                             "status": out["status"].values,
+                             "n_orders": out["n_orders"].to_numpy(np.int64),
+                             "revenue": out["rev_c"].to_numpy(np.int64) / 100.0})
+
+    return base.repartition(1).map_batches(cube, batch_format="pandas",
+                                           batch_size=None)
+
+
+SEGMENT_STATUS_CUBE_SQL = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderstatus, 'ALL') AS status,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY CUBE (c_mktsegment, o_orderstatus)
+"""
