@@ -107,3 +107,7 @@ class ExtractConfig:
     # Giant images split into tile-range work units of at most this many
     # tiles (header-only planning; see stages/cv.TilePlanStage).
     max_tiles_per_task: int = 64
+    # Blobs under this many compressed bytes skip header planning and pass
+    # through as one whole-image unit; None = TilePlanStage's default
+    # (1 MiB). Lower it for corpora of raw/uncompressed media.
+    tile_plan_size_threshold: int | None = None

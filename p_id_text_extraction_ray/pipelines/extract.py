@@ -7,7 +7,10 @@ One streaming DAG (SURVEY.md §7.0):
       └─ IMAGE branch: explode -> route image
            -> unique media_refs (groupby(media_ref) count)   [shuffle #1, tiny rows]
            -> tile -> detect (actor pool)
-           -> groupby(media_ref).map_groups(group)           [shuffle #2 — coords only]
+           -> group per image: batch-local for whole-image work units (the
+              normal case — detections stream straight into crop/recognize
+              with NO shuffle); only giant images split across tile-range
+              units take a groupby(media_ref) path    [shuffle #2 — rare, coords only]
            -> crop -> recognize (actor pool) -> classify
            -> join back to (doc_id, offset) spans on media_ref
                                                              [shuffle #3 — co-partitioned]
@@ -76,8 +79,24 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
     # but not so many that per-task fixed costs dominate: ~4 per detector.
     from ..stages.cv import TilePlanStage
     work = uniq_refs.map_batches(
-        TilePlanStage(media_root, cfg, cfg.max_tiles_per_task),
+        TilePlanStage(media_root, cfg, cfg.max_tiles_per_task,
+                      size_threshold=cfg.tile_plan_size_threshold),
         batch_format="pyarrow")
+    # Which media were SPLIT across work units? Only giant images (rare).
+    # An unsplit image's detections are complete inside one detect batch
+    # (its single work-unit row can't straddle batches), so those group
+    # batch-locally with NO shuffle — detect streams straight into
+    # crop/recognize instead of stalling at a global sort barrier. Only
+    # split-media detections take the groupby path. materialize() here is
+    # free: the repartition below is a barrier anyway, and work rows are
+    # (ref, lo, hi) triples only.
+    import pyarrow.compute as pc
+    work = work.materialize()
+    split_refs = frozenset(
+        r["media_ref"] for r in work.map_batches(
+            lambda t: t.filter(pc.greater(t.column("tile_lo"), 0))
+            .select(["media_ref"]),
+            batch_format="pyarrow").take_all())
     n_work_blocks = max(32, det_max * 4)
     detections = work.repartition(n_work_blocks).map_batches(
         DetectStage,
@@ -86,8 +105,37 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
         concurrency=det_pool, num_cpus=1)
     if stop_after == "detect":
         return detections
-    grouped = detections.groupby("media_ref").map_groups(
-        make_group_fn(cfg), batch_format="pyarrow")
+
+    group_fn = make_group_fn(cfg)
+
+    def group_block(t: pa.Table) -> pa.Table:
+        # every media in this block is complete (one grouped-output row
+        # set per distinct ref); block ≪ target block size, so Ray never
+        # slices a single UDF output across blocks
+        refs = pc.unique(t.column("media_ref")).to_pylist()
+        if not refs:
+            return group_fn(t)
+        return pa.concat_tables(
+            [group_fn(t.filter(pc.equal(t.column("media_ref"), ref)))
+             for ref in refs])
+
+    if split_refs:
+        split_arr = pa.array(sorted(split_refs), pa.string())
+        whole = detections.map_batches(
+            lambda t: t.filter(pc.invert(pc.is_in(t.column("media_ref"),
+                                                  value_set=split_arr))),
+            batch_format="pyarrow")
+        split = detections.map_batches(
+            lambda t: t.filter(pc.is_in(t.column("media_ref"),
+                                        value_set=split_arr)),
+            batch_format="pyarrow")
+        grouped = whole.map_batches(group_block, batch_format="pyarrow",
+                                    batch_size=None) \
+            .union(split.groupby("media_ref").map_groups(
+                group_fn, batch_format="pyarrow"))
+    else:
+        grouped = detections.map_batches(group_block, batch_format="pyarrow",
+                                         batch_size=None)
     if stop_after == "group":
         return grouped
     crops = grouped.map_batches(

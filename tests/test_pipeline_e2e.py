@@ -157,3 +157,58 @@ def test_drop_counters(ray_session, tiny_fixture):
     assert len(out) == 1 and out["text"].iloc[0] == "keep me"
     totals = counter_totals(counter)
     assert totals.get("text_clean_empty") == 1
+
+
+def test_split_media_pipeline_equals_whole(ray_session, tmp_path):
+    """A giant image split across tile-range work units must produce the
+    exact same spans as the same image processed whole — the e2e check of
+    the split-media groupby branch (whole-image media group batch-locally
+    with no shuffle; split media take the groupby path)."""
+    from dataclasses import replace
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from p_id_text_extraction_ray.config import ExtractConfig
+    from p_id_text_extraction_ray.media.codec import (BACKGROUND,
+                                                      encode_image,
+                                                      render_string)
+    from p_id_text_extraction_ray.media.store import FileMediaStore
+    from p_id_text_extraction_ray.pipelines.extract import extract_spans
+    from p_id_text_extraction_ray.stages.cv import TilePlanStage
+
+    canvas = np.full((1600, 2200), BACKGROUND, np.uint8)
+    for text, x, y, rot in [("PIC-101", 100, 120, 0), ("DRAIN", 400, 300, 0),
+                            ("VALVE-7", 1500, 900, 0), ("PUMP", 2000, 1400, 90),
+                            ("FT-9", 900, 1200, 0)]:
+        render_string(canvas, text, x, y, rot)
+    store = FileMediaStore(str(tmp_path))
+    store.put("media/big.pidr", encode_image(canvas))
+
+    span_t = pa.list_(pa.struct([("kind", pa.string()), ("text", pa.string()),
+                                 ("media_ref", pa.string()),
+                                 ("offset", pa.int32())]))
+    docs = pa.table({
+        "doc_id": pa.array(["DOC-A", "DOC-B"], pa.string()),
+        "spans": pa.array(
+            [[{"kind": "text", "text": "intro words", "media_ref": "",
+               "offset": 0},
+              {"kind": "image", "text": "", "media_ref": "media/big.pidr",
+               "offset": 1}],
+             [{"kind": "image", "text": "", "media_ref": "media/big.pidr",
+               "offset": 0}]], span_t)})
+
+    split_cfg = replace(ExtractConfig(), max_tiles_per_task=4,
+                        tile_plan_size_threshold=0)
+    # precondition: the planner really splits this blob at this setting
+    plan = TilePlanStage(str(tmp_path), split_cfg, 4,
+                         size_threshold=0)(
+        pa.table({"media_ref": pa.array(["media/big.pidr"])}))
+    assert len(plan) > 1
+
+    def run(cfg):
+        return _norm(extract_spans(rd.from_arrow(docs), str(tmp_path),
+                                   cfg=cfg).to_pandas())
+
+    pd.testing.assert_frame_equal(run(split_cfg), run(ExtractConfig()))
