@@ -76,7 +76,7 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
     # (2/3) leaves the early-run slack the task stages need.
     det_max = cfg.detect_concurrency or max(1, cpus * 5 // 8)
     rec_max = cfg.recognize_concurrency or max(1, cpus * 3 // 8)
-    det_pool = (max(1, det_max * 2 // 3), det_max)
+    det_pool = (max(1, det_max * 5 // 6), det_max)
     rec_pool = (max(1, rec_max * 2 // 3), rec_max)
 
     # Plan tile-range work units from header-only reads (giant images split
@@ -102,7 +102,7 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
             lambda t: t.filter(pc.greater(t.column("tile_lo"), 0))
             .select(["media_ref"]),
             batch_format="pyarrow").take_all())
-    n_work_blocks = max(32, det_max * 4)
+    n_work_blocks = max(32, det_max * 8)
     detections = work.repartition(n_work_blocks).map_batches(
         DetectStage,
         fn_constructor_args=(media_root, cfg, detector_cls, detector_args),
@@ -214,15 +214,26 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
     if stop_after in ("detect", "group", "recognize"):
         return media_rows
 
+    # The tail shuffles move tiny coordinate/text rows spread across many
+    # small upstream blocks; left at Ray's default (one reduce partition
+    # per input block, ~200 here) the sort-based groupby mints O(blocks²)
+    # shuffle fragments and orchestration dominates (~20 s of a 63 s run
+    # at 24k docs / 32 CPUs). Bound the reduce side to ~2 tasks per core —
+    # it scales with the cluster, not with the block count.
+    import ray as _ray
+    _cpus = (int(_ray.cluster_resources().get("CPU", 8))
+             if _ray.is_initialized() else 8)
+    tail_parts = max(16, _cpus * 2)
+
     tag_media = make_tag_media_fn(hot_refs, cfg.join_salt)
     tag_spans = make_tag_span_fn(hot_refs, cfg.join_salt)
     joined = (media_rows.map_batches(tag_media, batch_format="pyarrow")
               .union(img_spans.map_batches(tag_spans, batch_format="pyarrow"))
-              .groupby(["media_ref", "salt"])
+              .groupby(["media_ref", "salt"], num_partitions=tail_parts)
               .map_groups(join_spans_to_media, batch_format="pyarrow"))
     if stop_after == "join":
         return joined
 
     all_rows = text_rows.union(joined)
-    return all_rows.groupby("doc_id").map_groups(
+    return all_rows.groupby("doc_id", num_partitions=tail_parts).map_groups(
         reassemble_doc, batch_format="pyarrow")
