@@ -24,6 +24,7 @@ from p_id_text_extraction_ray.pipelines import analytics_ext as AX
 from p_id_text_extraction_ray.pipelines import chunking as CH
 from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
+from p_id_text_extraction_ray.pipelines import fuzzy as F
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import media_dedup as MD
 from p_id_text_extraction_ray.pipelines import ranking as RK
@@ -143,6 +144,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
         "chunk_documents": CH.chunk_documents,
+        "fuzzy_token_pairs": F.fuzzy_token_pairs,
+        "strip_boilerplate_ngrams": F.strip_boilerplate_ngrams,
+        "price_quantity_regression": AX.price_quantity_regression,
         "vocab_oov_rate": CH.vocab_oov_rate,
         "stratified_sample_by_source": SP.stratified_sample_by_source,
         "events_window_dedup": SP.events_window_dedup,
@@ -225,6 +229,9 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "chunk_documents": CH.CHUNK_SQL,
+        "fuzzy_token_pairs": F.FUZZY_TOKEN_PAIRS_SQL,
+        "strip_boilerplate_ngrams": F.STRIP_BOILERPLATE_SQL,
+        "price_quantity_regression": AX.PRICE_QUANTITY_REGRESSION_SQL,
         "vocab_oov_rate": CH.VOCAB_OOV_SQL,
         "stratified_sample_by_source": SP.STRATIFIED_SAMPLE_SQL,
         "events_window_dedup": SP.EVENTS_WINDOW_DEDUP_SQL,

@@ -713,3 +713,71 @@ SELECT coalesce(c_mktsegment, 'ALL') AS segment,
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY CUBE (c_mktsegment, o_orderstatus)
 """
+
+
+# ------------------------------------------- grouped OLS regression
+
+def price_quantity_regression(sf_dir: str):
+    """Per-returnflag ordinary-least-squares fit of extended price
+    (cents) against quantity: (l_returnflag, n_rows, slope_cents,
+    intercept_cents). Sufficient statistics (n, Σx, Σy, Σxy, Σxx)
+    accumulate as exact int64 partials inside each batch — per-row
+    products are bounded (x ≤ 50, y ≤ ~10^7 cents ⇒ xy ≤ 5·10^8, xx ≤
+    2500), so the global sums hold to ~10^9 rows per group — and the
+    closed-form slope/intercept run once on the ≤|flags| reduced rows.
+    Final arithmetic converts the exact integer moments through float64
+    in the same operand order as the oracle's HUGEINT→DOUBLE casts, so
+    the rounded result is bit-identical."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        x = np.rint(df["l_quantity"].to_numpy(dtype=np.float64)) \
+            .astype(np.int64)
+        y = cents(df["l_extendedprice"])
+        g = pd.DataFrame({"l_returnflag": df["l_returnflag"].values,
+                          "n": np.ones(len(df), dtype=np.int64),
+                          "sx": x, "sy": y, "sxy": x * y, "sxx": x * x})
+        return g.groupby("l_returnflag", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+    agg = (li.map_batches(partial, batch_format="pandas")
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx"))
+           .to_pandas())
+
+    rows = []
+    for r in agg.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxy, sxx = int(r.sxy), int(r.sxx)
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        rows.append((r.l_returnflag, n, round(slope, 6),
+                     round(intercept, 6)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "n_rows",
+                                      "slope_cents", "intercept_cents"])
+    return out.sort_values("l_returnflag", kind="mergesort") \
+        .reset_index(drop=True)
+
+
+PRICE_QUANTITY_REGRESSION_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(round(l_quantity) AS BIGINT)            AS x,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+  FROM lineitem),
+s AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM m GROUP BY l_returnflag)
+SELECT l_returnflag, n AS n_rows,
+       round(CAST(n*sxy - sx*sy AS DOUBLE)
+             / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS slope_cents,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_cents
+FROM s ORDER BY l_returnflag
+"""
