@@ -31,6 +31,7 @@ from p_id_text_extraction_ray.pipelines import ranking as RK
 from p_id_text_extraction_ray.pipelines import sampling as SP
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
 from p_id_text_extraction_ray.pipelines import relational_ext2 as R2
+from p_id_text_extraction_ray.pipelines import retrieval as RT
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import textstats as T
@@ -153,6 +154,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ntile_by_lang": RK.doc_ntile_by_lang,
         "brand_revenue_rank": RK.brand_revenue_rank,
         "events_hourly_gapfill": AX.events_hourly_gapfill,
+        "inverted_index": RT.inverted_index,
+        "bm25_search": RT.bm25_search,
+        "token_cooccurrence": RT.token_cooccurrence,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -238,6 +242,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_ntile_by_lang": RK.DOC_NTILE_SQL,
         "brand_revenue_rank": RK.BRAND_REVENUE_RANK_SQL,
         "events_hourly_gapfill": AX.EVENTS_HOURLY_GAPFILL_SQL,
+        "inverted_index": RT.INVERTED_INDEX_SQL,
+        "bm25_search": RT.BM25_SEARCH_SQL,
+        "token_cooccurrence": RT.TOKEN_COOCCURRENCE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
