@@ -32,6 +32,7 @@ from p_id_text_extraction_ray.pipelines import sampling as SP
 from p_id_text_extraction_ray.pipelines import relational_ext as RX
 from p_id_text_extraction_ray.pipelines import relational_ext2 as R2
 from p_id_text_extraction_ray.pipelines import retrieval as RT
+from p_id_text_extraction_ray.pipelines import profiling as PF
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import textstats as T
@@ -157,6 +158,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index": RT.inverted_index,
         "bm25_search": RT.bm25_search,
         "token_cooccurrence": RT.token_cooccurrence,
+        "profile_lineitem": PF.profile_lineitem,
+        "audit_lineitem": PF.audit_lineitem,
+        "chi2_term_source": PF.chi2_term_source,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -245,6 +249,9 @@ def oracle_sql() -> dict[str, str]:
         "inverted_index": RT.INVERTED_INDEX_SQL,
         "bm25_search": RT.BM25_SEARCH_SQL,
         "token_cooccurrence": RT.TOKEN_COOCCURRENCE_SQL,
+        "profile_lineitem": PF.PROFILE_LINEITEM_SQL,
+        "audit_lineitem": PF.AUDIT_LINEITEM_SQL,
+        "chi2_term_source": PF.CHI2_TERM_SOURCE_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
