@@ -121,7 +121,11 @@ def run_bench() -> dict:
                      "q2_min_price_supplier", "q9_profit_by_nation_year",
                      "q13_customer_distribution", "q16_part_supplier_counts",
                      "daily_activity_full_join", "chunk_documents",
-                     "vocab_oov_rate"):
+                     "vocab_oov_rate", "fuzzy_token_pairs",
+                     "strip_boilerplate_ngrams", "inverted_index",
+                     "bm25_search", "token_cooccurrence",
+                     "profile_lineitem", "audit_lineitem",
+                     "chi2_term_source"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
