@@ -33,6 +33,7 @@ from p_id_text_extraction_ray.pipelines import relational_ext as RX
 from p_id_text_extraction_ray.pipelines import relational_ext2 as R2
 from p_id_text_extraction_ray.pipelines import retrieval as RT
 from p_id_text_extraction_ray.pipelines import profiling as PF
+from p_id_text_extraction_ray.pipelines import scanops as SC
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import textstats as T
@@ -161,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": PF.profile_lineitem,
         "audit_lineitem": PF.audit_lineitem,
         "chi2_term_source": PF.chi2_term_source,
+        "events_running_records": SC.events_running_records,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -252,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_lineitem": PF.PROFILE_LINEITEM_SQL,
         "audit_lineitem": PF.AUDIT_LINEITEM_SQL,
         "chi2_term_source": PF.CHI2_TERM_SOURCE_SQL,
+        "events_running_records": SC.EVENTS_RUNNING_RECORDS_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
