@@ -71,6 +71,15 @@ def profile_lineitem(sf_dir: str):
 
     stats = (ds.map_batches(stat_partial, batch_format="pandas")
              .to_pandas())                       # batches × columns rows
+    if stats.empty:
+        # the SQL aggregate still yields one row per column (NULL extrema)
+        return pd.DataFrame({
+            "column": PROFILE_COLS,
+            "n_rows": np.zeros(len(PROFILE_COLS), dtype=np.int64),
+            "n_null": np.zeros(len(PROFILE_COLS), dtype=np.int64),
+            "n_distinct": np.zeros(len(PROFILE_COLS), dtype=np.int64),
+            "min_v": np.full(len(PROFILE_COLS), np.nan),
+            "max_v": np.full(len(PROFILE_COLS), np.nan)})
     agg = stats.groupby("column").agg(
         n_rows=("n_rows", "sum"), n_null=("n_null", "sum"),
         min_v=("min_v", "min"), max_v=("max_v", "max")).reset_index()
@@ -104,7 +113,8 @@ def profile_lineitem(sf_dir: str):
          .map_groups(count_bucket, batch_format="pandas")),
         key="column", sum_cols=["n_distinct"]).to_pandas()
 
-    out = agg.merge(nd, on="column")
+    out = agg.merge(nd, on="column", how="left")   # all-null column: no
+    out["n_distinct"] = out["n_distinct"].fillna(0)  # distinct rows emitted
     out = out[["column", "n_rows", "n_null", "n_distinct", "min_v", "max_v"]]
     out[["n_rows", "n_null", "n_distinct"]] = \
         out[["n_rows", "n_null", "n_distinct"]].astype(np.int64)
@@ -178,20 +188,32 @@ def audit_lineitem(sf_dir: str):
     rows = bucketed_group_sum(
         ds.map_batches(partial, batch_format="pandas"),
         key="rule", sum_cols=["n_violations"]).to_pandas()
+    empty_table = rows.empty
+    if empty_table:
+        # empty table: every row-level rule still reports 0 (SQL parity)
+        rules = [r for r, p in AUDIT_RULES if p is not None]
+        rows = pd.DataFrame({"rule": rules,
+                             "n_violations": np.zeros(len(rules),
+                                                      dtype=np.int64)})
 
-    li_keys = _li(sf_dir, ["l_orderkey"]).map_batches(
-        lambda df: df.drop_duplicates("l_orderkey"), batch_format="pandas")
-    ord_keys = sized_read(os.path.join(sf_dir, "orders.parquet"),
-                          ["o_orderkey"], rows_per_block=150_000)
-    orphans = anti_join(
-        li_keys, ord_keys.map_batches(
-            lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
-            batch_format="pandas"),
-        on="l_orderkey")
-    # count(): streaming row count of the anti-join survivors
+    if empty_table:
+        n_orphans = 0
+    else:
+        li_keys = _li(sf_dir, ["l_orderkey"]).map_batches(
+            lambda df: df.drop_duplicates("l_orderkey"),
+            batch_format="pandas")
+        ord_keys = sized_read(os.path.join(sf_dir, "orders.parquet"),
+                              ["o_orderkey"], rows_per_block=150_000)
+        orphans = anti_join(
+            li_keys, ord_keys.map_batches(
+                lambda df: df.rename(columns={"o_orderkey": "l_orderkey"}),
+                batch_format="pandas"),
+            on="l_orderkey")
+        # count(): streaming row count of the anti-join survivors
+        n_orphans = orphans.count()
     rows = pd.concat(
         [rows, pd.DataFrame({"rule": ["orphan_orderkey"],
-                             "n_violations": np.array([orphans.count()],
+                             "n_violations": np.array([n_orphans],
                                                       dtype=np.int64)})],
         ignore_index=True)
     return rows.sort_values("rule", kind="mergesort").reset_index(drop=True)
@@ -243,6 +265,11 @@ def chi2_term_source(sf_dir: str):
         key="term", sum_cols=["n"])
     top = (counts.sort(["n", "term"], descending=[True, False])
            .limit(CHI2_TOP_V).to_pandas())
+    if top.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "source": pd.Series([], dtype=object),
+                             "n11": pd.Series([], dtype=np.int64),
+                             "chi2": pd.Series([], dtype=np.float64)})
     vocab = sorted(top["term"].tolist())
     vocab_ref = ray.put(vocab)
 

@@ -101,6 +101,10 @@ def inverted_index(sf_dir: str):
         key="term", sum_cols=["doc_freq", "total_tf"])
     # final table is vocabulary-sized — driver collect is result-sized
     out = counts.to_pandas()
+    if out.empty:
+        return pd.DataFrame({"term": pd.Series([], dtype=object),
+                             "doc_freq": pd.Series([], dtype=np.int64),
+                             "total_tf": pd.Series([], dtype=np.int64)})
     return out.sort_values("term", kind="mergesort").reset_index(drop=True)
 
 
@@ -138,6 +142,8 @@ def _corpus_stats(sf_dir: str, terms: list[str]):
     parts = (_docs(sf_dir, ("text",))
              .map_batches(partial, batch_format="pandas")
              .to_pandas())                      # one row per batch
+    if parts.empty:
+        return 0, 0, dict.fromkeys(terms, 0)
     n_docs = int(parts["n_docs"].sum())
     n_words = int(parts["n_words"].sum())
     dfs = {t: int(parts[f"df_{t}"].sum()) for t in terms}
@@ -153,6 +159,11 @@ def bm25_search(sf_dir: str):
 
     all_terms = sorted({t for _, terms in BM25_QUERIES for t in terms})
     n_docs, n_words, dfs = _corpus_stats(sf_dir, all_terms)
+    if n_docs == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
     avgdl = float(n_words) / float(n_docs)
     idf = {t: math.log(1.0 + (n_docs - dfs[t] + 0.5) / (dfs[t] + 0.5))
            for t in all_terms}
@@ -289,6 +300,13 @@ def token_cooccurrence(sf_dir: str):
     # distributed top-V: sort (n desc, term asc), keep V — V rows leave
     top = (counts.sort(["n", "term"], descending=[True, False])
            .limit(TOP_V).to_pandas())
+    if top.empty:
+        return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
+                             "tok_b": pd.Series([], dtype=object),
+                             "n_ab": pd.Series([], dtype=np.int64),
+                             "n_a": pd.Series([], dtype=np.int64),
+                             "n_b": pd.Series([], dtype=np.int64),
+                             "lift": pd.Series([], dtype=np.float64)})
     vocab = sorted(top["term"].tolist())
     vocab_ref = ray.put(vocab)
 

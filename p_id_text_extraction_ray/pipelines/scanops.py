@@ -53,8 +53,12 @@ def events_running_records(sf_dir: str):
         return out.rename(columns={"value": "max_v"})
 
     # step 1+2: per-bucket maxima (tiny) -> driver exclusive prefix max
-    summ = (_read().map_batches(bucket_max, batch_format="pandas")
-            .to_pandas().groupby("bucket", as_index=False)["max_v"].max()
+    summ = _read().map_batches(bucket_max, batch_format="pandas").to_pandas()
+    if summ.empty:
+        return pd.DataFrame({"event_id": pd.Series([], dtype=np.int64),
+                             "event_type": pd.Series([], dtype=object),
+                             "value": pd.Series([], dtype=np.float64)})
+    summ = (summ.groupby("bucket", as_index=False)["max_v"].max()
             .sort_values("bucket"))
     prefix = {}
     running = -np.inf
