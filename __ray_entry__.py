@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audit_lineitem": PF.audit_lineitem,
         "chi2_term_source": PF.chi2_term_source,
         "events_running_records": SC.events_running_records,
+        "weighted_sample_docs": SP.weighted_sample_docs,
+        "doc_unigram_logprob": T.doc_unigram_logprob,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -255,6 +257,8 @@ def oracle_sql() -> dict[str, str]:
         "audit_lineitem": PF.AUDIT_LINEITEM_SQL,
         "chi2_term_source": PF.CHI2_TERM_SOURCE_SQL,
         "events_running_records": SC.EVENTS_RUNNING_RECORDS_SQL,
+        "weighted_sample_docs": SP.WEIGHTED_SAMPLE_SQL,
+        "doc_unigram_logprob": T.DOC_UNIGRAM_LOGPROB_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

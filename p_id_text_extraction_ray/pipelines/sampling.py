@@ -117,3 +117,78 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type,
                            ORDER BY ts, event_id) = 1
 ORDER BY event_id
 """
+
+
+# --------------------------- weighted sampling without replacement
+
+WEIGHTED_SAMPLE_K = 100
+_U52 = 4503599627370496.0      # 2^52: 13 hex digits of md5 -> exact double
+
+
+def weighted_sample_docs(sf_dir: str):
+    """Exactly ``WEIGHTED_SAMPLE_K`` documents drawn WITHOUT replacement
+    with probability proportional to weight = n_chars + 1 — the
+    Efraimidis–Spirakis A-ES scheme (Efraimidis & Spirakis '06): each
+    row gets priority ln(u)/w for a per-key uniform u, and the global
+    top-K priorities ARE the weighted sample. Deterministic end-to-end:
+    u derives from md5(doc_id) (13 hex chars / 2^52 — an exact double),
+    so the sample is a pure function of the keys, reproducible across
+    runs and partitionings, and mirrored exactly by the SQL oracle.
+
+    Top-K is associative: each batch pre-trims locally, a single tiny
+    reduce keeps the global K — only (doc_id, source, weight, priority)
+    candidate rows ever shuffle, never text.
+
+    Output: (rank, doc_id, source, weight, priority), rank 1..K by
+    priority descending (ties by doc_id).
+    """
+    import math
+
+    import numpy as np
+
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"],
+                 rows_per_block=150_000)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        w = (df["n_chars"].to_numpy() + 1).astype(np.int64)
+        u = np.fromiter(
+            (int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+             for d in df["doc_id"].to_numpy()),
+            dtype=np.int64, count=len(df)) / _U52
+        pri = np.log(u) / w.astype(np.float64)
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "source": df["source"].to_numpy(),
+                            "weight": w, "priority": pri})
+        out = out.sort_values(["priority", "doc_id"],
+                              ascending=[False, True],
+                              kind="mergesort").head(WEIGHTED_SAMPLE_K)
+        return out.assign(__g=np.int64(0))
+
+    def global_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["priority", "doc_id"], ascending=[False, True],
+                           kind="mergesort").head(WEIGHTED_SAMPLE_K)
+             .drop(columns="__g").reset_index(drop=True))
+        g.insert(0, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
+        return g
+
+    return (docs.map_batches(local_topk, batch_format="pandas")
+            .groupby("__g", num_partitions=1)
+            .map_groups(global_topk, batch_format="pandas"))
+
+
+WEIGHTED_SAMPLE_SQL = f"""
+WITH p AS (
+  SELECT doc_id, source, CAST(n_chars + 1 AS BIGINT) AS weight,
+         ln(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                 AS BIGINT) / {_U52!r}) / CAST(n_chars + 1 AS BIGINT)
+           AS priority
+  FROM documents)
+SELECT CAST(row_number() OVER (ORDER BY priority DESC, doc_id) AS BIGINT)
+         AS rank,
+       doc_id, source, weight, priority
+FROM p
+QUALIFY rank <= {WEIGHTED_SAMPLE_K}
+ORDER BY rank
+"""

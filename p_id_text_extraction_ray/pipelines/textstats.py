@@ -644,3 +644,88 @@ SELECT lang, count(*) AS n_docs,
        quantile_disc(n_words, 0.9) AS p90_words
 FROM n GROUP BY lang
 """
+
+
+# ------------------------------ unigram LM log-prob (quality filter)
+
+def doc_unigram_logprob(sf_dir: str):
+    """(doc_id, n_tokens, avg_logprob, perplexity) per non-empty doc:
+    score under the corpus' own unigram LM — the CCNet-style (Wenzek et
+    al. '20) LM quality filter, here with the corpus as its own model
+    (an external LM's count table slots into the same join).
+
+    Distributed shape mirrors ``source_kl_divergence``: per-(doc, term)
+    tf partials; global term counts via a second bucketed sum over the
+    SAME materialized tf table; log-probabilities join back by term
+    (the term space is unbounded — never a driver dict); per-doc sums
+    reduce in one doc-bucketed shuffle. Floats enter only at the final
+    tf·ln(c/T) contraction; results round to 6 dp (the driver compare's
+    tolerance) since float sum order differs from SQL's.
+    """
+    import numpy as np
+
+    from .joins import hash_join
+    from ._util import bucketed_group_sum
+
+    docs = _docs(sf_dir)
+
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        from collections import Counter
+        ids, ts, cs = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            cnt = Counter(text.split())
+            ids.extend([doc_id] * len(cnt))
+            ts.extend(cnt.keys())
+            cs.extend(cnt.values())
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                             "t": pd.Series(ts, dtype=object),
+                             "tf": np.array(cs, dtype=np.int64)})
+
+    tf = bucketed_group_sum(
+        docs.map_batches(tf_rows, batch_format="pandas"),
+        ["doc_id", "t"], ["tf"]).materialize()
+
+    g = bucketed_group_sum(
+        tf.map_batches(lambda df: df[["t", "tf"]].rename(columns={"tf": "c"}),
+                       batch_format="pandas"), "t", ["c"])
+    grand = int(g.map_batches(
+        lambda df: pd.DataFrame({"n": [df["c"].sum()]}),
+        batch_format="pandas").to_pandas()["n"].sum())
+
+    joined = hash_join(tf, g, on="t")
+
+    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
+        tfv = df["tf"].to_numpy(np.float64)
+        lp = tfv * np.log(df["c"].to_numpy(np.float64) / float(grand))
+        part = pd.DataFrame({"doc_id": df["doc_id"].values,
+                             "s": lp, "n_tokens": df["tf"].values})
+        return part.groupby("doc_id", as_index=False).sum()
+
+    sums = bucketed_group_sum(
+        joined.map_batches(doc_partial, batch_format="pandas"),
+        "doc_id", ["s", "n_tokens"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        avg = df["s"].to_numpy(np.float64) / df["n_tokens"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].values,
+            "n_tokens": df["n_tokens"].to_numpy(np.int64),
+            "avg_logprob": np.round(avg, 6),
+            "perplexity": np.round(np.exp(-avg), 6)})
+
+    return sums.map_batches(finish, batch_format="pandas")
+
+
+DOC_UNIGRAM_LOGPROB_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+             FROM documents),
+tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM tc)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(ln((c * 1.0) / grand)) / count(*), 6) AS avg_logprob,
+       round(exp(-(sum(ln((c * 1.0) / grand)) / count(*))), 6) AS perplexity
+FROM tok JOIN tc USING (t) CROSS JOIN tot
+GROUP BY doc_id
+ORDER BY doc_id
+"""

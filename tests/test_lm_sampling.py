@@ -1,0 +1,75 @@
+"""Semantic checks for weighted sampling and the unigram-LM scorer."""
+
+import hashlib
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from p_id_text_extraction_ray.pipelines import sampling as SP
+from p_id_text_extraction_ray.pipelines import textstats as T
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("lmsample")
+    n = 300
+    texts = ["aa bb" for _ in range(n - 1)] + ["aa aa aa cc"]
+    n_chars = [5] * (n - 1) + [10**9]           # doc 299: giant weight
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), type=pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * n),
+        "source": pa.array(["s0"] * n),
+        "n_chars": pa.array(n_chars, type=pa.int64()),
+    })
+    pq.write_table(tbl, str(root / "documents.parquet"))
+    return str(root)
+
+
+def _brute_sample(planted_dir, k):
+    df = pq.read_table(planted_dir + "/documents.parquet").to_pandas()
+    w = (df["n_chars"] + 1).astype(np.int64)
+    u = np.array([int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+                  for d in df["doc_id"]]) / SP._U52
+    pri = np.log(u) / w.to_numpy(dtype=np.float64)
+    order = np.lexsort((df["doc_id"].to_numpy(), -pri))[:k]
+    return df["doc_id"].to_numpy()[order]
+
+
+def test_weighted_sample_matches_bruteforce(ray_session, planted_dir):
+    out = SP.weighted_sample_docs(planted_dir).to_pandas()
+    assert len(out) == SP.WEIGHTED_SAMPLE_K
+    expect = _brute_sample(planted_dir, SP.WEIGHTED_SAMPLE_K)
+    assert out.sort_values("rank")["doc_id"].tolist() == list(expect)
+    # priorities are ln(u)/w <= 0 and sorted descending
+    pri = out.sort_values("rank")["priority"].to_numpy()
+    assert (pri <= 0).all() and (np.diff(pri) <= 0).all()
+
+
+def test_heavy_doc_always_sampled(ray_session, planted_dir):
+    """ln(u)/w -> 0 as w -> inf: the giant-weight doc must rank 1."""
+    out = SP.weighted_sample_docs(planted_dir).to_pandas()
+    assert out.sort_values("rank").iloc[0]["doc_id"] == 299
+
+
+def test_unigram_logprob_hand_computed(ray_session, planted_dir):
+    out = T.doc_unigram_logprob(planted_dir)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    n = 300
+    c_aa = (n - 1) + 3
+    c_bb = n - 1
+    grand = c_aa + c_bb + 1                     # + one 'cc'
+    row = out[out["doc_id"] == 0].iloc[0]
+    expect = (math.log(c_aa / grand) + math.log(c_bb / grand)) / 2.0
+    assert row["n_tokens"] == 2
+    assert row["avg_logprob"] == pytest.approx(expect, abs=1e-6)
+    assert row["perplexity"] == pytest.approx(math.exp(-expect), abs=1e-4)
+    # the rare-token doc scores lower (worse) than the common-token docs
+    rare = out[out["doc_id"] == 299].iloc[0]
+    assert rare["avg_logprob"] < row["avg_logprob"]
+    assert len(out) == n
