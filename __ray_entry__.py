@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running_records": SC.events_running_records,
         "weighted_sample_docs": SP.weighted_sample_docs,
         "doc_unigram_logprob": T.doc_unigram_logprob,
+        "doc_compression_ratio": T.doc_compression_ratio,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,

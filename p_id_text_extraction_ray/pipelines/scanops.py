@@ -31,7 +31,23 @@ import pandas as pd
 
 from ._util import sized_read
 
-BUCKET_WIDTH = 65_536      # event_ids per scan bucket (the scale knob)
+BUCKET_WIDTH = 65_536      # minimum event_ids per scan bucket
+MAX_BUCKETS = 65_536       # caps the driver-side summary row count
+
+
+def _scan_width(sf_dir: str) -> int:
+    """Bucket width sized from the table's footer row count so the
+    driver-side summary stays <= MAX_BUCKETS rows at ANY table size
+    (10^12 events -> ~15M-wide buckets, still one small row each)."""
+    import pyarrow.parquet as pq
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        nrows = sum(pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                    for r, _, names in os.walk(path)
+                    for f in names if f.endswith((".parquet", ".pq")))
+    else:
+        nrows = pq.ParquetFile(path).metadata.num_rows
+    return max(BUCKET_WIDTH, (nrows + MAX_BUCKETS - 1) // MAX_BUCKETS)
 
 
 def events_running_records(sf_dir: str):
@@ -41,13 +57,15 @@ def events_running_records(sf_dir: str):
     import ray
     from .joins import DEFAULT_SHUFFLE_PARTITIONS
 
+    width = _scan_width(sf_dir)
+
     def _read():
         return sized_read(os.path.join(sf_dir, "events.parquet"),
                           ["event_id", "event_type", "value"],
                           rows_per_block=150_000)
 
     def bucket_max(df: pd.DataFrame) -> pd.DataFrame:
-        b = df["event_id"].to_numpy() // BUCKET_WIDTH
+        b = df["event_id"].to_numpy() // width
         g = pd.DataFrame({"bucket": b, "value": df["value"].to_numpy()})
         out = g.groupby("bucket", as_index=False)["value"].max()
         return out.rename(columns={"value": "max_v"})
@@ -69,7 +87,7 @@ def events_running_records(sf_dir: str):
 
     def tag_bucket(df: pd.DataFrame) -> pd.DataFrame:
         return df.assign(
-            __bucket=(df["event_id"].to_numpy() // BUCKET_WIDTH))
+            __bucket=(df["event_id"].to_numpy() // width))
 
     def scan_bucket(df: pd.DataFrame) -> pd.DataFrame:
         seeds = ray.get(prefix_ref)

@@ -729,3 +729,38 @@ FROM tok JOIN tc USING (t) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
 """
+
+
+# --------------------------- compression-ratio quality signal
+
+COMPRESS_REPETITIVE_MAX = 0.35   # flag docs compressing below this ratio
+
+
+def doc_compression_ratio(sf_dir: str):
+    """(doc_id, n_bytes, ratio, is_repetitive) per doc: zlib-6
+    compressed size / raw size — the entropy-proxy repetition signal
+    (low ratio = template/spam-like text; the zstd-ratio filter of
+    RefinedWeb-style curation, zlib here since it ships with CPython).
+    Not SQL-expressible (no oracle): driver runs the rows-only check;
+    determinism and the planted-repetition semantics are pytest-pinned.
+    Per-batch loop is a C compression kernel per row, not Python work.
+    """
+    import zlib
+
+    import numpy as np
+
+    def ratios(df: pd.DataFrame) -> pd.DataFrame:
+        n_bytes, ratio = [], []
+        for text in df["text"]:
+            raw = text.encode()
+            n = len(raw)
+            n_bytes.append(n)
+            ratio.append(len(zlib.compress(raw, 6)) / n if n else 1.0)
+        r = np.round(np.array(ratio, dtype=np.float64), 6)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_bytes": np.array(n_bytes, dtype=np.int64),
+            "ratio": r,
+            "is_repetitive": r < COMPRESS_REPETITIVE_MAX})
+
+    return _docs(sf_dir).map_batches(ratios, batch_format="pandas")

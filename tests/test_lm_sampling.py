@@ -73,3 +73,24 @@ def test_unigram_logprob_hand_computed(ray_session, planted_dir):
     rare = out[out["doc_id"] == 299].iloc[0]
     assert rare["avg_logprob"] < row["avg_logprob"]
     assert len(out) == n
+
+
+def test_compression_ratio_flags_repetition(ray_session, tmp_path):
+    import os
+    root = str(tmp_path)
+    tbl = pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["spam " * 400,
+                          "k3Vq9xZ2pL8wN4cR7tY1uB5mD6fG0hJs " * 12]),
+        "lang": pa.array(["en", "en"]),
+        "source": pa.array(["s0", "s0"]),
+        "n_chars": pa.array([2000, 396], type=pa.int64()),
+    })
+    pq.write_table(tbl, os.path.join(root, "documents.parquet"))
+    out = T.doc_compression_ratio(root).to_pandas().sort_values("doc_id")
+    assert bool(out.iloc[0]["is_repetitive"])          # pure repetition
+    assert out.iloc[0]["ratio"] < out.iloc[1]["ratio"]
+    assert out.iloc[0]["n_bytes"] == 2000
+    # deterministic: second run returns identical ratios
+    again = T.doc_compression_ratio(root).to_pandas().sort_values("doc_id")
+    assert (again["ratio"].to_numpy() == out["ratio"].to_numpy()).all()
