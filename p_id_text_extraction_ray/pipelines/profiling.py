@@ -115,6 +115,10 @@ def profile_lineitem(sf_dir: str):
 
     out = agg.merge(nd, on="column", how="left")   # all-null column: no
     out["n_distinct"] = out["n_distinct"].fillna(0)  # distinct rows emitted
+    # all-null column: the ±inf partial sentinels mean "no value seen";
+    # the SQL aggregate yields NULL there
+    out.loc[out["min_v"] == np.inf, "min_v"] = np.nan
+    out.loc[out["max_v"] == -np.inf, "max_v"] = np.nan
     out = out[["column", "n_rows", "n_null", "n_distinct", "min_v", "max_v"]]
     out[["n_rows", "n_null", "n_distinct"]] = \
         out[["n_rows", "n_null", "n_distinct"]].astype(np.int64)
@@ -199,9 +203,23 @@ def audit_lineitem(sf_dir: str):
     if empty_table:
         n_orphans = 0
     else:
-        li_keys = _li(sf_dir, ["l_orderkey"]).map_batches(
-            lambda df: df.drop_duplicates("l_orderkey"),
-            batch_format="pandas")
+        from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of
+
+        # GLOBAL key dedup (batch-local dedup alone double-counts a key
+        # whose rows straddle a block boundary): all copies of a key
+        # share a bucket, one drop_duplicates per bucket is exact
+        def local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+            u = df.drop_duplicates("l_orderkey")
+            return u.assign(__bucket=_bucket_of(u["l_orderkey"], 64))
+
+        li_keys = (_li(sf_dir, ["l_orderkey"])
+                   .map_batches(local_dedup, batch_format="pandas")
+                   .groupby("__bucket",
+                            num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+                   .map_groups(
+                       lambda g: g.drop_duplicates(
+                           "l_orderkey")[["l_orderkey"]],
+                       batch_format="pandas"))
         ord_keys = sized_read(os.path.join(sf_dir, "orders.parquet"),
                               ["o_orderkey"], rows_per_block=150_000)
         orphans = anti_join(
@@ -246,43 +264,23 @@ def chi2_term_source(sf_dir: str):
     statistic. Rows with a zero marginal (degenerate table) are
     excluded. Ordered by (term, source)."""
     import ray
+    from .retrieval import membership_matrix, top_terms
 
     docs = sized_read(os.path.join(sf_dir, "documents.parquet"),
                       ["text", "source"], rows_per_block=4096)
 
-    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
-        c: dict[str, int] = {}
-        for text in df["text"]:
-            for w in text.split():
-                c[w] = c.get(w, 0) + 1
-        terms = sorted(c)
-        return pd.DataFrame({
-            "term": pd.Series(terms, dtype=object),
-            "n": np.array([c[t] for t in terms], dtype=np.int64)})
-
-    counts = bucketed_group_sum(
-        docs.map_batches(tf_partial, batch_format="pandas"),
-        key="term", sum_cols=["n"])
-    top = (counts.sort(["n", "term"], descending=[True, False])
-           .limit(CHI2_TOP_V).to_pandas())
-    if top.empty:
+    vocab = top_terms(docs, CHI2_TOP_V)
+    if not vocab:
         return pd.DataFrame({"term": pd.Series([], dtype=object),
                              "source": pd.Series([], dtype=object),
                              "n11": pd.Series([], dtype=np.int64),
                              "chi2": pd.Series([], dtype=np.float64)})
-    vocab = sorted(top["term"].tolist())
     vocab_ref = ray.put(vocab)
 
     def cell_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = ray.get(vocab_ref)
-        vn = len(v)
         srcs, s_inv = np.unique(df["source"].to_numpy(), return_inverse=True)
-        m = np.zeros((len(df), vn), dtype=np.float64)
-        for i, text in enumerate(df["text"]):
-            ws = set(text.split())
-            for j, t in enumerate(v):
-                if t in ws:
-                    m[i, j] = 1.0
+        m = membership_matrix(df["text"], v)
         s = np.zeros((len(df), len(srcs)), dtype=np.float64)
         s[np.arange(len(df)), s_inv] = 1.0
         n11 = (s.T @ m).astype(np.int64)         # (n_sources, V)

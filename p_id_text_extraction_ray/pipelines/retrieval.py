@@ -220,6 +220,12 @@ def bm25_search(sf_dir: str):
            .groupby("query_id")
            .map_groups(reduce_topk, batch_format="pandas")
            .to_pandas())                         # <= queries × k rows
+    if out.empty:
+        # non-empty corpus, zero hits: no groups ever reach reduce_topk
+        return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                             "rank": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "score": pd.Series([], dtype=np.float64)})
     return (out.sort_values(["query_id", "rank"], kind="mergesort")
             [["query_id", "rank", "doc_id", "score"]]
             .reset_index(drop=True))
@@ -276,6 +282,44 @@ BM25_SEARCH_SQL = _bm25_sql()
 
 # --------------------------------------------- token co-occurrence/lift
 
+def _term_tf_partial(df: pd.DataFrame) -> pd.DataFrame:
+    """Batch-local total term frequencies: (term, n) rows."""
+    c: dict[str, int] = {}
+    for text in df["text"]:
+        for w in text.split():
+            c[w] = c.get(w, 0) + 1
+    terms = sorted(c)
+    return pd.DataFrame({
+        "term": pd.Series(terms, dtype=object),
+        "n": np.array([c[t] for t in terms], dtype=np.int64)})
+
+
+def top_terms(docs, v: int) -> list[str]:
+    """The corpus' top-``v`` terms by total tf (ties by term), sorted
+    alphabetically. Distributed: bucketed partial counts, then a
+    distributed (n desc, term) sort — only ``v`` rows reach the driver.
+    Shared by token_cooccurrence and profiling.chi2_term_source so the
+    two operators' vocabulary semantics cannot drift."""
+    counts = bucketed_group_sum(
+        docs.map_batches(_term_tf_partial, batch_format="pandas"),
+        key="term", sum_cols=["n"])
+    top = (counts.sort(["n", "term"], descending=[True, False])
+           .limit(v).to_pandas())
+    return sorted(top["term"].tolist()) if not top.empty else []
+
+
+def membership_matrix(texts, vocab: list[str]) -> np.ndarray:
+    """Binary doc×|vocab| term-presence matrix (float64 so ``M.T @ M``
+    is one BLAS call)."""
+    m = np.zeros((len(texts), len(vocab)), dtype=np.float64)
+    for i, text in enumerate(texts):
+        ws = set(text.split())
+        for j, t in enumerate(vocab):
+            if t in ws:
+                m[i, j] = 1.0
+    return m
+
+
 def token_cooccurrence(sf_dir: str):
     """(tok_a, tok_b, n_ab, n_a, n_b, lift) for unordered pairs of
     top-{TOP_V} terms (by total tf, ties by term) co-occurring in
@@ -283,42 +327,20 @@ def token_cooccurrence(sf_dir: str):
     Ordered by (tok_a, tok_b)."""
     import ray
 
-    def tf_partial(df: pd.DataFrame) -> pd.DataFrame:
-        c: dict[str, int] = {}
-        for text in df["text"]:
-            for w in text.split():
-                c[w] = c.get(w, 0) + 1
-        terms = sorted(c)
-        return pd.DataFrame({
-            "term": pd.Series(terms, dtype=object),
-            "n": np.array([c[t] for t in terms], dtype=np.int64)})
-
-    counts = bucketed_group_sum(
-        _docs(sf_dir, ("text",)).map_batches(tf_partial,
-                                             batch_format="pandas"),
-        key="term", sum_cols=["n"])
-    # distributed top-V: sort (n desc, term asc), keep V — V rows leave
-    top = (counts.sort(["n", "term"], descending=[True, False])
-           .limit(TOP_V).to_pandas())
-    if top.empty:
+    vocab = top_terms(_docs(sf_dir, ("text",)), TOP_V)
+    if not vocab:
         return pd.DataFrame({"tok_a": pd.Series([], dtype=object),
                              "tok_b": pd.Series([], dtype=object),
                              "n_ab": pd.Series([], dtype=np.int64),
                              "n_a": pd.Series([], dtype=np.int64),
                              "n_b": pd.Series([], dtype=np.int64),
                              "lift": pd.Series([], dtype=np.float64)})
-    vocab = sorted(top["term"].tolist())
     vocab_ref = ray.put(vocab)
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
         v = ray.get(vocab_ref)
         vn = len(v)
-        m = np.zeros((len(df), vn), dtype=np.float64)
-        for i, text in enumerate(df["text"]):
-            ws = set(text.split())
-            for j, t in enumerate(v):
-                if t in ws:
-                    m[i, j] = 1.0
+        m = membership_matrix(df["text"], v)
         co = (m.T @ m).astype(np.int64)          # diagonal = per-term df
         ii, jj = np.triu_indices(vn)             # k=0: keep the diagonal
         n = co[ii, jj]

@@ -142,11 +142,7 @@ def weighted_sample_docs(sf_dir: str):
     Output: (rank, doc_id, source, weight, priority), rank 1..K by
     priority descending (ties by doc_id).
     """
-    import math
-
     import numpy as np
-
-    from .joins import DEFAULT_SHUFFLE_PARTITIONS
 
     docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"],
                  rows_per_block=150_000)
@@ -173,9 +169,18 @@ def weighted_sample_docs(sf_dir: str):
         g.insert(0, "rank", np.arange(1, len(g) + 1, dtype=np.int64))
         return g
 
-    return (docs.map_batches(local_topk, batch_format="pandas")
-            .groupby("__g", num_partitions=1)
-            .map_groups(global_topk, batch_format="pandas"))
+    out = (docs.map_batches(local_topk, batch_format="pandas")
+           .groupby("__g", num_partitions=1)
+           .map_groups(global_topk, batch_format="pandas")
+           .to_pandas())
+    if out.empty:                # zero groups: global_topk never ran
+        out = pd.DataFrame({
+            "rank": pd.Series([], dtype=np.int64),
+            "doc_id": pd.Series([], dtype=np.int64),
+            "source": pd.Series([], dtype=object),
+            "weight": pd.Series([], dtype=np.int64),
+            "priority": pd.Series([], dtype=np.float64)})
+    return out.drop(columns="__g", errors="ignore")
 
 
 WEIGHTED_SAMPLE_SQL = f"""

@@ -82,7 +82,8 @@ def events_running_records(sf_dir: str):
     running = -np.inf
     for b, mv in zip(summ["bucket"], summ["max_v"]):
         prefix[int(b)] = running          # max over all STRICTLY earlier buckets
-        running = max(running, float(mv))
+        if not np.isnan(mv):              # all-NULL bucket: no maximum
+            running = max(running, float(mv))
     prefix_ref = ray.put(prefix)
 
     def tag_bucket(df: pd.DataFrame) -> pd.DataFrame:
@@ -94,9 +95,12 @@ def events_running_records(sf_dir: str):
         df = df.sort_values("event_id", kind="mergesort")
         v = df["value"].to_numpy(dtype=np.float64)
         seed = seeds[int(df["__bucket"].iloc[0])]
-        # exclusive running max: prefix of everything strictly earlier
-        c = np.maximum.accumulate(np.concatenate(([seed], v)))[:-1]
-        rec = v > c
+        # exclusive running max over everything strictly earlier; NULLs
+        # never contribute a maximum (-inf stand-in mirrors the SQL
+        # window's NULL skipping) and -inf prefix == "prev_max IS NULL"
+        vc = np.where(np.isnan(v), -np.inf, v)
+        c = np.maximum.accumulate(np.concatenate(([seed], vc)))[:-1]
+        rec = (c == -np.inf) | (v > c)
         return pd.DataFrame({
             "event_id": df["event_id"].to_numpy()[rec],
             "event_type": df["event_type"].to_numpy()[rec],

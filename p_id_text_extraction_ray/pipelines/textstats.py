@@ -657,14 +657,19 @@ def doc_unigram_logprob(sf_dir: str):
     Distributed shape mirrors ``source_kl_divergence``: per-(doc, term)
     tf partials; global term counts via a second bucketed sum over the
     SAME materialized tf table; log-probabilities join back by term
-    (the term space is unbounded — never a driver dict); per-doc sums
-    reduce in one doc-bucketed shuffle. Floats enter only at the final
-    tf·ln(c/T) contraction; results round to 6 dp (the driver compare's
-    tolerance) since float sum order differs from SQL's.
+    (the term space is unbounded — never a driver dict); each doc's
+    rows land in one doc-bucketed group. BIT-EXACT vs the oracle: both
+    sides sum the per-term contributions tf·ln(c/T) in ascending-term
+    order (DuckDB ``sum(x ORDER BY t)`` and ``np.add.accumulate`` are
+    both left-associative — verified) with ln via libm (``math.log``;
+    ``np.log``'s SIMD path differs by 1 ulp), so the 6-dp rounding is
+    applied to identical doubles, never near-boundary coin flips.
     """
+    import math
+
     import numpy as np
 
-    from .joins import hash_join
+    from .joins import _bucket_of, hash_join, DEFAULT_SHUFFLE_PARTITIONS
     from ._util import bucketed_group_sum
 
     docs = _docs(sf_dir)
@@ -695,37 +700,52 @@ def doc_unigram_logprob(sf_dir: str):
 
     joined = hash_join(tf, g, on="t")
 
-    def doc_partial(df: pd.DataFrame) -> pd.DataFrame:
-        tfv = df["tf"].to_numpy(np.float64)
-        lp = tfv * np.log(df["c"].to_numpy(np.float64) / float(grand))
-        part = pd.DataFrame({"doc_id": df["doc_id"].values,
-                             "s": lp, "n_tokens": df["tf"].values})
-        return part.groupby("doc_id", as_index=False).sum()
+    def score_docs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "t"], kind="mergesort")
+        # ln once per distinct global count (libm, not np.log's SIMD)
+        lp_of = {c: math.log((c * 1.0) / grand)
+                 for c in pd.unique(df["c"].to_numpy())}
+        lnc = (df["tf"].to_numpy(np.float64)
+               * df["c"].map(lp_of).to_numpy(np.float64))
+        dids = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
+        ends = np.r_[starts[1:], len(dids)]
+        out_id, out_n, out_avg, out_ppl = [], [], [], []
+        for s0, s1 in zip(starts, ends):
+            # left-assoc sum in term order == SQL sum(x ORDER BY t)
+            s = np.add.accumulate(lnc[s0:s1])[-1]
+            n = int(df["tf"].to_numpy()[s0:s1].sum())
+            avg = s / float(n)
+            out_id.append(dids[s0])
+            out_n.append(n)
+            out_avg.append(round(avg, 6))
+            out_ppl.append(round(math.exp(-avg), 6))
+        return pd.DataFrame({"doc_id": np.array(out_id, dtype=np.int64),
+                             "n_tokens": np.array(out_n, dtype=np.int64),
+                             "avg_logprob": np.array(out_avg),
+                             "perplexity": np.array(out_ppl)})
 
-    sums = bucketed_group_sum(
-        joined.map_batches(doc_partial, batch_format="pandas"),
-        "doc_id", ["s", "n_tokens"])
-
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        avg = df["s"].to_numpy(np.float64) / df["n_tokens"].to_numpy(np.float64)
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].values,
-            "n_tokens": df["n_tokens"].to_numpy(np.int64),
-            "avg_logprob": np.round(avg, 6),
-            "perplexity": np.round(np.exp(-avg), 6)})
-
-    return sums.map_batches(finish, batch_format="pandas")
+    return (joined.map_batches(
+        lambda df: df.assign(__bucket=_bucket_of(df["doc_id"], 64)),
+        batch_format="pandas")
+        .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+        .map_groups(lambda g_: score_docs(g_.drop(columns="__bucket")),
+                    batch_format="pandas"))
 
 
 DOC_UNIGRAM_LOGPROB_SQL = r"""
 WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
              FROM documents),
-tc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t),
+dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, t),
+tc AS (SELECT t, CAST(sum(tf) AS BIGINT) AS c FROM dt GROUP BY t),
 tot AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM tc)
-SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(sum(ln((c * 1.0) / grand)) / count(*), 6) AS avg_logprob,
-       round(exp(-(sum(ln((c * 1.0) / grand)) / count(*))), 6) AS perplexity
-FROM tok JOIN tc USING (t) CROSS JOIN tot
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       round(sum(tf * ln((c * 1.0) / grand) ORDER BY t)
+             / CAST(sum(tf) AS DOUBLE), 6) AS avg_logprob,
+       round(exp(-(sum(tf * ln((c * 1.0) / grand) ORDER BY t)
+                   / CAST(sum(tf) AS DOUBLE))), 6) AS perplexity
+FROM dt JOIN tc USING (t) CROSS JOIN tot
 GROUP BY doc_id
 ORDER BY doc_id
 """

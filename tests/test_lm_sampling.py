@@ -41,7 +41,7 @@ def _brute_sample(planted_dir, k):
 
 
 def test_weighted_sample_matches_bruteforce(ray_session, planted_dir):
-    out = SP.weighted_sample_docs(planted_dir).to_pandas()
+    out = SP.weighted_sample_docs(planted_dir)
     assert len(out) == SP.WEIGHTED_SAMPLE_K
     expect = _brute_sample(planted_dir, SP.WEIGHTED_SAMPLE_K)
     assert out.sort_values("rank")["doc_id"].tolist() == list(expect)
@@ -52,7 +52,7 @@ def test_weighted_sample_matches_bruteforce(ray_session, planted_dir):
 
 def test_heavy_doc_always_sampled(ray_session, planted_dir):
     """ln(u)/w -> 0 as w -> inf: the giant-weight doc must rank 1."""
-    out = SP.weighted_sample_docs(planted_dir).to_pandas()
+    out = SP.weighted_sample_docs(planted_dir)
     assert out.sort_values("rank").iloc[0]["doc_id"] == 299
 
 

@@ -78,3 +78,89 @@ def test_empty_lineitem_profile_audit(ray_session, empty_dir):
     assert audit["rule"].tolist() == orc_a["rule"].tolist()
     assert (audit["n_violations"].to_numpy()
             == orc_a["n_violations"].to_numpy()).all()
+
+
+def test_empty_weighted_sample(ray_session, empty_dir):
+    from p_id_text_extraction_ray.pipelines import sampling as SP
+    out = SP.weighted_sample_docs(empty_dir)
+    assert list(out.columns) == ["rank", "doc_id", "source", "weight",
+                                 "priority"]
+    assert len(out) == 0
+
+
+def test_bm25_no_hit_corpus(ray_session, tmp_path):
+    """Non-empty corpus containing none of the panel terms: zero groups
+    ever reach the reducer — result must still carry the rank column."""
+    root = str(tmp_path)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], type=pa.int64()),
+        "text": pa.array(["zz yy xx", "yy zz"])}),
+        os.path.join(root, "documents.parquet"))
+    out = RT.bm25_search(root)
+    assert list(out.columns) == ["query_id", "rank", "doc_id", "score"]
+    assert len(out) == 0
+
+
+def test_orphan_key_straddling_shards(ray_session, tmp_path):
+    """An orphan l_orderkey whose rows live in TWO parquet shards must
+    count once (global key dedup), matching COUNT(DISTINCT ...)."""
+    root = str(tmp_path)
+    li_dir = os.path.join(root, "lineitem.parquet")
+    os.makedirs(li_dir)
+
+    def li_shard(keys):
+        n = len(keys)
+        return pa.table({
+            "l_orderkey": pa.array(keys, type=pa.int64()),
+            "l_quantity": pa.array([5.0] * n),
+            "l_extendedprice": pa.array([10.0] * n),
+            "l_discount": pa.array([0.02] * n),
+            "l_tax": pa.array([0.01] * n),
+            "l_returnflag": pa.array(["A"] * n),
+            "l_shipdate": pa.array([pd.Timestamp("1995-01-01")] * n,
+                                   type=pa.timestamp("us"))})
+
+    pq.write_table(li_shard([1, 2, 777]), os.path.join(li_dir, "a.parquet"))
+    pq.write_table(li_shard([777, 3]), os.path.join(li_dir, "b.parquet"))
+    pq.write_table(pa.table({"o_orderkey": pa.array([1, 2, 3],
+                                                    type=pa.int64())}),
+                   os.path.join(root, "orders.parquet"))
+    out = PF.audit_lineitem(root)
+    got = dict(zip(out["rule"], out["n_violations"]))
+    assert got["orphan_orderkey"] == 1          # 777 counted once
+
+
+def test_profile_all_null_column(ray_session, tmp_path):
+    root = str(tmp_path)
+    n = 5
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(range(n), type=pa.int64()),
+        "l_quantity": pa.array([1.0] * n),
+        "l_extendedprice": pa.array([10.0] * n),
+        "l_discount": pa.array([0.0] * n),
+        "l_tax": pa.array([None] * n, type=pa.float64())}),
+        os.path.join(root, "lineitem.parquet"))
+    out = PF.profile_lineitem(root)
+    row = out[out["column"] == "l_tax"].iloc[0]
+    assert row["n_null"] == n and row["n_distinct"] == 0
+    assert np.isnan(row["min_v"]) and np.isnan(row["max_v"])
+
+
+def test_scan_skips_null_values(ray_session, tmp_path):
+    """NULL values never contribute a running max (SQL window parity),
+    and a NULL-value row is a 'record' only while prev_max IS NULL."""
+    import duckdb
+    root = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "event_type": pa.array(["a"] * 6),
+        "value": pa.array([None, 5.0, None, 7.0, 6.0, 8.0],
+                          type=pa.float64())}),
+        os.path.join(root, "events.parquet"))
+    out = SC.events_running_records(root)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT *"
+                f" FROM '{root}/events.parquet'")
+    orc = con.execute(SC.EVENTS_RUNNING_RECORDS_SQL).df()
+    assert out["event_id"].tolist() == orc["event_id"].tolist()
+    assert out["event_id"].tolist() == [0, 1, 3, 5]
