@@ -125,7 +125,9 @@ def run_bench() -> dict:
                      "strip_boilerplate_ngrams", "inverted_index",
                      "bm25_search", "token_cooccurrence",
                      "profile_lineitem", "audit_lineitem",
-                     "chi2_term_source"):
+                     "chi2_term_source", "events_running_records",
+                     "weighted_sample_docs", "doc_unigram_logprob",
+                     "doc_compression_ratio"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
