@@ -36,6 +36,7 @@ from p_id_text_extraction_ray.pipelines import profiling as PF
 from p_id_text_extraction_ray.pipelines import scanops as SC
 from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
+from p_id_text_extraction_ray.pipelines import temporal as TM
 from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
@@ -166,6 +167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": SP.weighted_sample_docs,
         "doc_unigram_logprob": T.doc_unigram_logprob,
         "doc_compression_ratio": T.doc_compression_ratio,
+        "events_error_followups": TM.events_error_followups,
+        "event_transition_matrix": TM.event_transition_matrix,
+        "user_decayed_value": TM.user_decayed_value,
+        "discount_quantity_spearman": AX.discount_quantity_spearman,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_extract_pdf_points": pid_extract_pdf_points,
@@ -260,6 +265,10 @@ def oracle_sql() -> dict[str, str]:
         "events_running_records": SC.EVENTS_RUNNING_RECORDS_SQL,
         "weighted_sample_docs": SP.WEIGHTED_SAMPLE_SQL,
         "doc_unigram_logprob": T.DOC_UNIGRAM_LOGPROB_SQL,
+        "events_error_followups": TM.EVENTS_ERROR_FOLLOWUPS_SQL,
+        "event_transition_matrix": TM.EVENT_TRANSITION_MATRIX_SQL,
+        "user_decayed_value": TM.USER_DECAYED_VALUE_SQL,
+        "discount_quantity_spearman": AX.DISCOUNT_QUANTITY_SPEARMAN_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,

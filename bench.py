@@ -127,7 +127,9 @@ def run_bench() -> dict:
                      "profile_lineitem", "audit_lineitem",
                      "chi2_term_source", "events_running_records",
                      "weighted_sample_docs", "doc_unigram_logprob",
-                     "doc_compression_ratio"):
+                     "doc_compression_ratio", "events_error_followups",
+                     "event_transition_matrix", "user_decayed_value",
+                     "discount_quantity_spearman"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):

@@ -422,6 +422,83 @@ FROM s
 """
 
 
+# --------------------------------------- Spearman via joint histogram
+
+def discount_quantity_spearman(sf_dir: str):
+    """Spearman (rank) correlation of l_discount vs l_quantity. A global
+    rank normally needs a full sort, but both columns are low-cardinality
+    (11 discounts × 50 quantities), so average ranks are derivable from
+    the JOINT HISTOGRAM: each batch emits per-cell counts (≤ 550 rows),
+    one tiny shuffle reduces them, and the driver computes tied average
+    ranks and the rank-Pearson in doubled-rank INTEGER units — every
+    moment sum is an exact Python bigint, so the final expression is
+    bit-identical to the oracle's HUGEINT math at any scale."""
+    import math
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def cell_counts(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "x": cents(df["l_discount"]),
+            "y": np.rint(df["l_quantity"].to_numpy(dtype=np.float64))
+                 .astype(np.int64)})
+        out = g.groupby(["x", "y"], as_index=False).size() \
+            .rename(columns={"size": "w"})
+        out["w"] = out["w"].astype(np.int64)
+        return out
+
+    cells = (li.map_batches(cell_counts, batch_format="pandas")
+             .groupby(["x", "y"]).aggregate(Sum("w", alias_name="w"))
+             .to_pandas())
+    n = int(cells["w"].sum())
+    if n == 0:
+        return pd.DataFrame({"spearman_r": pd.Series([], dtype=np.float64),
+                             "n": pd.Series([], dtype=np.int64)})
+
+    def dbl_ranks(margin: pd.Series) -> dict[int, int]:
+        """value -> doubled average rank (2*rank is integral with ties):
+        2*avg_rank = 2*(#smaller) + cnt + 1."""
+        m = margin.sort_index()
+        before = np.concatenate(([0], np.cumsum(m.to_numpy())))[:-1]
+        return {int(v): int(2 * b + c + 1)
+                for v, b, c in zip(m.index, before, m.to_numpy())}
+
+    rx = dbl_ranks(cells.groupby("x")["w"].sum())
+    ry = dbl_ranks(cells.groupby("y")["w"].sum())
+    sx = sy = sxy = sxx = syy = 0
+    for x, y, w in zip(cells["x"], cells["y"], cells["w"]):
+        ax, ay, w = rx[int(x)], ry[int(y)], int(w)
+        sx += w * ax; sy += w * ay; sxy += w * ax * ay
+        sxx += w * ax * ax; syy += w * ay * ay
+    num = n * sxy - sx * sy
+    # each variance term fits a 128-bit int but their PRODUCT does not:
+    # cast each to double first, exactly as the oracle does
+    den = math.sqrt(float(n * sxx - sx * sx) * float(n * syy - sy * sy))
+    r = float(num) / den if den else float("nan")
+    return pd.DataFrame({"spearman_r": [r], "n": [np.int64(n)]})
+
+
+DISCOUNT_QUANTITY_SPEARMAN_SQL = """
+WITH t AS (SELECT CAST(round(l_discount * 100) AS BIGINT) AS x,
+                  CAST(round(l_quantity) AS BIGINT)       AS y
+           FROM lineitem),
+r AS (SELECT CAST(2 * rank() OVER (ORDER BY x)
+               + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx,
+             CAST(2 * rank() OVER (ORDER BY y)
+               + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry
+      FROM t),
+s AS (SELECT count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx*ry) AS sxy, sum(rx*rx) AS sxx, sum(ry*ry) AS syy
+      FROM r)
+SELECT CAST(n*sxy - sx*sy AS DOUBLE)
+         / sqrt(CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+         AS spearman_r,
+       CAST(n AS BIGINT) AS n
+FROM s
+"""
+
+
 # ---------------------------------------------------- funnel latency
 
 def funnel_latency(sf_dir: str):

@@ -1,0 +1,273 @@
+"""Time-range join and temporal feature operators.
+
+* error follow-ups     — a RANGE JOIN on time alone (no equality key):
+                         for each error event, count/sum the purchase
+                         events in the 10 minutes after it. Ray Data has
+                         no range join; the scalable decomposition is
+                         time-bucketing with boundary replication: pick a
+                         bucket width >= the window, land each probe
+                         (error) in exactly one bucket, replicate each
+                         build row (purchase) into the <=2 buckets whose
+                         probes can reach it, then answer every probe in
+                         a bucket with two vectorized ``searchsorted``
+                         calls against the bucket's sorted build side +
+                         an exact integer prefix sum. Each build row is
+                         shuffled at most twice regardless of scale; no
+                         pair is ever materialized. (Hot buckets — event
+                         rates so high one wall-clock hour overflows a
+                         worker — shrink ``BUCKET_SECONDS`` toward the
+                         window, or salt probes into S sub-groups and
+                         replicate the bucket's build side S ways.)
+* transition matrix    — per-user consecutive event-type pairs (the
+                         Markov/bigram transition table of a clickstream):
+                         users are hash-bucketed so each bucket derives
+                         every LEAD() pair with one vectorized shift;
+                         only (from, to, count) partials — <= |types|²
+                         rows per bucket — reach the final reduce. The
+                         transition probability is one exact-int division.
+* decayed user value   — exponentially time-decayed purchase value per
+                         user (half-life 1 day), the classic feature-store
+                         recency weighting. Weights are exact powers of
+                         two (``ldexp``), so every term — and, at any
+                         realistic per-user event count, every partial
+                         sum — is a dyadic rational representable exactly
+                         in a float64: the grouped sum is bit-identical
+                         to the oracle's regardless of association order
+                         (drift beyond ~2^52 ulp-units is ~1e-9, far
+                         inside the 6-dp compare tolerance).
+
+All money math is exact integer cents until the final division, which
+mirrors the oracle's operand order (see relational.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from ._util import cents, sized_read
+
+WINDOW_SECONDS = 600           # range-join window: 10 minutes
+BUCKET_SECONDS = 3600          # range-join bucket width (>= window)
+DECAY_HALF_LIFE_DAYS = 1       # decayed value: weight halves per day
+_US = np.int64(1_000_000)
+_DAY_US = np.int64(86_400_000_000)
+
+
+def _read(sf_dir: str, name: str, columns: list[str]):
+    return sized_read(os.path.join(sf_dir, f"{name}.parquet"), columns,
+                      rows_per_block=150_000)
+
+
+def _ts_us(s: pd.Series) -> np.ndarray:
+    """Timestamps as exact int64 microseconds (NaT -> int64 min, which
+    sorts first and never lands inside a real window)."""
+    return s.to_numpy(dtype="datetime64[us]").astype(np.int64)
+
+
+# ------------------------------------------------- time-range self-join
+
+def events_error_followups(sf_dir: str):
+    """(event_id, n_follow, follow_value) for every error event: the
+    count and exact value sum of purchase events with ts in
+    (error.ts, error.ts + 10 min]. Errors with no follow-ups emit 0/0.0
+    (LEFT JOIN semantics). Ordered by event_id."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    w_us = np.int64(WINDOW_SECONDS) * _US
+    bw_us = np.int64(BUCKET_SECONDS) * _US
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+    def route(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"])
+        err = (df["event_type"] == "error").to_numpy()
+        pur = ((df["event_type"] == "purchase")
+               & df["ts"].notna()).to_numpy()
+        parts = [pd.DataFrame({
+            "bucket": ts[err] // bw_us, "role": np.int8(0),
+            "event_id": df["event_id"].to_numpy()[err],
+            "ts_us": ts[err], "v_c": np.int64(0)})]
+        # a purchase at p is reachable from errors in buckets
+        # floor((p-W)/BW) .. floor(p/BW) — at most two when BW >= W
+        p_ts = ts[pur]
+        p_id = df["event_id"].to_numpy()[pur]
+        p_vc = cents(np.nan_to_num(
+            df["value"].to_numpy(dtype=np.float64)[pur]))
+        b_own, b_prev = p_ts // bw_us, (p_ts - w_us) // bw_us
+        for b in (b_own, b_prev):
+            keep = np.ones(len(p_ts), dtype=bool) if b is b_own \
+                else (b_prev != b_own)
+            parts.append(pd.DataFrame({
+                "bucket": b[keep], "role": np.int8(1),
+                "event_id": p_id[keep], "ts_us": p_ts[keep],
+                "v_c": p_vc[keep]}))
+        return pd.concat(parts, ignore_index=True)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["role"] == 0]
+        p = df[df["role"] == 1].sort_values("ts_us", kind="mergesort")
+        p_ts = p["ts_us"].to_numpy()
+        prefix = np.concatenate(
+            ([0], np.cumsum(p["v_c"].to_numpy(dtype=np.int64))))
+        e_ts = e["ts_us"].to_numpy()
+        lo = np.searchsorted(p_ts, e_ts, side="right")
+        hi = np.searchsorted(p_ts, e_ts + w_us, side="right")
+        return pd.DataFrame({
+            "event_id": e["event_id"].to_numpy(),
+            "n_follow": (hi - lo).astype(np.int64),
+            "follow_value": (prefix[hi] - prefix[lo]) / 100.0})
+
+    return (ev.map_batches(route, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(probe, batch_format="pandas")
+            .sort("event_id"))
+
+
+EVENTS_ERROR_FOLLOWUPS_SQL = f"""
+SELECT e.event_id,
+       CAST(count(p.event_id) AS BIGINT)                       AS n_follow,
+       coalesce(sum(CAST(round(p.value * 100) AS BIGINT)), 0) / 100.0
+                                                               AS follow_value
+FROM events e
+LEFT JOIN events p
+  ON p.event_type = 'purchase'
+ AND p.ts >  e.ts
+ AND p.ts <= e.ts + INTERVAL {WINDOW_SECONDS} SECOND
+WHERE e.event_type = 'error'
+GROUP BY e.event_id
+ORDER BY e.event_id
+"""
+
+
+# ------------------------------------------------ Markov transition matrix
+
+def event_transition_matrix(sf_dir: str):
+    """(from_type, to_type, n_pairs, p_next): counts of per-user
+    consecutive event-type pairs in (ts, event_id) order, plus the
+    conditional next-step probability within each from_type. Ordered by
+    (from_type, to_type)."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        et = df["event_type"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        same = uid[1:] == uid[:-1]
+        pairs = pd.DataFrame({"from_type": et[:-1][same],
+                              "to_type": et[1:][same]})
+        out = pairs.groupby(["from_type", "to_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = (ev.map_batches(add_bucket, batch_format="pandas")
+                .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+                .map_groups(pair_counts, batch_format="pandas")
+                .groupby(["from_type", "to_type"])
+                .aggregate(Sum("n", alias_name="n_pairs"))
+                .to_pandas())          # <= |types|^2 rows at any scale
+    if partials.empty:
+        return pd.DataFrame({
+            "from_type": pd.Series([], dtype=object),
+            "to_type": pd.Series([], dtype=object),
+            "n_pairs": pd.Series([], dtype=np.int64),
+            "p_next": pd.Series([], dtype=np.float64)})
+    partials["n_pairs"] = partials["n_pairs"].astype(np.int64)
+    tot = partials.groupby("from_type")["n_pairs"].transform("sum") \
+        .to_numpy(dtype=np.float64)
+    partials["p_next"] = partials["n_pairs"].to_numpy(np.float64) / tot
+    return (partials.sort_values(["from_type", "to_type"], kind="mergesort")
+            .reset_index(drop=True))
+
+
+EVENT_TRANSITION_MATRIX_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_pairs,
+       count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY from_type) AS p_next
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+"""
+
+
+# ------------------------------------------------ decayed user value
+
+def user_decayed_value(sf_dir: str):
+    """(user_id, n_purchases, decayed_value): per-user purchase value
+    weighted by 2^-(age_days) relative to the corpus's newest event —
+    exponential decay with a one-day half-life. Weights are exact powers
+    of two, so the sum is association-independent (see module docstring).
+    Ordered by user_id."""
+    from ._util import bucketed_group_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    # global max ts: one tiny row per batch, reduced on the driver
+    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
+        ts = _ts_us(df["ts"][df["ts"].notna()])
+        if len(ts) == 0:
+            return pd.DataFrame({"mx": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"mx": [ts.max()]})
+
+    mx = ev.map_batches(batch_max, batch_format="pandas").to_pandas()
+    if mx.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_purchases": pd.Series([], dtype=np.int64),
+            "decayed_value": pd.Series([], dtype=np.float64)})
+    t_ref = np.int64(mx["mx"].max())
+
+    def terms(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["event_type"] == "purchase") & df["ts"].notna()
+                & df["value"].notna()]
+        ts = _ts_us(df["ts"])
+        age = (t_ref - ts) // (_DAY_US * DECAY_HALF_LIFE_DAYS)
+        term = cents(df["value"]).astype(np.float64) \
+            * np.ldexp(1.0, -age.astype(np.int64))
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(),
+                             "term": term,
+                             "n_purchases": np.int64(1)})
+
+    sums = ev.map_batches(terms, batch_format="pandas")
+    out = bucketed_group_sum(sums, "user_id", ["term", "n_purchases"]) \
+        .to_pandas()
+    if out.empty:
+        return pd.DataFrame({
+            "user_id": pd.Series([], dtype=np.int64),
+            "n_purchases": pd.Series([], dtype=np.int64),
+            "decayed_value": pd.Series([], dtype=np.float64)})
+    return pd.DataFrame({
+        "user_id": out["user_id"].to_numpy(),
+        "n_purchases": out["n_purchases"].to_numpy(dtype=np.int64),
+        "decayed_value": out["term"].to_numpy() / 100.0}) \
+        .sort_values("user_id", kind="mergesort").reset_index(drop=True)
+
+
+USER_DECAYED_VALUE_SQL = f"""
+WITH mx AS (SELECT max(ts) AS tref FROM events),
+p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_c,
+             (epoch_us((SELECT tref FROM mx)) - epoch_us(ts))
+               // {86_400_000_000 * DECAY_HALF_LIFE_DAYS}     AS age
+      FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL AND value IS NOT NULL)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+       sum(v_c * power(2.0, -CAST(age AS DOUBLE))) / 100.0 AS decayed_value
+FROM p GROUP BY user_id ORDER BY user_id
+"""
