@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_error_followups": TM.events_error_followups,
         "event_transition_matrix": TM.event_transition_matrix,
         "user_decayed_value": TM.user_decayed_value,
+        "events_trailing_window": TM.events_trailing_window,
         "discount_quantity_spearman": AX.discount_quantity_spearman,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
@@ -268,6 +269,7 @@ def oracle_sql() -> dict[str, str]:
         "events_error_followups": TM.EVENTS_ERROR_FOLLOWUPS_SQL,
         "event_transition_matrix": TM.EVENT_TRANSITION_MATRIX_SQL,
         "user_decayed_value": TM.USER_DECAYED_VALUE_SQL,
+        "events_trailing_window": TM.EVENTS_TRAILING_WINDOW_SQL,
         "discount_quantity_spearman": AX.DISCOUNT_QUANTITY_SPEARMAN_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,

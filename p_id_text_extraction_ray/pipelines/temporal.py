@@ -260,6 +260,87 @@ def user_decayed_value(sf_dir: str):
         .sort_values("user_id", kind="mergesort").reset_index(drop=True)
 
 
+# ------------------------------------------ RANGE-frame trailing window
+
+TRAIL_SECONDS = 3600           # trailing-window width: 1 hour
+
+
+def events_trailing_window(sf_dir: str):
+    """(event_id, user_id, ts, w_n, w_sum): per-user count and value sum
+    over the trailing RANGE frame [ts - 1h, ts] — the value-based window
+    frame (ROWS-frame rolling features are ``events_rolling_avg``). RANGE
+    CURRENT ROW includes ALL peers of the current ts, even later-row
+    ones, so a positional rolling window is wrong under ties; instead
+    each user bucket sorts once and answers every row with two
+    ``searchsorted`` calls on a composite (dense-user-rank << 44 | µs
+    offset) integer key — exact peer semantics, fully vectorized. The
+    44-bit µs offset covers ~200 days of corpus span; a wider corpus
+    bumps the shift (the key has 20 spare bits at 10^6 users/bucket).
+    A window whose values are all NULL sums to NULL (SQL parity), and
+    NULL-ts rows form one peer group per user (DuckDB's NULL ordering)."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    w_us = np.int64(TRAIL_SECONDS) * _US
+
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def trail(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = _ts_us(df["ts"])
+        null_ts = df["ts"].isna().to_numpy()
+        uid = df["user_id"].to_numpy()
+        urank = np.unique(uid, return_inverse=True)[1].astype(np.uint64)
+        rel = np.where(null_ts, 0, ts - (ts[~null_ts].min()
+                                         if (~null_ts).any() else 0)) \
+            .astype(np.uint64)
+        # NULL-ts rows (sorted last per user) get a sentinel offset so
+        # they form their own peer group above every real timestamp
+        rel = np.where(null_ts, np.uint64((1 << 44) - 1), rel)
+        key = (urank << np.uint64(44)) | rel
+        order = np.argsort(key, kind="mergesort")
+        key_s = key[order]
+        v = df["value"].to_numpy(dtype=np.float64)[order]
+        vc = np.where(np.isnan(v), 0, np.rint(v * 100)).astype(np.int64)
+        pref_v = np.concatenate(([0], np.cumsum(vc)))
+        pref_n = np.concatenate(([0], np.cumsum((~np.isnan(v))
+                                                .astype(np.int64))))
+        lo_rel = np.where(null_ts[order],
+                          np.uint64((1 << 44) - 1),
+                          np.maximum(key_s & np.uint64((1 << 44) - 1),
+                                     np.uint64(w_us)) - np.uint64(w_us))
+        lo_key = (key_s & ~np.uint64((1 << 44) - 1)) | lo_rel
+        lo = np.searchsorted(key_s, lo_key, side="left")
+        hi = np.searchsorted(key_s, key_s, side="right")
+        n_val = pref_n[hi] - pref_n[lo]
+        w_sum = np.where(n_val > 0,
+                         (pref_v[hi] - pref_v[lo]) / 100.0, np.nan)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy()[order],
+            "user_id": uid[order], "ts": df["ts"].to_numpy()[order],
+            "w_n": (hi - lo).astype(np.int64), "w_sum": w_sum})
+
+    return (ev.map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(trail, batch_format="pandas"))
+
+
+EVENTS_TRAILING_WINDOW_SQL = f"""
+SELECT event_id, user_id, ts,
+       CAST(count(*) OVER w AS BIGINT)                        AS w_n,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w / 100.0 AS w_sum
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {TRAIL_SECONDS} SECOND PRECEDING
+                   AND CURRENT ROW)
+"""
+
+
 USER_DECAYED_VALUE_SQL = f"""
 WITH mx AS (SELECT max(ts) AS tref FROM events),
 p AS (SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_c,

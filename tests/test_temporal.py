@@ -142,6 +142,33 @@ def test_decayed_value_empty(ray_session, tmp_path):
     assert len(out) == 0
 
 
+def test_trailing_window_peers_and_boundary(ray_session, tmp_path):
+    """RANGE frame: [t-1h, t] is CLOSED on both ends and includes ALL
+    peers of the current ts (even later-positioned ones); an all-NULL
+    window sums to NULL; NULL-ts rows form one peer group per user."""
+    root = str(tmp_path)
+    h = pd.Timedelta(hours=1)
+    _write_events(root, [
+        (1, T0, 1, "view", 1.0),
+        (2, T0 + h, 1, "view", 2.0),            # t-1h == ts of 1: included
+        (3, T0 + h, 1, "view", 4.0),            # peer of 2 (tie)
+        (4, T0 + 2 * h + S, 1, "view", 8.0),    # 1h+1s after 2/3: alone
+        (5, T0, 2, "view", None),               # all-NULL window -> NULL
+        (6, None, 2, "view", 16.0),             # NULL-ts peer group
+        (7, None, 2, "view", 32.0),
+    ])
+    out = TM.events_trailing_window(root).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    orc = _oracle(root, TM.EVENTS_TRAILING_WINDOW_SQL) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+    got = dict(zip(out["event_id"], zip(out["w_n"], out["w_sum"])))
+    assert got[2] == (3, 7.0) and got[3] == (3, 7.0)   # peers see peers
+    assert got[4] == (1, 8.0)
+    assert got[5][0] == 1 and np.isnan(got[5][1])
+    assert got[6] == (2, 48.0) and got[7] == (2, 48.0)
+
+
 def test_spearman_perfect_monotone(ray_session, tmp_path):
     """A strictly monotone (with ties) relationship gives r = 1; the
     doubled-rank integer math must agree with the oracle bit-for-bit."""
