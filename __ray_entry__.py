@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transition_matrix": TM.event_transition_matrix,
         "user_decayed_value": TM.user_decayed_value,
         "events_trailing_window": TM.events_trailing_window,
+        "user_activity_streaks": TM.user_activity_streaks,
+        "user_mode_event_type": AX.user_mode_event_type,
         "discount_quantity_spearman": AX.discount_quantity_spearman,
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
@@ -270,6 +272,8 @@ def oracle_sql() -> dict[str, str]:
         "event_transition_matrix": TM.EVENT_TRANSITION_MATRIX_SQL,
         "user_decayed_value": TM.USER_DECAYED_VALUE_SQL,
         "events_trailing_window": TM.EVENTS_TRAILING_WINDOW_SQL,
+        "user_activity_streaks": TM.USER_ACTIVITY_STREAKS_SQL,
+        "user_mode_event_type": AX.USER_MODE_EVENT_TYPE_SQL,
         "discount_quantity_spearman": AX.DISCOUNT_QUANTITY_SPEARMAN_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,
         "dedup_ngram_jaccard": D.DEDUP_NGRAM_JACCARD_SQL,

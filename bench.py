@@ -129,7 +129,8 @@ def run_bench() -> dict:
                      "weighted_sample_docs", "doc_unigram_logprob",
                      "doc_compression_ratio", "events_error_followups",
                      "event_transition_matrix", "user_decayed_value",
-                     "events_trailing_window", "discount_quantity_spearman"):
+                     "events_trailing_window", "user_activity_streaks",
+                     "user_mode_event_type", "discount_quantity_spearman"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if hasattr(res, "to_pandas") and not hasattr(res, "columns"):

@@ -422,6 +422,56 @@ FROM s
 """
 
 
+# ------------------------------------------------ grouped mode (argmax)
+
+def user_mode_event_type(sf_dir: str):
+    """(user_id, mode_type, n_mode): each user's most frequent event
+    type, ties broken by lexicographically smallest type — the grouped
+    MODE/argmax-by-count feature. Batches pre-collapse to (user, type)
+    partial counts, the bucket shuffle reduces them exactly, and the
+    argmax is one vectorized sort + head per bucket."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["user_id", "event_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = df.groupby("user_id", as_index=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].to_numpy(),
+            "mode_type": top["event_type"].to_numpy(),
+            "n_mode": top["n"].to_numpy(dtype=np.int64)})
+
+    return (ev.map_batches(partial, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(argmax, batch_format="pandas"))
+
+
+USER_MODE_EVENT_TYPE_SQL = """
+WITH c AS (SELECT user_id, event_type, count(*) AS n
+           FROM events GROUP BY user_id, event_type)
+SELECT user_id, event_type AS mode_type, CAST(n AS BIGINT) AS n_mode
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type) = 1
+"""
+
+
 # --------------------------------------- Spearman via joint histogram
 
 def discount_quantity_spearman(sf_dir: str):

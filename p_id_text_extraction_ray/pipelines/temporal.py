@@ -206,6 +206,69 @@ ORDER BY from_type, to_type
 """
 
 
+# ------------------------------------------- gaps-and-islands streaks
+
+def user_activity_streaks(sf_dir: str):
+    """(user_id, n_active_days, max_streak): per-user count of distinct
+    active days and the longest run of CONSECUTIVE days with >=1 event —
+    the gaps-and-islands shape (SQL's day - row_number() trick). Each
+    batch first collapses to distinct (user, day) rows, so the shuffle
+    carries at most one row per user-day; islands are then derived
+    inside each user bucket with one vectorized diff — no per-user
+    Python, no window sort beyond the bucket's own."""
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["ts"].notna()]
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(),
+            "day": _ts_us(df["ts"]) // _DAY_US}).drop_duplicates()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (k * np.uint64(2654435761)) % np.uint64(64)
+        return df.assign(bucket=b.astype(np.int64))
+
+    def islands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["user_id", "day"]) \
+            .sort_values(["user_id", "day"], kind="mergesort")
+        uid = df["user_id"].to_numpy()
+        day = df["day"].to_numpy()
+        new = np.ones(len(df), dtype=bool)
+        new[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        island = np.cumsum(new) - 1
+        length = np.bincount(island)
+        g = pd.DataFrame({"user_id": uid[new],
+                          "len": length.astype(np.int64)})
+        out = g.groupby("user_id", as_index=False) \
+            .agg(n_active_days=("len", "sum"), max_streak=("len", "max"))
+        return out.astype({"n_active_days": np.int64,
+                           "max_streak": np.int64})
+
+    return (ev.map_batches(day_partial, batch_format="pandas")
+            .map_batches(add_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(islands, batch_format="pandas"))
+
+
+USER_ACTIVITY_STREAKS_SQL = """
+WITH d AS (SELECT DISTINCT user_id,
+                  CAST(date_trunc('day', ts) AS DATE) AS day
+           FROM events WHERE ts IS NOT NULL),
+i AS (SELECT user_id, day,
+             day - CAST(row_number() OVER (PARTITION BY user_id
+                                           ORDER BY day) AS INTEGER) AS grp
+      FROM d),
+s AS (SELECT user_id, grp, count(*) AS len FROM i GROUP BY user_id, grp)
+SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(max(len) AS BIGINT) AS max_streak
+FROM s GROUP BY user_id
+"""
+
+
 # ------------------------------------------------ decayed user value
 
 def user_decayed_value(sf_dir: str):
@@ -245,19 +308,16 @@ def user_decayed_value(sf_dir: str):
                              "term": term,
                              "n_purchases": np.int64(1)})
 
-    sums = ev.map_batches(terms, batch_format="pandas")
-    out = bucketed_group_sum(sums, "user_id", ["term", "n_purchases"]) \
-        .to_pandas()
-    if out.empty:
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
-            "user_id": pd.Series([], dtype=np.int64),
-            "n_purchases": pd.Series([], dtype=np.int64),
-            "decayed_value": pd.Series([], dtype=np.float64)})
-    return pd.DataFrame({
-        "user_id": out["user_id"].to_numpy(),
-        "n_purchases": out["n_purchases"].to_numpy(dtype=np.int64),
-        "decayed_value": out["term"].to_numpy() / 100.0}) \
-        .sort_values("user_id", kind="mergesort").reset_index(drop=True)
+            "user_id": df["user_id"].to_numpy(),
+            "n_purchases": df["n_purchases"].to_numpy(dtype=np.int64),
+            "decayed_value": df["term"].to_numpy(dtype=np.float64) / 100.0})
+
+    # per-user output grows with the corpus — stays a streaming Dataset
+    sums = ev.map_batches(terms, batch_format="pandas")
+    return bucketed_group_sum(sums, "user_id", ["term", "n_purchases"]) \
+        .map_batches(finish, batch_format="pandas")
 
 
 # ------------------------------------------ RANGE-frame trailing window

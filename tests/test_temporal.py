@@ -126,7 +126,8 @@ def test_decayed_value_exact_weights(ray_session, tmp_path):
         (5, T0 + 3 * day, 2, "click", 1000.0),    # not a purchase
         (6, T0 + 1 * day, 3, "view", 0.0),
     ])
-    out = TM.user_decayed_value(root)
+    out = TM.user_decayed_value(root).to_pandas() \
+        .sort_values("user_id", kind="mergesort").reset_index(drop=True)
     got = dict(zip(out["user_id"], out["decayed_value"]))
     assert got == {1: 8.0 + 4.0 + 1.0, 2: 0.5}
     assert dict(zip(out["user_id"], out["n_purchases"])) == {1: 3, 2: 1}
@@ -167,6 +168,49 @@ def test_trailing_window_peers_and_boundary(ray_session, tmp_path):
     assert got[4] == (1, 8.0)
     assert got[5][0] == 1 and np.isnan(got[5][1])
     assert got[6] == (2, 48.0) and got[7] == (2, 48.0)
+
+
+def test_activity_streaks_islands(ray_session, tmp_path):
+    """Distinct-day islands: duplicate events on one day count once;
+    a gap splits the streak; the streak can span a month boundary."""
+    root = str(tmp_path)
+    day = pd.Timedelta(days=1)
+    _write_events(root, [
+        (1, T0, 1, "view", 0.0),
+        (2, T0 + pd.Timedelta(hours=5), 1, "view", 0.0),  # same day
+        (3, T0 + day, 1, "view", 0.0),
+        (4, T0 + 2 * day, 1, "view", 0.0),       # 3-day streak
+        (5, T0 + 4 * day, 1, "view", 0.0),       # gap -> new island
+        (6, pd.Timestamp("2024-01-31 23:00"), 2, "view", 0.0),
+        (7, pd.Timestamp("2024-02-01 01:00"), 2, "view", 0.0),  # month edge
+        (8, None, 3, "view", 0.0),               # NULL ts: no active day
+    ])
+    out = TM.user_activity_streaks(root).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["user_id"].tolist() == [1, 2]
+    assert out["n_active_days"].tolist() == [4, 2]
+    assert out["max_streak"].tolist() == [3, 2]
+    orc = _oracle(root, TM.USER_ACTIVITY_STREAKS_SQL) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+
+
+def test_mode_event_type_tiebreak(ray_session, tmp_path):
+    """Equal counts resolve to the lexicographically smallest type."""
+    from p_id_text_extraction_ray.pipelines import analytics_ext as AXX
+    root = str(tmp_path)
+    _write_events(root, [
+        (1, T0, 1, "view", 0.0), (2, T0 + S, 1, "view", 0.0),
+        (3, T0 + 2 * S, 1, "click", 0.0),
+        (4, T0 + 3 * S, 2, "view", 0.0), (5, T0 + 4 * S, 2, "click", 0.0),
+    ])
+    out = AXX.user_mode_event_type(root).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    assert out["mode_type"].tolist() == ["view", "click"]   # tie -> click
+    assert out["n_mode"].tolist() == [2, 1]
+    orc = _oracle(root, AXX.USER_MODE_EVENT_TYPE_SQL) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
 
 
 def test_spearman_perfect_monotone(ray_session, tmp_path):
