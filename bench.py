@@ -133,8 +133,8 @@ def run_bench() -> dict:
                      "user_mode_event_type", "discount_quantity_spearman"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
-            if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
-                res = res.to_pandas()  # Dataset -> consume
+            if isinstance(res, ray.data.Dataset):
+                res = res.to_pandas()  # Dataset -> consume (execute the plan)
             times[name] = round(time.perf_counter() - t0, 3)
 
     result = {

@@ -88,6 +88,18 @@ def bucketed_group_sum(ds, key: str | list[str], sum_cols: list[str],
             .map_groups(reduce_bucket, batch_format="pandas"))
 
 
+def user_bucket(df: pd.DataFrame, col: str = "user_id",
+                n: int = 64) -> pd.DataFrame:
+    """Hash-bucket an integer entity key into ``bucket`` (Knuth
+    multiplicative hash) — the shared shuffle key for per-entity
+    windowed work. One definition so a future hot-bucket salting change
+    lands everywhere at once."""
+    k = df[col].to_numpy(dtype=np.int64).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        b = (k * np.uint64(2654435761)) % np.uint64(n)
+    return df.assign(bucket=b.astype(np.int64))
+
+
 def cents(values: np.ndarray | pd.Series) -> np.ndarray:
     """Dollars->cents as exact int64 (rint: values are integers +/- fp eps,
     never near .5). Exact integer sums make money aggregates independent of

@@ -108,7 +108,6 @@ def orders_cumulative_revenue(sf_dir: str):
     thousand rows, so the single-block scan is not a bottleneck; a
     longer-range variant would scan per-partition subtotals the same way.
     """
-    from ray.data.aggregate import Sum
 
     orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
 
@@ -119,8 +118,12 @@ def orders_cumulative_revenue(sf_dir: str):
             .groupby("day", as_index=False)["rev_c"].sum()
         return g
 
-    daily = orders.map_batches(partial, batch_format="pandas") \
-        .groupby("day").aggregate(Sum("rev_c", alias_name="rev_c"))
+    # bucketed pandas reduce — Ray's native aggregate pays per-group
+    # overhead (~1.7 ms/group/suboperator) at ~2.4k day groups
+    from ._util import bucketed_group_sum
+    daily = bucketed_group_sum(
+        orders.map_batches(partial, batch_format="pandas"),
+        "day", ["rev_c"])
 
     def running(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("day", kind="mergesort")
@@ -440,12 +443,6 @@ def user_mode_event_type(sf_dir: str):
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = (k * np.uint64(2654435761)) % np.uint64(64)
-        return df.assign(bucket=b.astype(np.int64))
-
     def argmax(df: pd.DataFrame) -> pd.DataFrame:
         df = df.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
         df = df.sort_values(["user_id", "n", "event_type"],
@@ -457,7 +454,7 @@ def user_mode_event_type(sf_dir: str):
             "n_mode": top["n"].to_numpy(dtype=np.int64)})
 
     return (ev.map_batches(partial, batch_format="pandas")
-            .map_batches(add_bucket, batch_format="pandas")
+            .map_batches(_user_bucket, batch_format="pandas")
             .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
             .map_groups(argmax, batch_format="pandas"))
 
@@ -484,7 +481,6 @@ def discount_quantity_spearman(sf_dir: str):
     moment sum is an exact Python bigint, so the final expression is
     bit-identical to the oracle's HUGEINT math at any scale."""
     import math
-    from ray.data.aggregate import Sum
 
     li = _read(sf_dir, "lineitem", ["l_discount", "l_quantity"])
 
@@ -498,13 +494,14 @@ def discount_quantity_spearman(sf_dir: str):
         out["w"] = out["w"].astype(np.int64)
         return out
 
-    cells = (li.map_batches(cell_counts, batch_format="pandas")
-             .groupby(["x", "y"]).aggregate(Sum("w", alias_name="w"))
-             .to_pandas())
-    n = int(cells["w"].sum())
+    from ._util import bucketed_group_sum
+    cells = bucketed_group_sum(
+        li.map_batches(cell_counts, batch_format="pandas"),
+        ["x", "y"], ["w"]).to_pandas()
+    n = 0 if cells.empty else int(cells["w"].sum())
     if n == 0:
-        return pd.DataFrame({"spearman_r": pd.Series([], dtype=np.float64),
-                             "n": pd.Series([], dtype=np.int64)})
+        # SQL aggregates over zero rows still emit one row (NULL, 0)
+        return pd.DataFrame({"spearman_r": [np.nan], "n": [np.int64(0)]})
 
     def dbl_ranks(margin: pd.Series) -> dict[int, int]:
         """value -> doubled average rank (2*rank is integral with ties):

@@ -429,8 +429,6 @@ GROUP BY c_mktsegment
 
 def events_hourly(sf_dir: str):
     """Tumbling-window aggregate: count + sum(value) per (event_type, hour)."""
-    from ray.data.aggregate import Sum
-
     ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
@@ -439,19 +437,21 @@ def events_hourly(sf_dir: str):
             n=("v_c", "size"), v=("v_c", "sum"))
         return g
 
-    agg = (ev.map_batches(partial, batch_format="pandas")
-           .groupby(["event_type", "hour"])
-           .aggregate(Sum("n", alias_name="n_events"),
-                      Sum("v", alias_name="v_c")))
+    # bucketed pandas reduce, NOT Ray's native aggregate: at ~3.6k
+    # (type, hour) groups the native path pays ~1.7 ms/group in both its
+    # map and reduce suboperators (~12 s); one vectorized groupby per
+    # hash bucket is milliseconds and scales with rows, not groups
+    from ._util import bucketed_group_sum
+    agg = bucketed_group_sum(ev.map_batches(partial, batch_format="pandas"),
+                             ["event_type", "hour"], ["n", "v"])
 
-    def finish(t: pa.Table) -> pa.Table:
-        t = t.append_column("sum_value", pc.divide(
-            pc.cast(t.column("v_c"), pa.float64()), pa.scalar(100.0)))
-        t = t.drop_columns(["v_c"])
-        return t.set_column(t.schema.get_field_index("n_events"), "n_events",
-                            pc.cast(t.column("n_events"), pa.int64()))
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"].values, "hour": df["hour"].values,
+            "n_events": df["n"].to_numpy(dtype=np.int64),
+            "sum_value": df["v"].to_numpy(dtype=np.float64) / 100.0})
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return agg.map_batches(finish, batch_format="pandas")
 
 
 EVENTS_HOURLY_SQL = """

@@ -296,14 +296,16 @@ def q7_nation_volume(sf_dir: str):
             "l_year": df["l_year"].values,
             "rev_c": df["rev_c"].values})
 
-    agg = joined.map_batches(name_pair, batch_format="pandas") \
-        .groupby(["supp_nation", "cust_nation", "l_year"]) \
-        .aggregate(Sum("rev_c", alias_name="rev_c"))
+    # bucketed pandas reduce — Ray's native aggregate pays per-group
+    # overhead (~1.7 ms/group/suboperator) at ~1.2k (nation², year) groups
+    agg = bucketed_group_sum(
+        joined.map_batches(name_pair, batch_format="pandas"),
+        ["supp_nation", "cust_nation", "l_year"], ["rev_c"])
     return agg.map_batches(
-        lambda t: t.append_column("revenue", pc.divide(
-            pc.cast(t.column("rev_c"), pa.float64()), pa.scalar(10000.0)))
-        .drop_columns(["rev_c"]),
-        batch_format="pyarrow")
+        lambda df: df.assign(
+            revenue=df["rev_c"].to_numpy(dtype=np.float64) / 10000.0)
+        .drop(columns=["rev_c"]),
+        batch_format="pandas")
 
 
 Q7_SQL = f"""

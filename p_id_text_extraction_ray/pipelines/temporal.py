@@ -47,7 +47,7 @@ import os
 import numpy as np
 import pandas as pd
 
-from ._util import cents, sized_read
+from ._util import cents, sized_read, user_bucket
 
 WINDOW_SECONDS = 600           # range-join window: 10 minutes
 BUCKET_SECONDS = 3600          # range-join bucket width (>= window)
@@ -154,12 +154,6 @@ def event_transition_matrix(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = (k * np.uint64(2654435761)) % np.uint64(64)
-        return df.assign(bucket=b.astype(np.int64))
-
     def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         et = df["event_type"].to_numpy()
@@ -172,7 +166,7 @@ def event_transition_matrix(sf_dir: str):
         out["n"] = out["n"].astype(np.int64)
         return out
 
-    partials = (ev.map_batches(add_bucket, batch_format="pandas")
+    partials = (ev.map_batches(user_bucket, batch_format="pandas")
                 .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
                 .map_groups(pair_counts, batch_format="pandas")
                 .groupby(["from_type", "to_type"])
@@ -226,12 +220,6 @@ def user_activity_streaks(sf_dir: str):
             "user_id": df["user_id"].to_numpy(),
             "day": _ts_us(df["ts"]) // _DAY_US}).drop_duplicates()
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = (k * np.uint64(2654435761)) % np.uint64(64)
-        return df.assign(bucket=b.astype(np.int64))
-
     def islands(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["user_id", "day"]) \
             .sort_values(["user_id", "day"], kind="mergesort")
@@ -249,7 +237,7 @@ def user_activity_streaks(sf_dir: str):
                            "max_streak": np.int64})
 
     return (ev.map_batches(day_partial, batch_format="pandas")
-            .map_batches(add_bucket, batch_format="pandas")
+            .map_batches(user_bucket, batch_format="pandas")
             .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
             .map_groups(islands, batch_format="pandas"))
 
@@ -279,8 +267,7 @@ def user_decayed_value(sf_dir: str):
     Ordered by user_id."""
     from ._util import bucketed_group_sum
 
-    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id",
-                                  "event_type", "value"])
+    ev = _read(sf_dir, "events", ["ts", "user_id", "event_type", "value"])
 
     # global max ts: one tiny row per batch, reduced on the driver
     def batch_max(df: pd.DataFrame) -> pd.DataFrame:
@@ -344,37 +331,38 @@ def events_trailing_window(sf_dir: str):
 
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            b = (k * np.uint64(2654435761)) % np.uint64(64)
-        return df.assign(bucket=b.astype(np.int64))
+    SENT = np.uint64((1 << 44) - 1)
 
     def trail(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts"], kind="mergesort")
+        # no pre-sort needed: the composite-key argsort below establishes
+        # the (user, ts, NULLs-last) order all by itself
         ts = _ts_us(df["ts"])
         null_ts = df["ts"].isna().to_numpy()
         uid = df["user_id"].to_numpy()
         urank = np.unique(uid, return_inverse=True)[1].astype(np.uint64)
-        rel = np.where(null_ts, 0, ts - (ts[~null_ts].min()
-                                         if (~null_ts).any() else 0)) \
-            .astype(np.uint64)
-        # NULL-ts rows (sorted last per user) get a sentinel offset so
-        # they form their own peer group above every real timestamp
-        rel = np.where(null_ts, np.uint64((1 << 44) - 1), rel)
+        base = ts[~null_ts].min() if (~null_ts).any() else 0
+        with np.errstate(over="ignore"):
+            rel = np.where(null_ts, 0, ts - base).astype(np.uint64)
+        if len(rel) and rel.max() >= SENT:
+            raise ValueError(
+                "events_trailing_window: corpus time span exceeds the "
+                "44-bit microsecond key space (~200 days); widen the "
+                "composite-key shift for this corpus")
+        # NULL-ts rows get the sentinel offset: one peer group per user,
+        # above every real timestamp (DuckDB NULLS LAST)
+        rel = np.where(null_ts, SENT, rel)
         key = (urank << np.uint64(44)) | rel
         order = np.argsort(key, kind="mergesort")
         key_s = key[order]
         v = df["value"].to_numpy(dtype=np.float64)[order]
-        vc = np.where(np.isnan(v), 0, np.rint(v * 100)).astype(np.int64)
+        vc = cents(np.nan_to_num(v))
         pref_v = np.concatenate(([0], np.cumsum(vc)))
         pref_n = np.concatenate(([0], np.cumsum((~np.isnan(v))
                                                 .astype(np.int64))))
-        lo_rel = np.where(null_ts[order],
-                          np.uint64((1 << 44) - 1),
-                          np.maximum(key_s & np.uint64((1 << 44) - 1),
-                                     np.uint64(w_us)) - np.uint64(w_us))
-        lo_key = (key_s & ~np.uint64((1 << 44) - 1)) | lo_rel
+        lo_rel = np.where(null_ts[order], SENT,
+                          np.maximum(key_s & SENT, np.uint64(w_us))
+                          - np.uint64(w_us))
+        lo_key = (key_s & ~SENT) | lo_rel
         lo = np.searchsorted(key_s, lo_key, side="left")
         hi = np.searchsorted(key_s, key_s, side="right")
         n_val = pref_n[hi] - pref_n[lo]
@@ -385,7 +373,7 @@ def events_trailing_window(sf_dir: str):
             "user_id": uid[order], "ts": df["ts"].to_numpy()[order],
             "w_n": (hi - lo).astype(np.int64), "w_sum": w_sum})
 
-    return (ev.map_batches(add_bucket, batch_format="pandas")
+    return (ev.map_batches(user_bucket, batch_format="pandas")
             .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
             .map_groups(trail, batch_format="pandas"))
 

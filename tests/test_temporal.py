@@ -233,6 +233,24 @@ def test_spearman_perfect_monotone(ray_session, tmp_path):
     assert int(out["n"].iloc[0]) == 8
 
 
+def test_spearman_empty_emits_one_row(ray_session, tmp_path):
+    """SQL aggregates over zero rows still emit one row (NULL, 0)."""
+    root = str(tmp_path)
+    pq.write_table(pa.table({
+        "l_discount": pa.array([], type=pa.float64()),
+        "l_quantity": pa.array([], type=pa.float64())}),
+        os.path.join(root, "lineitem.parquet"))
+    out = AX.discount_quantity_spearman(root)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT *"
+                f" FROM '{root}/lineitem.parquet'")
+    orc = con.execute(AX.DISCOUNT_QUANTITY_SPEARMAN_SQL).df()
+    assert len(out) == len(orc) == 1
+    assert np.isnan(out["spearman_r"].iloc[0]) and \
+        np.isnan(orc["spearman_r"].iloc[0])
+    assert int(out["n"].iloc[0]) == int(orc["n"].iloc[0]) == 0
+
+
 def test_spearman_reversed_is_negative_one(ray_session, tmp_path):
     root = str(tmp_path)
     q = [1.0, 2.0, 3.0, 4.0]
