@@ -284,7 +284,7 @@ def doc_length_quantiles(sf_dir: str):
     discrete quantiles are read off the cumulative counts. No sort, no
     full-column collect, exact at any corpus size.
     """
-    from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
 
     def counts(t: pa.Table) -> pa.Table:
         n = pc.cast(T.token_count(t.column("text").combine_chunks()), pa.int64())
@@ -294,8 +294,9 @@ def doc_length_quantiles(sf_dir: str):
         return pa.table({"n_words": vc.column("n_words"),
                          "cnt": pc.cast(vc.column("n_words_count"), pa.int64())})
 
-    hist = (_docs(sf_dir).map_batches(counts, batch_format="pyarrow")
-            .groupby("n_words").aggregate(Sum("cnt", alias_name="cnt"))
+    hist = (bucketed_group_sum(
+                _docs(sf_dir).map_batches(counts, batch_format="pyarrow"),
+                "n_words", ["cnt"])
             .to_pandas().sort_values("n_words").reset_index(drop=True))
 
     import numpy as np
@@ -603,7 +604,7 @@ def doc_length_median_by_lang(sf_dir: str):
     read off its cumulative counts inside a per-lang ``map_groups`` —
     nothing returns to the driver but the |langs|-row result."""
     import numpy as np
-    from ray.data.aggregate import Sum
+    from ._util import bucketed_group_sum
 
     def counts(t: pa.Table) -> pa.Table:
         n = pc.cast(T.token_count(t.column("text").combine_chunks()), pa.int64())
@@ -613,9 +614,10 @@ def doc_length_median_by_lang(sf_dir: str):
                          "n_words": vc.column("n_words"),
                          "cnt": pc.cast(vc.column("n_words_count"), pa.int64())})
 
-    hist = _docs(sf_dir, columns=("text", "lang")) \
-        .map_batches(counts, batch_format="pyarrow") \
-        .groupby(["lang", "n_words"]).aggregate(Sum("cnt", alias_name="cnt"))
+    hist = bucketed_group_sum(
+        _docs(sf_dir, columns=("text", "lang"))
+        .map_batches(counts, batch_format="pyarrow"),
+        ["lang", "n_words"], ["cnt"])
 
     def lang_quantiles(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values("n_words")
