@@ -233,6 +233,78 @@ def test_spearman_perfect_monotone(ray_session, tmp_path):
     assert int(out["n"].iloc[0]) == 8
 
 
+def _random_events(seed: int, n: int = 300):
+    """Adversarial random fixture: clustered timestamps (many window/
+    bucket boundary hits), exact-second collisions (peer ties), NULL ts
+    and NULL values sprinkled in."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    types = ["error", "purchase", "view", "click"]
+    for i in range(n):
+        if rng.random() < 0.05:
+            ts = None
+        else:
+            # second-resolution offsets cluster events onto shared
+            # instants and exact window edges
+            sec = int(rng.integers(0, 4 * 3600))
+            ts = T0 + sec * S
+        val = None if rng.random() < 0.1 else round(float(rng.uniform(0, 50)), 2)
+        rows.append((i, ts, int(rng.integers(1, 8)),
+                     types[int(rng.integers(0, 4))], val))
+    return rows
+
+
+@pytest.mark.parametrize("seed", [7, 41])
+def test_range_join_randomized_vs_oracle(ray_session, tmp_path, seed):
+    root = str(tmp_path)
+    _write_events(root, _random_events(seed))
+    out = TM.events_error_followups(root).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    orc = _oracle(root, TM.EVENTS_ERROR_FOLLOWUPS_SQL)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+
+
+def test_range_join_bucket_width_invariance(ray_session, tmp_path,
+                                            monkeypatch):
+    """The boundary-replication decomposition must be invariant to the
+    bucket width knob (any width >= the window is legal)."""
+    root = str(tmp_path)
+    _write_events(root, _random_events(13))
+    base = TM.events_error_followups(root).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    monkeypatch.setattr(TM, "BUCKET_SECONDS", 600)   # == window
+    narrow = TM.events_error_followups(root).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(base, narrow)
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_trailing_window_randomized_vs_oracle(ray_session, tmp_path, seed):
+    root = str(tmp_path)
+    _write_events(root, _random_events(seed))
+    out = TM.events_trailing_window(root).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    orc = _oracle(root, TM.EVENTS_TRAILING_WINDOW_SQL) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+
+
+def test_streaks_randomized_vs_oracle(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    rows = [(i,
+             None if rng.random() < 0.05
+             else T0 + int(rng.integers(0, 20)) * pd.Timedelta(days=1),
+             int(rng.integers(1, 6)), "view", 0.0)
+            for i in range(200)]
+    root = str(tmp_path)
+    _write_events(root, rows)
+    out = TM.user_activity_streaks(root).to_pandas() \
+        .sort_values("user_id").reset_index(drop=True)
+    orc = _oracle(root, TM.USER_ACTIVITY_STREAKS_SQL) \
+        .sort_values("user_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+
+
 def test_spearman_empty_emits_one_row(ray_session, tmp_path):
     """SQL aggregates over zero rows still emit one row (NULL, 0)."""
     root = str(tmp_path)
