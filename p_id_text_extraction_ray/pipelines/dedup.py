@@ -184,13 +184,23 @@ def dedup_ngram_jaccard(sf_dir: str):
                              batch_format="pandas"))
     # ~1M+ distinct pairs at even small scale: the per-pair intersection
     # count is a vectorized pandas groupby inside the join's bucket group
-    # (sum_join), never Ray's per-group aggregate
-    j1 = sum_join(raw_pairs, _doc_shingle_counts_ds(sf_dir, "doc_a", "na"),
+    # (sum_join), never Ray's per-group aggregate.
+    # Shingle counts are computed ONCE and materialized — two int64
+    # columns per doc, object-store-spillable at any corpus size — then
+    # renamed per join side; recomputing them lazily would re-shingle
+    # the whole corpus once per side.
+    counts = _doc_shingle_counts_ds(sf_dir, "doc_id", "n_sh").materialize()
+    side_a = counts.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_a", "n_sh": "na"}),
+        batch_format="pandas")
+    side_b = counts.map_batches(
+        lambda df: df.rename(columns={"doc_id": "doc_b", "n_sh": "nb"}),
+        batch_format="pandas")
+    j1 = sum_join(raw_pairs, side_a,
                   on="doc_a", sum_keys=["doc_a", "doc_b"], sum_cols=["n"]) \
         .map_batches(lambda df: df.rename(columns={"n": "inter"}),
                      batch_format="pandas")
-    j2 = hash_join(j1, _doc_shingle_counts_ds(sf_dir, "doc_b", "nb"),
-                   on="doc_b")
+    j2 = hash_join(j1, side_b, on="doc_b")
 
     def finish(df: pd.DataFrame) -> pa.Table:
         na = df["na"].to_numpy(dtype=np.float64)
