@@ -25,6 +25,7 @@ from p_id_text_extraction_ray.pipelines import chunking as CH
 from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import dedup as D
 from p_id_text_extraction_ray.pipelines import fuzzy as F
+from p_id_text_extraction_ray.pipelines import graph as G
 from p_id_text_extraction_ray.pipelines import relational as R
 from p_id_text_extraction_ray.pipelines import media_dedup as MD
 from p_id_text_extraction_ray.pipelines import ranking as RK
@@ -172,6 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_decayed_value": TM.user_decayed_value,
         "events_trailing_window": TM.events_trailing_window,
         "user_activity_streaks": TM.user_activity_streaks,
+        "pagerank_tokens": G.pagerank_tokens,
         "user_mode_event_type": AX.user_mode_event_type,
         "discount_quantity_spearman": AX.discount_quantity_spearman,
         # flagship extraction (pixel pipeline; rows-only)
@@ -273,6 +275,7 @@ def oracle_sql() -> dict[str, str]:
         "user_decayed_value": TM.USER_DECAYED_VALUE_SQL,
         "events_trailing_window": TM.EVENTS_TRAILING_WINDOW_SQL,
         "user_activity_streaks": TM.USER_ACTIVITY_STREAKS_SQL,
+        "pagerank_tokens": G.PAGERANK_TOKENS_SQL,
         "user_mode_event_type": AX.USER_MODE_EVENT_TYPE_SQL,
         "discount_quantity_spearman": AX.DISCOUNT_QUANTITY_SPEARMAN_SQL,
         "dedup_exact": D.DEDUP_EXACT_SQL,

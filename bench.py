@@ -130,7 +130,8 @@ def run_bench() -> dict:
                      "doc_compression_ratio", "events_error_followups",
                      "event_transition_matrix", "user_decayed_value",
                      "events_trailing_window", "user_activity_streaks",
-                     "user_mode_event_type", "discount_quantity_spearman"):
+                     "user_mode_event_type", "discount_quantity_spearman",
+                     "pagerank_tokens"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

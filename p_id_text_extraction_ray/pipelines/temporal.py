@@ -25,6 +25,15 @@
                          only (from, to, count) partials — <= |types|²
                          rows per bucket — reach the final reduce. The
                          transition probability is one exact-int division.
+* activity streaks     — gaps-and-islands: per-user longest run of
+                         consecutive active days. Batches collapse to
+                         distinct (user, day) before the shuffle; islands
+                         fall out of one vectorized diff per user bucket.
+* trailing window      — RANGE-frame (value-based) per-user trailing
+                         1-hour aggregate with exact peer/tie semantics
+                         via a composite (user-rank << 44 | µs) key and
+                         two ``searchsorted`` calls — see
+                         ``events_trailing_window``.
 * decayed user value   — exponentially time-decayed purchase value per
                          user (half-life 1 day), the classic feature-store
                          recency weighting. Weights are exact powers of

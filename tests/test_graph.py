@@ -1,0 +1,89 @@
+"""PageRank over the token graph: hand-computable planted graphs plus
+oracle equality on the same fixture."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from p_id_text_extraction_ray.pipelines import graph as G
+
+
+def _write_docs(root, texts):
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.string())}),
+        os.path.join(root, "documents.parquet"))
+
+
+def _oracle(root):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT *"
+                f" FROM '{root}/documents.parquet'")
+    return con.execute(G.PAGERANK_TOKENS_SQL).df()
+
+
+def _run(root) -> pd.DataFrame:
+    out = G.pagerank_tokens(root)
+    if not isinstance(out, pd.DataFrame):
+        out = out.to_pandas()
+    return out.sort_values("token").reset_index(drop=True)
+
+
+def test_pagerank_two_cycle(ray_session, tmp_path):
+    """a->b->a: symmetric 2-cycle, every node keeps rank exactly 1 at
+    every iteration (od=1, incoming = 1 -> r = 0.15 + 0.85*1 = 1)."""
+    root = str(tmp_path)
+    _write_docs(root, ["a b a"])
+    out = _run(root)
+    assert out["token"].tolist() == ["a", "b"]
+    assert np.allclose(out["pagerank"], 1.0)
+
+
+def test_pagerank_hand_computed_chain(ray_session, tmp_path):
+    """a->b, b->c (plus isolated d): ranks follow the closed form for 3
+    iterations; the sink c accumulates, the source a decays to 0.15."""
+    root = str(tmp_path)
+    _write_docs(root, ["a b c", "d"])
+    out = _run(root)
+    r = dict(zip(out["token"], out["pagerank"]))
+    d = 0.85
+    # closed-form per iteration: ra=0.15; rb=0.15+.85*ra_prev; rc=0.15+.85*rb_prev
+    ra = [1.0]; rb = [1.0]; rc = [1.0]
+    for _ in range(3):
+        ra.append(0.15)
+        rb.append(0.15 + d * ra[-2])
+        rc.append(0.15 + d * rb[-2])
+    assert r["a"] == pytest.approx(0.15)
+    assert r["b"] == pytest.approx(rb[3])
+    assert r["c"] == pytest.approx(rc[3])
+    assert r["d"] == pytest.approx(0.15)   # isolated: no in, no out
+    orc = _oracle(root).sort_values("token").reset_index(drop=True)
+    pd.testing.assert_frame_equal(_run(root), orc, check_dtype=False,
+                                  atol=1e-9, rtol=0)
+
+
+def test_pagerank_duplicate_edges_count_once(ray_session, tmp_path):
+    """The edge set is DISTINCT pairs: repeating 'a b' across documents
+    (and within one) must not multiply b's incoming mass."""
+    root = str(tmp_path)
+    _write_docs(root, ["a b", "a b a b", "c a b"])
+    out1 = _run(root)
+    root2 = os.path.join(str(tmp_path), "single")
+    os.makedirs(root2)
+    _write_docs(root2, ["c a b a"])        # same distinct edge set
+    out2 = _run(root2)
+    pd.testing.assert_frame_equal(out1, out2, atol=1e-12, rtol=0)
+
+
+def test_pagerank_matches_oracle_on_corpus(ray_session, tmp_path):
+    out = _run("/root/testdata/sf0.001")
+    orc = _oracle("/root/testdata/sf0.001").sort_values("token") \
+        .reset_index(drop=True)
+    assert len(out) == len(orc)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False,
+                                  atol=1e-9, rtol=0)
