@@ -93,19 +93,39 @@ def pagerank_tokens(sf_dir: str):
         "src", ["od"])
     edges_od = hash_join(edges, outdeg, on="src").materialize()
 
-    # ranks is materialized per iteration (a barrier each BSP superstep,
-    # vocabulary-sized rows): measured FASTER than one fused lazy plan —
-    # a 9-shuffle chained DAG schedules worse than segmented execution
-    # (15-18 s fused vs 9-10 s segmented on this host)
-    ranks = nodes.map_batches(lambda df: df.assign(r=np.float64(1.0)),
-                              batch_format="pandas").materialize()
+    base = 1.0 - DAMPING          # rank of a node with no incoming mass
+
+    def damp(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "tok": df["tok"].values,
+            "r": base + DAMPING * np.nan_to_num(
+                df["s"].to_numpy(np.float64))})
+
+    # Ranks are kept SPARSE — one row per node with incoming mass; every
+    # absent node's rank is the constant ``base``, supplied as the LEFT-
+    # join default. That removes the dense nodes-join from every
+    # superstep: each iteration is ONE co-partitioned join + ONE bucketed
+    # reduce. (Each superstep is materialized — a vocabulary-bounded
+    # barrier; measured faster than one fused 9-shuffle lazy plan,
+    # 9-10 s vs 15-18 s on this host.)
+    ranks_sparse = None           # iteration 0: every rank is exactly 1.0
 
     for _ in range(PAGERANK_ITERS):
-        contrib = hash_join(
-            edges_od,
-            ranks.map_batches(lambda df: df.rename(columns={"tok": "src"}),
-                              batch_format="pandas"),
-            on="src")
+        if ranks_sparse is None:
+            contrib = edges_od.map_batches(
+                lambda df: df.assign(r=np.float64(1.0)),
+                batch_format="pandas")
+        else:
+            contrib = hash_join(
+                edges_od,
+                ranks_sparse.map_batches(
+                    lambda df: df.rename(columns={"tok": "src"}),
+                    batch_format="pandas"),
+                on="src", how="left").map_batches(
+                lambda df: df.assign(r=np.where(
+                    np.isnan(df["r"].to_numpy(np.float64)),
+                    base, df["r"].to_numpy(np.float64))),
+                batch_format="pandas")
         inc = bucketed_group_sum(
             contrib.map_batches(
                 lambda df: pd.DataFrame({
@@ -114,17 +134,15 @@ def pagerank_tokens(sf_dir: str):
                          / df["od"].to_numpy(np.int64)}),
                 batch_format="pandas"),
             "tok", ["s"])
-        ranks = hash_join(nodes, inc, on="tok", how="left").map_batches(
-            lambda df: pd.DataFrame({
-                "tok": df["tok"].values,
-                "r": (1.0 - DAMPING)
-                     + DAMPING * np.nan_to_num(
-                         df["s"].to_numpy(np.float64))}),
-            batch_format="pandas").materialize()
+        ranks_sparse = inc.map_batches(damp,
+                                       batch_format="pandas").materialize()
 
-    return ranks.map_batches(
-        lambda df: pd.DataFrame({"token": df["tok"].values,
-                                 "pagerank": df["r"].values}),
+    # one dense join at the very end reintroduces zero-in-degree nodes
+    return hash_join(nodes, ranks_sparse, on="tok", how="left").map_batches(
+        lambda df: pd.DataFrame({
+            "token": df["tok"].values,
+            "pagerank": np.where(np.isnan(df["r"].to_numpy(np.float64)),
+                                 base, df["r"].to_numpy(np.float64))}),
         batch_format="pandas")
 
 
