@@ -131,7 +131,8 @@ def run_bench() -> dict:
                      "event_transition_matrix", "user_decayed_value",
                      "events_trailing_window", "user_activity_streaks",
                      "user_mode_event_type", "discount_quantity_spearman",
-                     "pagerank_tokens"):
+                     "pagerank_tokens", "events_value_percentile",
+                     "lineitem_corr_matrix"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

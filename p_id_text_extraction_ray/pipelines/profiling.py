@@ -363,3 +363,93 @@ FROM calc
 WHERE (((r1 * r0) * c1v) * c0) > 0
 ORDER BY term, source
 """
+
+
+# ---------------------------------------------- correlation matrix
+
+_CORR_COLS = ["l_discount", "l_quantity", "l_tax"]
+
+
+def lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over the bounded-magnitude
+    lineitem measures (discount-cents <= 10, quantity <= 50, tax-cents
+    <= 8) — the profiling step that flags collinear features. All five
+    sufficient statistics per pair accumulate as exact int64 batch
+    partials (bounded values keep the global sums in int64 to ~10^14
+    rows); the final normalization runs in Python bigints, bit-identical
+    to the oracle's HUGEINT math. Output: one row per ordered pair
+    (col_a < col_b)."""
+    import math
+    from ray.data.aggregate import Sum
+
+    li = _li(sf_dir, _CORR_COLS)
+    pairs = [(a, b) for i, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[i + 1:]]
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        from ._util import cents
+        v = {
+            "l_discount": cents(df["l_discount"]),
+            "l_quantity": np.rint(df["l_quantity"]
+                                  .to_numpy(dtype=np.float64))
+                          .astype(np.int64),
+            "l_tax": cents(df["l_tax"])}
+        out = {"n": [np.int64(len(df))]}
+        for c in _CORR_COLS:
+            out[f"s_{c}"] = [int(v[c].sum())]
+            out[f"ss_{c}"] = [int((v[c] * v[c]).sum())]
+        for a, b in pairs:
+            out[f"sp_{a}_{b}"] = [int((v[a] * v[b]).sum())]
+        return pd.DataFrame(out)
+
+    aggs = [Sum("n", alias_name="n")]
+    for c in _CORR_COLS:
+        aggs += [Sum(f"s_{c}", alias_name=f"s_{c}"),
+                 Sum(f"ss_{c}", alias_name=f"ss_{c}")]
+    for a, b in pairs:
+        aggs.append(Sum(f"sp_{a}_{b}", alias_name=f"sp_{a}_{b}"))
+    m = li.map_batches(moments, batch_format="pandas").aggregate(*aggs)
+
+    n = int(m["n"]) if m and m.get("n") is not None else 0
+    rows = []
+    for a, b in pairs:
+        if n == 0:
+            rows.append((a, b, float("nan")))
+            continue
+        sa, sb = int(m[f"s_{a}"]), int(m[f"s_{b}"])
+        num = n * int(m[f"sp_{a}_{b}"]) - sa * sb
+        da = n * int(m[f"ss_{a}"]) - sa * sa
+        db = n * int(m[f"ss_{b}"]) - sb * sb
+        den = math.sqrt(float(da) * float(db))
+        rows.append((a, b, float(num) / den if den else float("nan")))
+    return pd.DataFrame({
+        "col_a": [r[0] for r in rows], "col_b": [r[1] for r in rows],
+        "pearson_r": np.array([r[2] for r in rows], dtype=np.float64)})
+
+
+LINEITEM_CORR_MATRIX_SQL = """
+WITH m AS (
+  SELECT CAST(round(l_discount * 100) AS BIGINT) AS x1,
+         CAST(round(l_quantity) AS BIGINT)       AS x2,
+         CAST(round(l_tax * 100) AS BIGINT)      AS x3
+  FROM lineitem),
+s AS (SELECT count(*) AS n,
+             sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3,
+             sum(x1*x1) AS ss1, sum(x2*x2) AS ss2, sum(x3*x3) AS ss3,
+             sum(x1*x2) AS p12, sum(x1*x3) AS p13, sum(x2*x3) AS p23
+      FROM m)
+SELECT 'l_discount' AS col_a, 'l_quantity' AS col_b,
+       CAST(n*p12 - s1*s2 AS DOUBLE)
+         / sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE)
+                * CAST(n*ss2 - s2*s2 AS DOUBLE)) AS pearson_r FROM s
+UNION ALL
+SELECT 'l_discount', 'l_tax',
+       CAST(n*p13 - s1*s3 AS DOUBLE)
+         / sqrt(CAST(n*ss1 - s1*s1 AS DOUBLE)
+                * CAST(n*ss3 - s3*s3 AS DOUBLE)) FROM s
+UNION ALL
+SELECT 'l_quantity', 'l_tax',
+       CAST(n*p23 - s2*s3 AS DOUBLE)
+         / sqrt(CAST(n*ss2 - s2*s2 AS DOUBLE)
+                * CAST(n*ss3 - s3*s3 AS DOUBLE)) FROM s
+"""

@@ -144,3 +144,54 @@ SELECT p_brand, rev_u / 10000.0 AS revenue,
 FROM b
 ORDER BY rev_rank, p_brand
 """
+
+
+# ------------------------------------- percent_rank / cume_dist windows
+
+def events_value_percentile(sf_dir: str):
+    """(event_id, user_id, value, pct_rank, cume_dist): each event's
+    relative standing among the SAME user's event values —
+    PERCENT_RANK() = (min-rank-of-peers - 1)/(n - 1) (0 for a single-row
+    partition) and CUME_DIST() = rows-at-or-below/n. Users are hash-
+    bucketed; within a bucket both statistics fall out of one sort +
+    two vectorized peer-group transforms. Both divisions are exact-int
+    numerator/denominator pairs, so the floats are bit-identical to the
+    window-function oracle."""
+    from ._util import user_bucket
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"],
+               rows_per_block=150_000)
+
+    def ranks(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "value"], kind="mergesort",
+                            na_position="last")
+        pos = df.groupby("user_id", dropna=False).cumcount().to_numpy() + 1
+        first = pd.Series(pos, index=df.index).groupby(
+            [df["user_id"], df["value"]], dropna=False).transform("min") \
+            .to_numpy(dtype=np.int64)
+        last = pd.Series(pos, index=df.index).groupby(
+            [df["user_id"], df["value"]], dropna=False).transform("max") \
+            .to_numpy(dtype=np.int64)
+        n = df.groupby("user_id", dropna=False)["value"] \
+            .transform("size").to_numpy(dtype=np.int64)
+        pct = np.where(n > 1, (first - 1) / np.maximum(n - 1, 1), 0.0)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(),
+            "user_id": df["user_id"].to_numpy(),
+            "value": df["value"].to_numpy(),
+            "pct_rank": pct,
+            "cume_dist": last / n})
+
+    return (ev.map_batches(user_bucket, batch_format="pandas")
+            .groupby("bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(ranks, batch_format="pandas"))
+
+
+EVENTS_VALUE_PERCENTILE_SQL = """
+SELECT event_id, user_id, value,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist()    OVER w AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value)
+"""

@@ -323,6 +323,57 @@ def test_spearman_empty_emits_one_row(ray_session, tmp_path):
     assert int(out["n"].iloc[0]) == int(orc["n"].iloc[0]) == 0
 
 
+def test_percent_rank_ties_and_singleton(ray_session, tmp_path):
+    """PERCENT_RANK uses the peer group's MIN rank ((rank-1)/(n-1), 0
+    for a single-row partition); CUME_DIST uses rows-at-or-below
+    including later peers."""
+    from p_id_text_extraction_ray.pipelines import ranking as RKK
+    root = str(tmp_path)
+    _write_events(root, [
+        (1, T0, 1, "view", 5.0),
+        (2, T0 + S, 1, "view", 5.0),       # tie with 1
+        (3, T0 + 2 * S, 1, "view", 9.0),
+        (4, T0 + 3 * S, 2, "view", 3.0),   # singleton partition
+    ])
+    out = RKK.events_value_percentile(root).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    got = {e: (p, c) for e, p, c in
+           zip(out["event_id"], out["pct_rank"], out["cume_dist"])}
+    assert got[1] == (0.0, 2 / 3) and got[2] == (0.0, 2 / 3)
+    assert got[3] == (1.0, 1.0)
+    assert got[4] == (0.0, 1.0)
+    orc = _oracle(root, RKK.EVENTS_VALUE_PERCENTILE_SQL) \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, orc, check_dtype=False)
+
+
+def test_corr_matrix_planted(ray_session, tmp_path):
+    """quantity == 10×discount-cents (r=1), tax anti-correlated with
+    both (r=-1): the exact-int moment math hits ±1 precisely."""
+    from p_id_text_extraction_ray.pipelines import profiling as PFF
+    root = str(tmp_path)
+    d = [0.01, 0.02, 0.03, 0.04]
+    pq.write_table(pa.table({
+        "l_discount": pa.array(d, type=pa.float64()),
+        "l_quantity": pa.array([100 * x for x in d], type=pa.float64()),
+        "l_tax": pa.array([0.05 - x for x in d], type=pa.float64())}),
+        os.path.join(root, "lineitem.parquet"))
+    out = PFF.lineitem_corr_matrix(root)
+    r = {(a, b): v for a, b, v in
+         zip(out["col_a"], out["col_b"], out["pearson_r"])}
+    assert r[("l_discount", "l_quantity")] == pytest.approx(1.0)
+    assert r[("l_discount", "l_tax")] == pytest.approx(-1.0)
+    assert r[("l_quantity", "l_tax")] == pytest.approx(-1.0)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT *"
+                f" FROM '{root}/lineitem.parquet'")
+    orc = con.execute(PFF.LINEITEM_CORR_MATRIX_SQL).df()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["col_a", "col_b"]).reset_index(drop=True),
+        orc.sort_values(["col_a", "col_b"]).reset_index(drop=True),
+        check_dtype=False)
+
+
 def test_spearman_reversed_is_negative_one(ray_session, tmp_path):
     root = str(tmp_path)
     q = [1.0, 2.0, 3.0, 4.0]
