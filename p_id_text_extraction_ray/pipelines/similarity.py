@@ -43,16 +43,26 @@ def _emb_read(path: str, columns: list[str]):
     return sized_read(path, columns, rows_per_block=4096)
 
 
-def _load_queries(sf_dir: str):
+def _load_queries(sf_dir: str, columns: list[str] | None = None):
+    """Pushdown-filtered read of the N_QUERIES query vectors (the bounded
+    small side): ``filters=[("vec_id","<",N_QUERIES)]`` prunes every row
+    group whose vec_id stats exclude the range, so the driver reads a few
+    row groups — never the corpus — regardless of table size. Returns
+    (vec_ids, L2-normalized query matrix[, extra column arrays]) sorted
+    by vec_id for run-to-run determinism."""
     import pyarrow.parquet as pq
+    extra = [c for c in (columns or []) if c not in ("vec_id", "embedding")]
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
+                      columns=["vec_id", "embedding"] + extra,
+                      filters=[("vec_id", "<", N_QUERIES)])
     ids = t.column("vec_id").to_numpy()
-    mask = ids < N_QUERIES
-    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[mask]
+    order = np.argsort(ids, kind="mergesort")
+    q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     qn = np.linalg.norm(q, axis=1)
     qn[qn == 0] = 1.0
-    return ids[mask], q / qn[:, None]
+    out = [ids[order], q / qn[:, None]]
+    out.extend(t.column(c).to_numpy()[order] for c in extra)
+    return tuple(out)
 
 
 def ann_topk_bruteforce(sf_dir: str):
@@ -176,20 +186,39 @@ IVF_ITERS = 10
 IVF_SEED = 5
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a deterministic uniform hash of
+    vec_id used for bottom-k sampling (the same id hashes identically in
+    every partitioning, so the sample is partition-invariant)."""
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
 def _ivf_centroids(sf_dir: str) -> np.ndarray:
     """Spherical k-means centroids trained on a deterministic fixed-size
-    sample (vec_id-ordered stride sample — a bounded small side regardless
-    of corpus size; at larger scale the sample comes from
-    ``Dataset.random_sample`` with a seed). Driver-side Lloyd on <=
-    IVF_SAMPLE vectors is O(sample x cells x iters) — trivial."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
-    ids = t.column("vec_id").to_numpy()
-    order = np.argsort(ids)
-    stride = max(1, len(order) // IVF_SAMPLE)
-    take = order[::stride][:IVF_SAMPLE]
-    v = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[take]
+    DISTRIBUTED sample: bottom-k-by-hash (Cohen '97) — every batch keeps
+    its IVF_SAMPLE rows with the smallest splitmix64(vec_id), the driver
+    reduces the per-batch candidates to the global IVF_SAMPLE smallest.
+    The driver and the shuffle only ever see O(batches x IVF_SAMPLE)
+    candidate rows, never the corpus, and the sample is identical under
+    any partitioning (hash of the id, not of the position). Driver-side
+    Lloyd on <= IVF_SAMPLE vectors is O(sample x cells x iters) —
+    trivial."""
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        h = _splitmix64(ids)
+        take = np.argsort(h, kind="mergesort")[:IVF_SAMPLE]
+        return pd.DataFrame({"h": h[take],
+                             "embedding": df["embedding"].to_numpy()[take]})
+
+    parts = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]) \
+        .map_batches(bottomk, batch_format="pandas").to_pandas()
+    keep = np.argsort(parts["h"].to_numpy(), kind="mergesort")[:IVF_SAMPLE]
+    v = np.array(parts["embedding"].to_numpy()[keep].tolist(),
+                 dtype=np.float64)
     nv = np.linalg.norm(v, axis=1)
     nv[nv == 0] = 1.0
     vn = v / nv[:, None]
@@ -323,32 +352,70 @@ def knn_label_propagation(sf_dir: str):
     training-data pipeline runs to extend a small labeled set. Labeled
     corpus = odd vec_ids, unlabeled queries = even vec_ids.
 
-    The labeled side (small by construction) is L2-normalized, sorted by
-    vec_id and broadcast once (``ray.put``); each query batch is ONE
-    matmul against it, top-k via a stable argsort (stability on the
-    cid-sorted corpus = the (sim DESC, cid ASC) tie-break for free), and
-    the vote is a vectorized per-row bincount-argmax (argmax ties pick the
-    smallest label, matching the oracle's ORDER BY c DESC, label). No
-    shuffle at all: the output maps each query row in place."""
+    The labeled side is corpus-sized, so it is NOT broadcast whole.
+    Instead it is normalized and packed into ~4k-row blocks by a
+    distributed ``map_batches`` pass whose Arrow blocks stay in the
+    object store (``Dataset.to_arrow_refs`` — the driver holds only the
+    list of ObjectRefs); each query batch then streams over the labeled
+    blocks one at a time (``ray.get`` per block, zero-copy), computes one
+    (batch x block) matmul, and folds the block's per-row top-k into a
+    running exact top-k with the oracle's (sim DESC, cid ASC) tie-break.
+    Peak task memory = one query batch + one labeled block; the result is
+    EXACT (every labeled vector is scanned), so the DuckDB oracle stays
+    green. The vote is a vectorized per-row bincount-argmax (argmax ties
+    pick the smallest label, matching the oracle's ORDER BY c DESC,
+    label). No shuffle at all: the output maps each query row in place."""
     import ray
-    import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding", "label"])
-    ids = t.column("vec_id").to_numpy()
-    labeled = ids % 2 == 1
-    order = np.argsort(ids[labeled], kind="mergesort")
-    C = np.array(t.column("embedding").to_pylist(),
-                 dtype=np.float64)[labeled][order]
-    cn = np.linalg.norm(C, axis=1)
-    cn[cn == 0] = 1.0
-    C /= cn[:, None]
-    clab = t.column("label").to_numpy()[labeled][order].astype(np.int64)
-    n_labels = int(clab.max()) + 1 if len(clab) else 1
-    ref = ray.put((C, clab))
+    def pack_labeled(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        keep = ids % 2 == 1
+        if not keep.any():
+            return pd.DataFrame({"cids": pd.Series([], dtype="object"),
+                                 "mat": pd.Series([], dtype="object"),
+                                 "labs": pd.Series([], dtype="object")})
+        cids = ids[keep].astype(np.int64)
+        order = np.argsort(cids, kind="mergesort")   # cid-sorted per block
+        C = np.array(df["embedding"].to_numpy()[keep].tolist(),
+                     dtype=np.float64)[order]
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0] = 1.0
+        C /= cn[:, None]
+        labs = df["label"].to_numpy()[keep][order].astype(np.int64)
+        return pd.DataFrame({"cids": [cids[order].tobytes()],
+                             "mat": [C.tobytes()],
+                             "labs": [labs.tobytes()]})
+
+    lab_refs = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding", "label"]) \
+        .map_batches(pack_labeled, batch_format="pandas") \
+        .to_arrow_refs()                     # blocks stay in object store
 
     ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                    columns=["vec_id", "embedding"])
+
+    def _fold_topk(run, sims, bcids, blabs, k):
+        """Merge a block's per-row top-k candidates into the running
+        (sim, cid, lab) top-k with (sim DESC, cid ASC) ordering."""
+        r_sim, r_cid, r_lab = run
+        t = min(k, sims.shape[1])
+        # stable argsort on the cid-sorted block = (sim DESC, cid ASC)
+        # within-block, so equal-sim candidates at the cut keep the same
+        # cid the oracle's window order keeps
+        part = np.argsort(-sims, axis=1, kind="stable")[:, :t]
+        c_sim = np.concatenate(
+            [r_sim, np.take_along_axis(sims, part, 1)], axis=1)
+        c_cid = np.concatenate(
+            [r_cid, bcids[part]], axis=1)
+        c_lab = np.concatenate(
+            [r_lab, blabs[part]], axis=1)
+        o1 = np.argsort(c_cid, axis=1, kind="stable")
+        s1 = np.take_along_axis(c_sim, o1, 1)
+        o2 = np.argsort(-s1, axis=1, kind="stable")
+        order = np.take_along_axis(o1, o2, 1)[:, :k]
+        return (np.take_along_axis(c_sim, order, 1),
+                np.take_along_axis(c_cid, order, 1),
+                np.take_along_axis(c_lab, order, 1))
 
     def classify(df: pd.DataFrame) -> pd.DataFrame:
         vids = df["vec_id"].to_numpy()
@@ -356,16 +423,34 @@ def knn_label_propagation(sf_dir: str):
         if not keep.any():
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "pred_label": pd.Series([], dtype="int64")})
-        Cm, labs = ray.get(ref)
-        v = np.array(df["embedding"].to_list(), dtype=np.float64)[keep]
+        v = np.array(df["embedding"].to_numpy()[keep].tolist(),
+                     dtype=np.float64)
         nv = np.linalg.norm(v, axis=1)
         nv[nv == 0] = 1.0
-        sims = (v / nv[:, None]) @ Cm.T                  # (batch, n_corpus)
-        k = min(KNN_K, sims.shape[1])
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :k]
-        votes = labs[top]                                # (batch, k)
-        counts = np.zeros((len(votes), n_labels), dtype=np.int64)
-        rows = np.repeat(np.arange(len(votes)), k)
+        vn = v / nv[:, None]
+        b = len(vn)
+        run = (np.full((b, 0), -np.inf),
+               np.full((b, 0), 0, dtype=np.int64),
+               np.full((b, 0), 0, dtype=np.int64))
+        for ref in lab_refs:                 # one labeled block at a time
+            tbl = ray.get(ref)
+            for row in range(tbl.num_rows):
+                bcids = np.frombuffer(tbl.column("cids")[row].as_py(),
+                                      dtype=np.int64)
+                if not len(bcids):
+                    continue
+                blabs = np.frombuffer(tbl.column("labs")[row].as_py(),
+                                      dtype=np.int64)
+                Cb = np.frombuffer(tbl.column("mat")[row].as_py(),
+                                   dtype=np.float64).reshape(len(bcids), -1)
+                run = _fold_topk(run, vn @ Cb.T, bcids, blabs, KNN_K)
+        votes = run[2]                               # (batch, <=k)
+        if votes.shape[1] == 0:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "pred_label": pd.Series([], dtype="int64")})
+        n_labels = int(votes.max()) + 1
+        counts = np.zeros((b, n_labels), dtype=np.int64)
+        rows = np.repeat(np.arange(b), votes.shape[1])
         np.add.at(counts, (rows, votes.ravel()), 1)
         return pd.DataFrame({"vec_id": vids[keep].astype(np.int64),
                              "pred_label": counts.argmax(axis=1)})
@@ -559,22 +644,14 @@ def hard_negatives_topk(sf_dir: str):
     Same broadcast-query blocked-matmul shape as the brute-force ANN
     (queries ride one ``ray.put``, each batch emits its local top-k per
     query, one grouped reduce finishes), plus a vectorized label mask.
-    Output: (query_id, rank, vec_id, cosine).
+    The query side comes from the pushdown-filtered ``_load_queries``
+    read — never the full table. Output: (query_id, rank, vec_id,
+    cosine).
     """
-    import pyarrow.parquet as pq
     import ray
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding", "label"])
-    ids = t.column("vec_id").to_numpy()
-    mask = ids < N_QUERIES
-    q = np.array(t.column("embedding").to_pylist(),
-                 dtype=np.float64)[mask]
-    qn = np.linalg.norm(q, axis=1)
-    qn[qn == 0] = 1.0
-    qids = ids[mask]
-    qlabels = t.column("label").to_numpy()[mask]
-    q_ref = ray.put((qids, q / qn[:, None], qlabels))
+    qids, qnorm, qlabels = _load_queries(sf_dir, columns=["label"])
+    q_ref = ray.put((qids, qnorm, qlabels))
 
     ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                    columns=["vec_id", "embedding", "label"])
