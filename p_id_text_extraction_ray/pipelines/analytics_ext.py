@@ -268,10 +268,14 @@ def events_funnel(sf_dir: str):
     agg = per_user.map_batches(count_partial, batch_format="pandas") \
         .aggregate(Sum("n_signup_users", alias_name="s"),
                    Sum("n_converted", alias_name="c"))
+    # empty/zero-signup corpus: Ray's Sum yields None on no rows; the SQL
+    # oracle still emits one row with NULL pct (DuckDB x/0 -> NULL)
+    s = agg["s"] or 0
+    c = agg["c"] or 0
     return pd.DataFrame({
-        "n_signup_users": pd.Series([agg["s"]], dtype="int64"),
-        "n_converted": pd.Series([agg["c"]], dtype="int64"),
-        "conversion_pct": [round(100.0 * agg["c"] / agg["s"], 6)]})
+        "n_signup_users": pd.Series([s], dtype="int64"),
+        "n_converted": pd.Series([c], dtype="int64"),
+        "conversion_pct": [round(100.0 * c / s, 6) if s else None]})
 
 
 EVENTS_FUNNEL_SQL = """

@@ -160,8 +160,12 @@ def _bucket_pairs(df: pd.DataFrame, key_cols: list[str]) -> pd.DataFrame:
     return g.astype({"doc_a": "int64", "doc_b": "int64", "n": "int64"})
 
 
-def dedup_ngram_jaccard(sf_dir: str):
-    """All pairs with exact word-3-gram Jaccard >= 0.6 (doc_a < doc_b).
+def _ngram_jaccard_pairs_ds(sf_dir: str):
+    """All pairs with exact word-3-gram Jaccard >= 0.6 (doc_a < doc_b)
+    as a LAZY Dataset — consumers that stay distributed
+    (``dedup_clusters``) plug in here without a driver round-trip; the
+    ``dedup_ngram_jaccard`` query wrapper collects it only at the query
+    boundary.
 
     Per-doc shingle counts are joined onto the intersection-count pair
     table (two passes, one per pair side) instead of being collected to
@@ -212,9 +216,14 @@ def dedup_ngram_jaccard(sf_dir: str):
         return pa.Table.from_pandas(df[["doc_a", "doc_b", "jaccard"]],
                                     schema=PAIR_SCHEMA, preserve_index=False)
 
+    return j2.map_batches(finish, batch_format="pandas")
+
+
+def dedup_ngram_jaccard(sf_dir: str):
+    """Query wrapper: the result-sized collect of
+    ``_ngram_jaccard_pairs_ds`` (see there for the distributed plan)."""
     from ._util import collect_with_schema
-    return collect_with_schema(j2.map_batches(finish, batch_format="pandas"),
-                               PAIR_SCHEMA)
+    return collect_with_schema(_ngram_jaccard_pairs_ds(sf_dir), PAIR_SCHEMA)
 
 
 DEDUP_NGRAM_JACCARD_SQL = rf"""
@@ -566,29 +575,36 @@ def dedup_clusters(sf_dir: str):
     rounds = component diameter, bounded by CC_MAX_ITERS as a cycle guard.
     A final left hash_join assigns every remaining document its own id —
     the only corpus-scale step is that single join.
+
+    The pair graph arrives as the LAZY ``_ngram_jaccard_pairs_ds``
+    Dataset; the symmetric + self-looped edge list is built by a
+    ``map_batches`` over it and materialized ONCE into the object store
+    (it is re-joined every superstep — spillable at any pair volume,
+    never driver pandas).
     """
-    import ray.data as rd
     from ray.data.aggregate import Min, Sum
     from .joins import hash_join
 
-    pairs = dedup_ngram_jaccard(sf_dir)          # small pandas pair table
     docs = _docs(sf_dir).map_batches(
         lambda df: pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64)}),
         batch_format="pandas")
 
-    if not len(pairs):
+    def make_edges(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        # symmetric + self loops (duplicate self loops across pairs are
+        # harmless under the Min reduce)
+        return pd.DataFrame({"node": np.concatenate([a, b, a, b]),
+                             "nbr": np.concatenate([b, a, a, b])})
+
+    edges = _ngram_jaccard_pairs_ds(sf_dir) \
+        .map_batches(make_edges, batch_format="pandas").materialize()
+
+    if edges.count() == 0:
         return docs.map_batches(
             lambda df: pd.DataFrame({"doc_id": df["doc_id"].values,
                                      "cluster": df["doc_id"].values}),
             batch_format="pandas")
-
-    a = pairs["doc_a"].to_numpy(dtype=np.int64)
-    b = pairs["doc_b"].to_numpy(dtype=np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    edges_df = pd.DataFrame({                    # symmetric + self loops
-        "node": np.concatenate([a, b, nodes]),
-        "nbr": np.concatenate([b, a, nodes])})
-    edges = rd.from_pandas(edges_df)
 
     labels = edges.groupby("node", num_partitions=SHUFFLE_PARTITIONS).aggregate(Min("nbr", alias_name="label"))
     prev_sum = None

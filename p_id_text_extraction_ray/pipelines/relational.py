@@ -337,14 +337,30 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-0
 # ---------------------------------------------------------------- misc ops
 
 def top_orders_by_price(sf_dir: str):
-    """Global sort + limit (top-k)."""
+    """Top-20 orders by price WITHOUT a global sort: each batch emits its
+    local top-20 ((price DESC, orderkey ASC) — deterministic under ties),
+    then one single-group reduce keeps the global 20. The shuffle carries
+    at most 20 rows per block instead of the whole fact table."""
+    import pandas as pd
+
+    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(20)
+        return df.assign(_g=np.int64(0))
+
+    def global_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["o_totalprice", "o_orderkey"],
+                            ascending=[False, True]).head(20)
+        return df[["o_orderkey", "o_custkey", "o_totalprice"]]
+
     return _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]) \
-        .sort("o_totalprice", descending=True).limit(20)
+        .map_batches(local_topk, batch_format="pandas") \
+        .groupby("_g").map_groups(global_topk, batch_format="pandas")
 
 
 TOP_ORDERS_SQL = """
 SELECT o_orderkey, o_custkey, o_totalprice
-FROM orders ORDER BY o_totalprice DESC LIMIT 20
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
 """
 
 

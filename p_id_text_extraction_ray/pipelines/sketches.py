@@ -141,20 +141,37 @@ def heavy_hitter_tokens(sf_dir: str):
     Misra–Gries candidate generation, then an exact re-count restricted
     to the (broadcast) candidate set. The vocabulary never shuffles —
     only ≤ MG_COUNTERS candidates per batch in pass 1 and candidate-token
-    partials in pass 2. Oracle: full unnest+count+rank in DuckDB."""
+    partials in pass 2. Oracle: full unnest+count+rank in DuckDB.
+
+    The candidate union provably contains every token with global
+    frequency > N/MG_COUNTERS (each batch summary keeps everything above
+    n_batch/MG_COUNTERS; the misses sum to at most N/MG_COUNTERS). The
+    EXACT claim therefore only holds when the returned 20th count clears
+    that bound — checked at runtime; on a pathologically flat
+    distribution the operator falls back to the exact full-vocabulary
+    bucketed count instead of silently diverging from the oracle."""
     import ray
     from ._util import bucketed_group_sum
 
     docs = _read(sf_dir, "documents", ["text"])
 
     def candidates(df: pd.DataFrame) -> pd.DataFrame:
-        mg = _misra_gries(_tokens_of(df["text"]), MG_COUNTERS)
-        return pd.DataFrame({"token": list(mg.keys())})
+        toks = _tokens_of(df["text"])
+        mg = _misra_gries(toks, MG_COUNTERS)
+        # sentinel row "" (never a real token: splits drop empties)
+        # carries this batch's stream length so the driver can check the
+        # N/MG_COUNTERS exactness bound without another corpus pass
+        return pd.DataFrame({"token": [""] + list(mg.keys()),
+                             "n": [len(toks)] + [0] * len(mg)})
 
     cand = set()
+    n_stream = 0
     for row in docs.map_batches(candidates, batch_format="pandas",
                                 batch_size=None).take_all():
-        cand.add(row["token"])
+        if row["token"] == "":
+            n_stream += int(row["n"])
+        else:
+            cand.add(row["token"])
     cand_ref = ray.put(cand)
 
     def recount(df: pd.DataFrame) -> pd.DataFrame:
@@ -172,8 +189,29 @@ def heavy_hitter_tokens(sf_dir: str):
         key="token", sum_cols=["n"])
     top = sums.sort(["n", "token"], descending=[True, False]) \
         .limit(HEAVY_HITTER_K)
-    return collect_with_schema(top, pa.schema(
+    res = collect_with_schema(top, pa.schema(
         [("token", pa.string()), ("n", pa.int64())]))
+
+    bound = n_stream / MG_COUNTERS
+    if len(res) >= HEAVY_HITTER_K and res["n"].iloc[-1] <= bound:
+        # flat distribution: the MG union's exactness precondition failed
+        # — recount the FULL vocabulary (the shuffle the sketch normally
+        # avoids) rather than return a silently approximate top-20
+        def count_all(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            c = Counter(_tokens_of(df["text"]))
+            return pd.DataFrame({"token": list(c.keys()),
+                                 "n": pd.Series(list(c.values()),
+                                                dtype="int64")})
+
+        exact = bucketed_group_sum(
+            docs.map_batches(count_all, batch_format="pandas"),
+            key="token", sum_cols=["n"]) \
+            .sort(["n", "token"], descending=[True, False]) \
+            .limit(HEAVY_HITTER_K)
+        res = collect_with_schema(exact, pa.schema(
+            [("token", pa.string()), ("n", pa.int64())]))
+    return res
 
 
 # --------------------------------------------- histogram quantile sketch

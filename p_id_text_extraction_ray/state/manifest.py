@@ -121,7 +121,12 @@ def _settle_fsspec_http_import() -> None:
     missing transitive deps lets the probe import complete once, after
     which every later probe is a sys.modules hit — no import machinery,
     no race. http:// URLs are not a supported input scheme for this
-    engine, so the placeholders are never exercised.
+    engine, so the placeholders are never exercised — and they are
+    REMOVED from ``sys.modules`` again once the probe settles (the
+    cached ``fsspec.implementations.http`` module keeps its own
+    references), so a later genuine ``import aiohttp`` by user code or
+    Ray still raises a clean ImportError instead of handing back an
+    empty module.
     """
     import importlib
     import sys
@@ -132,16 +137,24 @@ def _settle_fsspec_http_import() -> None:
         return
     except Exception:
         pass
-    for name in ("aiohttp", "yarl"):
-        if name not in sys.modules:
-            try:
-                importlib.import_module(name)
-            except Exception:
-                sys.modules[name] = types.ModuleType(name)
+    installed = []
     try:
-        import fsspec.implementations.http  # noqa: F401
-    except Exception:
-        pass
+        for name in ("aiohttp", "yarl"):
+            if name not in sys.modules:
+                try:
+                    importlib.import_module(name)
+                except Exception:
+                    sys.modules[name] = types.ModuleType(name)
+                    installed.append(name)
+        try:
+            import fsspec.implementations.http  # noqa: F401
+        except Exception:
+            pass
+    finally:
+        for name in installed:
+            if sys.modules.get(name) is not None and \
+                    not getattr(sys.modules[name], "__file__", None):
+                del sys.modules[name]
 
 
 def run_resumable(docs_path: str, media_root: str, out_dir: str,
