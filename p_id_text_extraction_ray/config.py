@@ -85,6 +85,15 @@ class ExtractConfig:
     crop_padding: int = 10           # base.yaml:74, cropping_Images.py:44-47
     image_dpi: int = 600             # base.yaml:59; pixel->PDF-point scale 72/dpi
 
+    # Detector binarization tolerance: pixels within this distance of the
+    # background value are snapped to background before the detection
+    # kernel runs — the engine-side analogue of CRAFT's detection
+    # thresholds (reference ``configs/base.yaml:35-37`` text_threshold /
+    # low_text), needed for lossy-decoded media (JPEG ringing leaves
+    # near-background speckle around glyph edges). 0 = exact matching
+    # (lossless PIDR/PNG fixtures).
+    detect_bg_tolerance: int = 0
+
     # Ray execution knobs. Actor pools AUTOSCALE between (1, max); max=None
     # derives from the cluster CPU count at pipeline build so the two pools
     # plus the stateless task stages can never deadlock a small cluster

@@ -11,10 +11,21 @@ Two container formats are supported, branched on magic bytes:
 * **PIDR** — the trivial test container (magic, width, height,
   zlib-compressed uint8 grayscale) used by the deterministic fixtures.
 
-JPEG/TIFF would slot in at the same branch; those decoders aren't
-implementable in reasonable pure numpy, so other magics raise. The
-Ray-side plumbing (binary media column, decode stage, tiling, crops) is
-codec-agnostic.
+* **JPEG** — a pure numpy baseline (SOF0/SOF1) decoder
+  (``media/jpeg.py``): Huffman entropy decode, batched dequant + IDCT of
+  the luminance plane (chroma is entropy-skipped — detection is
+  luminance-based, matching the reference's grayscale input). Covers the
+  reference's ``.jpg`` ingestion (``run_pipeline.py:75-77``); progressive
+  (SOF2) raises.
+
+* **TIFF** — a pure numpy strip-TIFF decoder (``media/tiff.py``):
+  none/LZW/PackBits compression, horizontal-differencing predictor,
+  gray/RGB/RGBA collapsed to luma. Covers the reference's ``.tiff``
+  ingestion (``sahi_slicer.py:240``) and its rasterizer's LZW output
+  (``PDF_to_image.py:73``); tiled/16-bit/palette TIFF raises.
+
+The Ray-side plumbing (binary media column, decode stage, tiling,
+crops) is codec-agnostic.
 
 Text rendering is *value-coded*: background pixels are 255 and each
 character of a rendered string fills a CELL_W x CELL_H block whose pixel
@@ -39,6 +50,8 @@ import numpy as np
 
 MAGIC = b"PIDR1"
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+JPEG_MAGIC = b"\xff\xd8\xff"
+TIFF_MAGICS = (b"II*\x00", b"MM\x00*")
 BACKGROUND = 255
 CELL_W = 8    # px per character cell (horizontal strip)
 CELL_H = 14   # strip height
@@ -199,29 +212,45 @@ def peek_dimensions(data: bytes) -> tuple[int, int]:
     """(width, height) from the container header only — the cheap metadata
     read the tile planner uses to split giant images into tile-range work
     units without decoding pixels. PIDR: 13 bytes; PNG: IHDR (first ~33
-    bytes), so a 64-byte ranged GET covers both."""
+    bytes), so a 64-byte ranged GET covers both; JPEG: SOF lives after
+    the APP/DQT/DHT headers (a few KB ranged GET), still no entropy
+    decode."""
     if data[:5] == MAGIC:
         w, h = struct.unpack("<II", data[5:13])
         return w, h
     if data[:8] == PNG_MAGIC:
         w, h, _bd, _ct, _il = _png_header(data)
         return w, h
-    raise NotImplementedError("unsupported media container (PIDR/PNG only)")
+    if data[:3] == JPEG_MAGIC:
+        from .jpeg import peek_jpeg_dimensions
+        return peek_jpeg_dimensions(data)
+    if data[:4] in TIFF_MAGICS:
+        from .tiff import peek_tiff_dimensions
+        return peek_tiff_dimensions(data)
+    raise NotImplementedError(
+        "unsupported media container (PIDR/PNG/JPEG/TIFF only)")
 
 
 def decode_image(data: bytes) -> np.ndarray:
     """Container bytes -> uint8 grayscale (h, w). Branches on magic:
-    PIDR test container or real PNG (``decode_png``); JPEG/TIFF would
-    slot in here but have no pure-numpy decoder, so they raise."""
+    PIDR test container, real PNG (``decode_png``), or baseline JPEG
+    (``jpeg.decode_jpeg``, luminance plane); TIFF has no pure-numpy
+    decoder, so it raises."""
     if data[:5] == MAGIC:
         w, h = struct.unpack("<II", data[5:13])
         pixels = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
         return pixels.reshape(h, w)
     if data[:8] == PNG_MAGIC:
         return decode_png(data)
+    if data[:3] == JPEG_MAGIC:
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data)
+    if data[:4] in TIFF_MAGICS:
+        from .tiff import decode_tiff
+        return decode_tiff(data)
     raise NotImplementedError(
-        "unsupported media container (PIDR/PNG supported; JPEG/TIFF need "
-        "a decoder not available in this environment)")
+        "unsupported media container (PIDR, PNG, baseline JPEG and "
+        "strip TIFF supported)")
 
 
 def string_box_size(text: str, rot: int) -> tuple[int, int]:

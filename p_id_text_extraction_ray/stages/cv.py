@@ -222,8 +222,15 @@ class PixelDetector:
 
         out_boxes: list[np.ndarray] = []
         out_meta: list[tuple[int, int]] = []   # (row index, n boxes)
+        tol = self.cfg.detect_bg_tolerance
         for i in range(len(batch)):
             tile = _np_tile(tile_col[i], int(ty2[i] - ty1[i]), int(tx2[i] - tx1[i]))
+            if tol:
+                # binarize toward background before the kernel — the
+                # engine analogue of CRAFT's text/low_text thresholds
+                # (configs/base.yaml:35-37); absorbs lossy-codec ringing
+                tile = tile.copy()
+                tile[np.abs(tile.astype(np.int16) - BACKGROUND) <= tol] = BACKGROUND
             boxes = self._kernel(tile)
             if len(boxes):
                 boxes = boxes + np.array([tx1[i], ty1[i], tx1[i], ty1[i]])

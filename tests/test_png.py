@@ -62,7 +62,10 @@ def test_png_unsupported_features_raise():
     with pytest.raises(NotImplementedError):
         C.decode_png(bytes(data))
     with pytest.raises(NotImplementedError):
-        C.decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)   # JPEG magic
+        C.decode_image(b"GIF89a" + b"0" * 32)             # unsupported magic
+    from p_id_text_extraction_ray.media.jpeg import JpegError
+    with pytest.raises(JpegError):                        # JPEG is supported
+        C.decode_image(b"\xff\xd8\xff\xe0" + b"0" * 32)   # ...but malformed
 
 
 def test_extract_pipeline_on_png_corpus(ray_session, tmp_path):
