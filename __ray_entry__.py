@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q9_profit_by_nation_year": R2.q9_profit_by_nation_year,
         "q12_priority_by_returnflag": R2.q12_priority_by_returnflag,
         "q13_customer_distribution": R2.q13_customer_distribution,
+        "q11_important_stock": R2.q11_important_stock,
         "q15_top_supplier": R2.q15_top_supplier,
         "q16_part_supplier_counts": R2.q16_part_supplier_counts,
         "q17_small_quantity_revenue": R2.q17_small_quantity_revenue,
@@ -109,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_kl_divergence": C.source_kl_divergence,
         "hard_negatives_topk": S.hard_negatives_topk,
         "doc_length_median_by_lang": T.doc_length_median_by_lang,
+        "doc_length_mad_by_lang": T.doc_length_mad_by_lang,
         # sketches
         "cms_user_event_counts": K.cms_user_event_counts,
         "approx_distinct_users": K.approx_distinct_users,
@@ -148,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_train": C.decontaminate_train,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
+        "cap_per_source": C.cap_per_source,
+        "shuffle_corpus": C.shuffle_corpus,
         "chunk_documents": CH.chunk_documents,
         "fuzzy_token_pairs": F.fuzzy_token_pairs,
         "strip_boilerplate_ngrams": F.strip_boilerplate_ngrams,
@@ -210,6 +214,7 @@ def oracle_sql() -> dict[str, str]:
         "q9_profit_by_nation_year": R2.Q9_SQL,
         "q12_priority_by_returnflag": R2.Q12_SQL,
         "q13_customer_distribution": R2.Q13_SQL,
+        "q11_important_stock": R2.Q11_SQL,
         "q15_top_supplier": R2.Q15_SQL,
         "q16_part_supplier_counts": R2.Q16_SQL,
         "q17_small_quantity_revenue": R2.Q17_SQL,
@@ -244,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "source_kl_divergence": C.SOURCE_KL_SQL,
         "hard_negatives_topk": S.HARD_NEGATIVES_SQL,
         "doc_length_median_by_lang": T.DOC_LENGTH_MEDIAN_BY_LANG_SQL,
+        "doc_length_mad_by_lang": T.DOC_LENGTH_MAD_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
@@ -253,6 +259,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_train": C.DECONTAMINATE_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
+        "cap_per_source": C.CAP_PER_SOURCE_SQL,
+        "shuffle_corpus": C.SHUFFLE_CORPUS_SQL,
         "chunk_documents": CH.CHUNK_SQL,
         "fuzzy_token_pairs": F.FUZZY_TOKEN_PAIRS_SQL,
         "strip_boilerplate_ngrams": F.STRIP_BOILERPLATE_SQL,

@@ -132,7 +132,9 @@ def run_bench() -> dict:
                      "events_trailing_window", "user_activity_streaks",
                      "user_mode_event_type", "discount_quantity_spearman",
                      "pagerank_tokens", "events_value_percentile",
-                     "lineitem_corr_matrix"):
+                     "lineitem_corr_matrix", "q11_important_stock",
+                     "cap_per_source", "shuffle_corpus",
+                     "doc_length_mad_by_lang"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

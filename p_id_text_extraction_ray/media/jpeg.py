@@ -286,15 +286,27 @@ def decode_jpeg(data: bytes) -> np.ndarray:
 
 def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     w, h = frame["w"], frame["h"]
-    hmax = max(c["h"] for c, _, _ in scan)
-    vmax = max(c["v"] for c, _, _ in scan)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     reader = _BitReader(data, pos)
 
     # luminance = first scan component (grayscale: the only one)
     luma = scan[0][0]
-    lh, lv = luma["h"], luma["v"]
+    if len(scan) == 1:
+        # single-component scan: NON-interleaved per T.81 A.2 — the MCU
+        # is ONE data unit and the grid is the component's own block
+        # grid ceil(comp_dim/8), NOT the hmax/vmax-aligned MCU grid.
+        # (Covers grayscale frames with any declared sampling factor,
+        # and the first scan — the Y plane — of non-interleaved color.)
+        comp_w = -(-w * luma["h"] // hmax)
+        comp_h = -(-h * luma["v"] // vmax)
+        mcux = -(-comp_w // 8)
+        mcuy = -(-comp_h // 8)
+        lh = lv = 1
+    else:
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        lh, lv = luma["h"], luma["v"]
     bw, bh = mcux * lh, mcuy * lv          # luma blocks per row / column
     # entropy-decode into zig-zag coefficient rows; only luma is kept
     lcoef = np.zeros((bh * bw, 64), dtype=np.int32)
@@ -313,8 +325,9 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                 dc_tbl = htables[(0, td)]
                 ac_tbl = htables[(1, ta)]
                 keep = c is luma
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
+                ch, cv = (1, 1) if len(scan) == 1 else (c["h"], c["v"])
+                for by in range(cv):
+                    for bx in range(ch):
                         t = reader.decode_huffman(dc_tbl)
                         diff = _extend(reader.receive(t), t) if t else 0
                         pred[id(c)] += diff

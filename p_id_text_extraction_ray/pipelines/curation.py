@@ -436,3 +436,120 @@ FROM st JOIN s_tot USING (source) JOIN g USING (t) CROSS JOIN tot
 GROUP BY source
 ORDER BY source
 """
+
+
+# --------------------------- per-source corpus capping (grouped top-k)
+
+CAP_PER_SOURCE_K = 10
+
+
+def cap_per_source(sf_dir: str):
+    """Cap every source at its K longest documents — the per-source
+    quota a corpus-mixing pipeline applies so one crawl domain cannot
+    dominate the training mix (deterministic tie-break on doc_id).
+
+    Scale shape: each batch pre-prunes to its own per-source top-K
+    (sort + groupby.head — vectorized, shrinks the shuffle input to at
+    most K x sources-per-batch rows), then ONE hash-bucket shuffle on
+    source co-locates the survivors and a per-bucket pandas pass takes
+    the exact global top-K. No global sort; the shuffle carries only
+    (source, doc_id, n_chars) for pre-pruned candidates. Millions of
+    sources are fine — groups never meet Ray's per-group overhead, only
+    the bucketed pandas groupby.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    k = CAP_PER_SOURCE_K
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["n_chars", "doc_id"],
+                               ascending=[False, True])
+                .groupby("source", sort=False).head(k)
+                [["source", "doc_id", "n_chars"]])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(df["source"].to_numpy(dtype=object))
+        return df.assign(__bucket=(h % np.uint64(64)).astype(np.int64))
+
+    pruned = _docs(sf_dir, ("doc_id", "source", "n_chars")) \
+        .map_batches(topk, batch_format="pandas") \
+        .map_batches(add_bucket, batch_format="pandas")
+    capped = pruned.groupby(
+        "__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS) \
+        .map_groups(lambda df: topk(df.drop(columns="__bucket")),
+                    batch_format="pandas")
+    return capped.sort(["source", "n_chars", "doc_id"],
+                       descending=[False, True, False])
+
+
+CAP_PER_SOURCE_SQL = f"""
+SELECT source, doc_id, n_chars FROM (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rk
+  FROM documents)
+WHERE rk <= {CAP_PER_SOURCE_K}
+ORDER BY source, n_chars DESC, doc_id
+"""
+
+
+# --------------------- deterministic corpus shuffle (seeded, verifiable)
+
+def shuffle_corpus(sf_dir: str):
+    """Deterministic training-order shuffle: every document gets a
+    reproducible pseudo-random rank (ascending md5 of its doc_id), the
+    standard trick for a seeded corpus shuffle that is stable across
+    runs, resumable, and verifiable — unlike ``random_shuffle()``.
+
+    Scale shape: NO global sort. The md5 keyspace is uniform, so the
+    first byte partitions it into 256 equal ranges; a tiny count-per-
+    prefix aggregate (256 rows) turns into cumulative offsets broadcast
+    to a per-prefix groupby, where each group sorts its own slice and
+    adds its offset: rank = offset[prefix] + rank_within_prefix. The
+    shuffle carries (doc_id, key) only; each sort is 1/256th of the
+    corpus.
+    """
+    import hashlib
+
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+    from ._util import bucketed_group_sum
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        keys = [hashlib.md5(str(d).encode()).hexdigest()
+                for d in df["doc_id"]]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].values, "shuffle_key": keys,
+            "__prefix": [int(x[:2], 16) for x in keys]})
+
+    keyed_ds = _docs(sf_dir, ("doc_id",)) \
+        .map_batches(keyed, batch_format="pandas").materialize()
+
+    # 256-row aggregate -> cumulative rank offsets per prefix
+    counts = bucketed_group_sum(
+        keyed_ds.map_batches(
+            lambda df: df.groupby("__prefix", as_index=False).size()
+            .rename(columns={"size": "cnt"}), batch_format="pandas"),
+        "__prefix", ["cnt"]).to_pandas().sort_values("__prefix")
+    offs = dict(zip(counts["__prefix"],
+                    np.concatenate([[0], np.cumsum(counts["cnt"])[:-1]])))
+
+    def rank_group(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("shuffle_key").reset_index(drop=True)
+        base = int(offs.get(int(df["__prefix"].iloc[0]), 0))
+        return pd.DataFrame({"doc_id": df["doc_id"].values,
+                             "shuffle_key": df["shuffle_key"].values,
+                             "shuffle_rank": base + np.arange(len(df))})
+
+    ranked = keyed_ds.groupby(
+        "__prefix", num_partitions=DEFAULT_SHUFFLE_PARTITIONS) \
+        .map_groups(rank_group, batch_format="pandas")
+    return ranked.sort("shuffle_rank")
+
+
+SHUFFLE_CORPUS_SQL = """
+SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR))) - 1
+           AS shuffle_rank
+FROM documents
+ORDER BY shuffle_rank
+"""

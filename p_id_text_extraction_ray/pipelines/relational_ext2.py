@@ -918,3 +918,77 @@ WHERE CAST(round(c_acctbal * 100) AS BIGINT) * pos.n > pos.s
 GROUP BY c_nationkey
 ORDER BY c_nationkey
 """
+
+
+# ------------- q11: value-concentration per part for one nation's suppliers
+
+Q11_NATION_KEY = 3   # has suppliers at every test SF (sf0.001's 10-supplier sample skips most nations)
+# a part qualifies iff Q11_FRACTION_DEN * its value > the grand total
+# (TPC-H q11's `> 0.0001 * total` restated as an exact integer compare;
+# the denominator is scaled down because the graft tables are narrower
+# than a partsupp table)
+Q11_FRACTION_DEN = 2000
+
+
+def q11_important_stock(sf_dir: str):
+    """Parts representing an outsized share of one nation's shipped value
+    — the TPC-H q11 value-concentration shape, adapted to the graft
+    schema (which has no partsupp table): "stock value" is
+    sum(extendedprice_cents x quantity) over lineitems shipped by that
+    nation's suppliers.
+
+    Shape: the nation's supplier keys reduce the fact table via a
+    distributed ``semi_join`` (the supplier side grows with SF — never a
+    broadcast); per-part values pre-aggregate per batch, then one
+    bucketed shuffle; the aggregate set (one row per part) materializes
+    once so the grand-total scalar and the share filter both reuse it
+    without re-reading lineitem. Integer-exact threshold:
+    ``DEN * value > total`` instead of ``value > total/DEN``.
+    """
+    from .joins import semi_join
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]) \
+        .map_batches(
+            lambda df: df.loc[df["s_nationkey"] == Q11_NATION_KEY,
+                              ["s_suppkey"]]
+            .rename(columns={"s_suppkey": "l_suppkey"}),
+            batch_format="pandas")
+
+    def li_rows(t: pa.Table) -> pd.DataFrame:
+        ep_c = cents(t.column("l_extendedprice").to_numpy())
+        qty = t.column("l_quantity").to_numpy().astype(np.int64)
+        return (pd.DataFrame({"l_partkey": t.column("l_partkey").to_numpy(),
+                              "value_c": ep_c * qty})
+                .groupby("l_partkey", as_index=False).sum())
+
+    li = _read(sf_dir, "lineitem",
+               ["l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"])
+    vals = semi_join(li, sup, on="l_suppkey") \
+        .map_batches(li_rows, batch_format="pyarrow")
+    per_part = bucketed_group_sum(vals, "l_partkey", ["value_c"]).materialize()
+    total = int(per_part.sum("value_c"))
+
+    out = per_part.map_batches(
+        lambda df: pd.DataFrame({
+            "l_partkey": df.loc[Q11_FRACTION_DEN * df["value_c"] > total,
+                                "l_partkey"].values,
+            "stock_value": df.loc[Q11_FRACTION_DEN * df["value_c"] > total,
+                                  "value_c"].to_numpy(np.float64) / 100.0}),
+        batch_format="pandas")
+    return out.sort(["stock_value", "l_partkey"], descending=[True, False])
+
+
+Q11_SQL = f"""
+WITH v AS (
+  SELECT l_partkey,
+         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+             * CAST(l_quantity AS BIGINT)) AS value_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = {Q11_NATION_KEY}
+  GROUP BY l_partkey),
+t AS (SELECT sum(value_c) AS total FROM v)
+SELECT l_partkey, value_c / 100.0 AS stock_value
+FROM v, t
+WHERE {Q11_FRACTION_DEN} * value_c > t.total
+ORDER BY stock_value DESC, l_partkey
+"""

@@ -786,3 +786,83 @@ def doc_compression_ratio(sf_dir: str):
             "is_repetitive": r < COMPRESS_REPETITIVE_MAX})
 
     return _docs(sf_dir).map_batches(ratios, batch_format="pandas")
+
+
+# --------------- robust per-language length stats (exact MAD)
+
+def doc_length_mad_by_lang(sf_dir: str):
+    """Exact per-language median and median-absolute-deviation of
+    character length — the robust outlier gauge a length filter should
+    use instead of mean/std (one 10 MB crawl artifact inflates a std but
+    not a MAD).
+
+    Scale shape: two histogram passes, no sorts. Pass 1 builds the
+    (lang, n_chars, count) histogram via one bucketed shuffle and reads
+    each language's continuous median off its cumulative counts
+    (lengths are small ints, so the histogram is tiny — the same
+    "histogram of distinct lengths" trick as ``doc_length_quantiles``).
+    Pass 2 broadcasts the |langs| medians as a dict, histograms the
+    integer distances ``|2*n_chars - 2*median|`` (doubled so a .5
+    median keeps distances integral), and reads the MAD off the
+    distance histograms. All interpolation follows quantile_cont(0.5)
+    — averages of ints in doubles, bit-exact vs the DuckDB oracle.
+    """
+    import numpy as np
+
+    from ._util import bucketed_group_sum
+
+    def hist_rows(df: pd.DataFrame, col: str) -> pd.DataFrame:
+        return (df.groupby(["lang", col], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    docs = _docs(sf_dir, ("lang", "n_chars"))
+    hist = bucketed_group_sum(
+        docs.map_batches(lambda df: hist_rows(df, "n_chars"),
+                         batch_format="pandas"),
+        ["lang", "n_chars"], ["cnt"]).to_pandas()
+
+    def cont_median_x2(values: np.ndarray, cnts: np.ndarray) -> int:
+        """2x the quantile_cont(0.5) of a histogram — exact in ints."""
+        order = np.argsort(values)
+        values, cnts = values[order], cnts[order]
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        lo_k, hi_k = (n + 1) // 2, n // 2 + 1      # 1-based middle ranks
+        lo = int(values[np.searchsorted(cum, lo_k)])
+        hi = int(values[np.searchsorted(cum, hi_k)])
+        return lo + hi                             # = 2 * midpoint
+
+    med2 = {lang: cont_median_x2(g["n_chars"].to_numpy(),
+                                 g["cnt"].to_numpy())
+            for lang, g in hist.groupby("lang")}
+
+    def dist_rows(df: pd.DataFrame) -> pd.DataFrame:
+        m2 = df["lang"].map(med2).to_numpy(dtype=np.int64)
+        d2 = np.abs(2 * df["n_chars"].to_numpy(dtype=np.int64) - m2)
+        return (pd.DataFrame({"lang": df["lang"].values, "d2": d2})
+                .groupby(["lang", "d2"], as_index=False).size()
+                .rename(columns={"size": "cnt"}))
+
+    dhist = bucketed_group_sum(
+        docs.map_batches(dist_rows, batch_format="pandas"),
+        ["lang", "d2"], ["cnt"]).to_pandas()
+
+    rows = []
+    for lang in sorted(med2):
+        g = dhist[dhist["lang"] == lang]
+        mad4 = cont_median_x2(g["d2"].to_numpy(), g["cnt"].to_numpy())
+        rows.append({"lang": lang, "med_chars": med2[lang] / 2.0,
+                     "mad_chars": mad4 / 4.0,
+                     "n_docs": int(g["cnt"].sum())})
+    return pa.Table.from_pylist(rows)
+
+
+DOC_LENGTH_MAD_SQL = """
+WITH m AS (SELECT lang, median(n_chars) AS med FROM documents GROUP BY lang)
+SELECT d.lang, min(m.med) AS med_chars,
+       median(abs(d.n_chars - m.med)) AS mad_chars,
+       count(*) AS n_docs
+FROM documents d JOIN m ON d.lang = m.lang
+GROUP BY d.lang
+ORDER BY d.lang
+"""

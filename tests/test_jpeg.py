@@ -127,6 +127,25 @@ def test_truncated_rejected():
         decode_jpeg(data[:20])
 
 
+def test_single_scan_is_non_interleaved():
+    """A grayscale frame may legally DECLARE any sampling factor; per
+    T.81 A.2 a single-component scan is non-interleaved (MCU = one data
+    unit on the component's own ceil(dim/8) grid, NOT the hmax-aligned
+    MCU grid). Patch the SOF sampling byte from 1x1 to 2x2 — pixel data
+    is unchanged, so a grid-aware decoder must still decode exactly."""
+    img = np.full((50, 100), 255, np.uint8)
+    img[10:24, 8:72] = 65
+    data = bytearray(encode_jpeg(img, quality=95))
+    i = data.find(b"\xff\xc0")
+    hv_off = i + 11                         # first component's HV byte
+    assert data[hv_off] == 0x11
+    data[hv_off] = 0x22
+    out = decode_jpeg(bytes(data))
+    assert out.shape == (50, 100)
+    assert np.abs(out.astype(int) -
+                  decode_jpeg(encode_jpeg(img, quality=95)).astype(int)).max() == 0
+
+
 def test_restart_markers():
     """Insert a DRI segment and restart markers by re-encoding per
     8-row stripe, then verify the decoder resyncs DC prediction."""
