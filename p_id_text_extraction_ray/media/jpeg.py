@@ -202,13 +202,51 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _parse_dqt(body: bytes, qtables: dict) -> None:
+    i = 0
+    while i < len(body):
+        prec, tid = body[i] >> 4, body[i] & 15
+        if prec != 0:
+            raise JpegError("16-bit quantization tables unsupported")
+        qtables[tid] = np.frombuffer(
+            body[i + 1:i + 65], dtype=np.uint8).astype(np.int32)
+        i += 65
+
+
+def _parse_dht(body: bytes, htables: dict) -> None:
+    i = 0
+    while i < len(body):
+        cls, tid = body[i] >> 4, body[i] & 15
+        bits = list(body[i + 1:i + 17])
+        cnt = sum(bits)
+        huffval = list(body[i + 17:i + 17 + cnt])
+        htables[(cls, tid)] = _build_decode_table(bits, huffval)
+        i += 17 + cnt
+
+
+def _parse_sos(body: bytes, frame: dict):
+    ns = body[0]
+    scan = []
+    for k in range(ns):
+        cs = body[1 + 2 * k]
+        td_ta = body[2 + 2 * k]
+        comp = next(c for c in frame["comps"] if c["id"] == cs)
+        scan.append((comp, td_ta >> 4, td_ta & 15))
+    ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+    ah_al = body[3 + 2 * ns]
+    return scan, ss, se, ah_al >> 4, ah_al & 15
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes -> uint8 luminance plane (h, w).
+    """JPEG bytes -> uint8 luminance plane (h, w). Baseline/extended
+    sequential (SOF0/SOF1) and progressive (SOF2) Huffman streams.
 
     For 3-component YCbCr the Y plane IS the luminance the detection
     path wants (the reference detects on PIL-decoded grayscale,
-    ``sahi_slicer.py:13-15``); chroma blocks are entropy-decoded to stay
-    bit-synced but never dequantized/IDCT'd.
+    ``sahi_slicer.py:13-15``); in sequential scans chroma blocks are
+    entropy-decoded to stay bit-synced but never dequantized/IDCT'd,
+    and in progressive streams chroma-only AC scans are skipped to the
+    next marker without any decoding at all.
     """
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
@@ -230,24 +268,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         body = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:                                   # DQT
-            i = 0
-            while i < len(body):
-                prec, tid = body[i] >> 4, body[i] & 15
-                if prec != 0:
-                    raise JpegError("16-bit quantization tables unsupported")
-                qtables[tid] = np.frombuffer(
-                    body[i + 1:i + 65], dtype=np.uint8).astype(np.int32)
-                i += 65
+            _parse_dqt(body, qtables)
         elif marker == 0xC4:                                 # DHT
-            i = 0
-            while i < len(body):
-                cls, tid = body[i] >> 4, body[i] & 15
-                bits = list(body[i + 1:i + 17])
-                cnt = sum(bits)
-                huffval = list(body[i + 17:i + 17 + cnt])
-                htables[(cls, tid)] = _build_decode_table(bits, huffval)
-                i += 17 + cnt
-        elif marker in (0xC0, 0xC1):                         # SOF0/SOF1
+            _parse_dht(body, htables)
+        elif marker in (0xC0, 0xC1, 0xC2):                   # SOF0/1/2
             prec = body[0]
             if prec != 8:
                 raise JpegError("only 8-bit precision supported")
@@ -259,10 +283,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 hv = body[7 + 3 * k]
                 tq = body[8 + 3 * k]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker == 0xC2:
-            raise JpegError("progressive JPEG (SOF2) unsupported — "
-                            "baseline/extended sequential only")
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
         elif 0xC3 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise JpegError(f"unsupported SOF marker 0x{marker:02X}")
         elif marker == 0xDD:                                 # DRI
@@ -270,13 +292,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:                                 # SOS
             if frame is None:
                 raise JpegError("SOS before SOF")
-            ns = body[0]
-            scan = []
-            for k in range(ns):
-                cs = body[1 + 2 * k]
-                td_ta = body[2 + 2 * k]
-                comp = next(c for c in frame["comps"] if c["id"] == cs)
-                scan.append((comp, td_ta >> 4, td_ta & 15))
+            if frame["progressive"]:
+                return _decode_progressive(data, pos, frame, qtables,
+                                           htables, restart_interval)
+            scan, _ss, _se, _ah, _al = _parse_sos(body, frame)
             return _decode_scan(data, pos + 2 + seglen, frame, scan,
                                 qtables, htables, restart_interval)
         # APPn / COM / others: skip
@@ -351,14 +370,212 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                                 lcoef[row, k] = v
                             k += 1
 
-    # batched dequantize + dezigzag + IDCT over every luma block at once
-    q = qtables[luma["tq"]]
+    return _finish_plane(lcoef, qtables[luma["tq"]], bw, bh, w, h)
+
+
+def _finish_plane(lcoef: np.ndarray, q: np.ndarray, bw: int, bh: int,
+                  w: int, h: int) -> np.ndarray:
+    """(nblocks, 64) zig-zag luma coefficients -> uint8 plane: batched
+    dequantize + dezigzag + IDCT over every block at once."""
     blocks = (lcoef * q[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
     pix = np.einsum("ki,nkl,lj->nij", _DCT_C, blocks.astype(np.float64),
                     _DCT_C, optimize=True) + 128.0
     plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
              .reshape(bh * 8, bw * 8))
     return np.clip(np.round(plane), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _skip_entropy(data: bytes, pos: int) -> int:
+    """Advance past entropy-coded bytes (incl. stuffing and RSTn) to the
+    next true marker."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] == 0xFF and data[pos + 1] != 0x00 \
+                and not (0xD0 <= data[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return n
+
+
+def _decode_progressive(data, pos, frame, qtables, htables,
+                        restart_interval):
+    """Progressive (SOF2) decode of the LUMINANCE component only.
+
+    T.81 G.2 semantics: DC scans (possibly interleaved) carry
+    successive-approximation DC bits; AC scans are always single-
+    component spectral bands. Scans that do not involve the luma
+    component are skipped to the next marker without entropy decoding —
+    their bits cannot affect luma coefficients. ``pos`` points AT the
+    first SOS marker; this loop owns all markers until EOI.
+    """
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    luma = comps[0]
+    if len(comps) == 1:
+        # single-component frame: the declared sampling factor does not
+        # change the pixel-to-block mapping (same rule as _decode_scan)
+        lh = lv = 1
+        mcux, mcuy = -(-w // 8), -(-h // 8)
+        cw, chh = mcux, mcuy
+    else:
+        lh, lv = luma["h"], luma["v"]
+        mcux = -(-w // (8 * hmax))
+        mcuy = -(-h // (8 * vmax))
+        # the component's own (non-interleaved) grid — a prefix of the
+        # padded interleaved grid
+        cw = -((-(-(-w * lh // hmax))) // 8)
+        chh = -((-(-(-h * lv // vmax))) // 8)
+    bw, bh = mcux * lh, mcuy * lv                # padded luma block grid
+    lcoef = np.zeros((bh * bw, 64), dtype=np.int32)
+
+    n = len(data)
+    dri = restart_interval
+    while pos + 4 <= n:
+        if data[pos] != 0xFF:
+            raise JpegError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:                                   # EOI
+            break
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        body = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:
+            _parse_dqt(body, qtables)
+        elif marker == 0xC4:
+            _parse_dht(body, htables)
+        elif marker == 0xDD:
+            dri = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            scan, ss, se, ah, al = _parse_sos(body, frame)
+            start = pos + 2 + seglen
+            if not any(c is luma for c, _, _ in scan):
+                pos = _skip_entropy(data, start)             # chroma-only
+                continue
+            pos = _progressive_scan(
+                data, start, scan, luma, ss, se, ah, al, htables, dri,
+                lcoef, bw, cw, chh, lh, lv, mcux, mcuy)
+            continue
+        pos += 2 + seglen
+    return _finish_plane(lcoef, qtables[luma["tq"]], bw, bh, w, h)
+
+
+def _progressive_scan(data, start, scan, luma, ss, se, ah, al, htables,
+                      dri, lcoef, bw, cw, chh, lh, lv, mcux, mcuy):
+    """Decode one progressive scan into ``lcoef``; returns the stream
+    position of the next marker."""
+    reader = _BitReader(data, start)
+    if ss == 0:                                              # DC scan
+        pred = {id(c): 0 for c, _, _ in scan}
+        interleaved = len(scan) > 1
+        nx, ny = (mcux, mcuy) if interleaved else (cw, chh)
+        mcu_count = 0
+        for my in range(ny):
+            for mx in range(nx):
+                if dri and mcu_count and mcu_count % dri == 0:
+                    reader.align_restart()
+                    for c, _, _ in scan:
+                        pred[id(c)] = 0
+                mcu_count += 1
+                for c, td, _ta in scan:
+                    keep = c is luma
+                    ch_, cv_ = (c["h"], c["v"]) if interleaved else (1, 1)
+                    for by in range(cv_):
+                        for bx in range(ch_):
+                            if interleaved:
+                                row = (my * lv + by) * bw + (mx * lh + bx)
+                            else:
+                                row = my * bw + mx
+                            if ah == 0:                      # first DC scan
+                                t = reader.decode_huffman(htables[(0, td)])
+                                diff = _extend(reader.receive(t), t) if t else 0
+                                pred[id(c)] += diff
+                                if keep:
+                                    lcoef[row, 0] = pred[id(c)] << al
+                            else:                            # DC refinement
+                                bit = reader.read_bit()
+                                if keep and bit:
+                                    lcoef[row, 0] |= 1 << al
+        return _skip_entropy(data, reader.pos)
+
+    # AC scan: always single-component (T.81 G.1.1.1.1)
+    ac_tbl = htables[(1, scan[0][2])]
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    mcu_count = 0
+    for my in range(chh):
+        for mx in range(cw):
+            if dri and mcu_count and mcu_count % dri == 0:
+                reader.align_restart()
+                eobrun = 0
+            mcu_count += 1
+            row = my * bw + mx
+            coef = lcoef[row]
+            if ah == 0:                                      # first AC scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode_huffman(ac_tbl)
+                    r, s = rs >> 4, rs & 15
+                    if s == 0:
+                        if r < 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        k += 16                              # ZRL
+                        continue
+                    k += r
+                    if k > se:
+                        raise JpegError("AC run past band end")
+                    coef[k] = _extend(reader.receive(s), s) << al
+                    k += 1
+            else:                                            # AC refinement
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        rs = reader.decode_huffman(ac_tbl)
+                        r, s = rs >> 4, rs & 15
+                        if s == 0:
+                            if r < 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += reader.receive(r)
+                                break                        # EOB path below
+                            val = 0                          # ZRL: 16 zero-history
+                        elif s == 1:
+                            val = p1 if reader.read_bit() else m1
+                        else:
+                            raise JpegError("bad refinement magnitude")
+                        # advance past r zero-HISTORY positions, sending
+                        # correction bits to nonzero-history coefficients
+                        while k <= se:
+                            if coef[k] != 0:
+                                if reader.read_bit() and not (coef[k] & p1):
+                                    coef[k] += p1 if coef[k] > 0 else m1
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if s and k <= se:
+                            coef[k] = val
+                        k += 1
+                if eobrun > 0:
+                    # EOB path: correction bits for every remaining
+                    # nonzero-history coefficient of the band
+                    while k <= se:
+                        if coef[k] != 0:
+                            if reader.read_bit() and not (coef[k] & p1):
+                                coef[k] += p1 if coef[k] > 0 else m1
+                        k += 1
+                    eobrun -= 1
+    return _skip_entropy(data, reader.pos)
 
 
 def peek_jpeg_dimensions(data: bytes) -> tuple[int, int]:
