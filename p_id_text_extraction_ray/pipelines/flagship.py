@@ -141,3 +141,49 @@ def media_resize(sf_dir: str, target: int = 256):
                          batch_format="pyarrow", batch_size=32,
                          concurrency=(1, 4), num_cpus=1)
     return out.select_columns(["media_ref", "width", "height"])
+
+
+def pid_pdf_ingest(sf_dir: str):
+    """S1 end-to-end as a driver-visible query: deterministic synthetic
+    PDFs (``fixtures/pdfgen.demo_pdf``) -> distributed
+    ``PdfIngestStage`` (parse + pure-numpy rasterize, 1->N page rows)
+    -> per-page detection counts. Rows-only (the PDF object graph is
+    not SQL-expressible); deterministic, so the driver's repeat-run
+    check holds. ``sf_dir`` scales the document count.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..fixtures.pdfgen import demo_pdf
+    from ..media.codec import decode_image
+    from ..media.store import FileMediaStore
+    from ..sources.pdf import PdfIngestStage
+    from ..functions.rectdetect import detect_rects
+
+    n_docs = max(4, min(32, pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows // 100))
+    key = os.path.abspath(sf_dir).replace(os.sep, "_")
+    media_root = f"/tmp/pid_pdf_ingest_{key}/media"
+
+    docs = rd.from_items(
+        [{"doc_id": f"PDF-{i:03d}", "pdf_bytes": demo_pdf(i)}
+         for i in range(n_docs)],
+        override_num_blocks=max(2, n_docs // 2))
+    pages = docs.map_batches(
+        PdfIngestStage(media_root, dpi=150), batch_format="pyarrow",
+        batch_size=4)
+
+    store_root = media_root
+
+    def count_detections(df: pd.DataFrame) -> pd.DataFrame:
+        store = FileMediaStore(store_root)
+        n_boxes = [len(detect_rects(decode_image(store.get(r))))
+                   for r in df["media_ref"]]
+        return df.assign(n_boxes=pd.Series(n_boxes, index=df.index,
+                                           dtype="int64"))
+
+    return pages.map_batches(count_detections, batch_format="pandas") \
+        .sort(["doc_id", "page"])

@@ -7,10 +7,13 @@ naming ``{name}_page_NN``). In the table-native engine this is a media
 bytes that writes one raster blob per page into the media store and emits
 ``(doc_id, media_ref, page)`` rows for the document table.
 
-No PDF renderer exists in this environment, so the rasterizer itself is
-gated behind ``NotImplementedError``; the stage plumbing — input schema,
-1->N page expansion, media-store writes, output schema — is real and
-unit-tested with the injectable ``rasterize`` hook.
+The default rasterizer is the engine's own pure-numpy renderer
+(``media/pdfdoc.py`` object-graph parser + ``media/pdfraster.py``
+content-stream rasterizer: vector paths, TrueType text, form XObjects).
+``rasterize`` stays injectable so a native renderer (pdftocairo/pdfium)
+can be swapped in for full-fidelity coverage of PDF features outside
+the subset (Type1/CFF glyph shapes render as metric boxes, images as
+gray blocks — see the pdfraster module docstring).
 """
 
 from __future__ import annotations
@@ -24,23 +27,23 @@ from ..media.codec import encode_image
 from ..media.store import FileMediaStore
 
 
-def _no_rasterizer(pdf_bytes: bytes, dpi: int) -> list[np.ndarray]:
-    raise NotImplementedError(
-        "PDF rasterization requires a renderer (pdftocairo/pdfium) not "
-        "available in this environment; inject `rasterize` to supply one")
+def _default_rasterizer(pdf_bytes: bytes, dpi: int) -> list[np.ndarray]:
+    from ..media.pdfraster import render_pdf_pages
+    return render_pdf_pages(pdf_bytes, dpi=dpi)
 
 
 class PdfIngestStage:
     """map_batches callable: (doc_id, pdf_bytes) rows -> one row per page
     (doc_id, media_ref, page), with the rendered page stored as a media
-    blob. ``rasterize(pdf_bytes, dpi) -> [gray uint8 arrays]`` is
-    injectable (tests pass a fake; production passes a real renderer)."""
+    blob. ``rasterize(pdf_bytes, dpi) -> [gray uint8 arrays]`` defaults
+    to the engine's pure-numpy renderer and stays injectable (tests can
+    pass a fake; a native renderer can be swapped in)."""
 
     def __init__(self, media_root: str, dpi: int = 600,
                  rasterize: Callable[[bytes, int], list[np.ndarray]] | None = None):
         self.store = FileMediaStore(media_root)
         self.dpi = dpi
-        self.rasterize = rasterize or _no_rasterizer
+        self.rasterize = rasterize or _default_rasterizer
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         doc_ids: list[str] = []

@@ -32,9 +32,14 @@ def test_pdf_ingest_with_fake_rasterizer(tmp_path):
     assert img.shape == (40, 30) and img[0, 0] == 201
 
 
-def test_pdf_ingest_gated_without_renderer(tmp_path):
+def test_pdf_ingest_default_renderer_rejects_garbage(tmp_path):
+    """The default rasterizer is now the real in-engine renderer
+    (media/pdfraster.py); malformed PDF bytes fail fast with PdfError
+    instead of the old NotImplementedError gate."""
+    from p_id_text_extraction_ray.media.pdfdoc import PdfError
+
     stage = PdfIngestStage(str(tmp_path))
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(PdfError):
         stage(pa.table({"doc_id": pa.array(["D"]),
                         "pdf_bytes": pa.array([b"x"], pa.binary())}))
 
