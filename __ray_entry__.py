@@ -42,7 +42,8 @@ from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
                                                          pid_grouping_stats,
-                                                         pid_pdf_ingest)
+                                                         pid_pdf_ingest,
+                                                         pid_pdf_ocr)
 
 
 def entry() -> Any:
@@ -186,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_pdf_ingest": pid_pdf_ingest,
+        "pid_pdf_ocr": pid_pdf_ocr,
         "pid_extract_pdf_points": pid_extract_pdf_points,
         "pid_grouping_stats": pid_grouping_stats,
         "media_ahash_index": MD.media_ahash_index,

@@ -106,3 +106,99 @@ def detect_rects_dbnet(img: np.ndarray, bg: int = BACKGROUND,
     boxes = np.array(out, dtype=np.int64)
     order = np.lexsort((boxes[:, 0], boxes[:, 1]))
     return boxes[order]
+
+
+def _components_bboxes(fg: np.ndarray) -> np.ndarray:
+    """Tight bboxes of connected components of an ARBITRARY boolean map
+    (union-find over row runs — unlike ``detect_rects``'s single-overlap
+    fast path, correct for concave/merging shapes like dilated words)."""
+    if not fg.any():
+        return np.zeros((0, 4), dtype=np.int64)
+    parent: list[int] = []
+    bbox: list[list[int]] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> int:
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return ra
+        if rb < ra:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        ba, bb = bbox[ra], bbox[rb]
+        ba[0] = min(ba[0], bb[0]); ba[1] = min(ba[1], bb[1])
+        ba[2] = max(ba[2], bb[2]); ba[3] = max(ba[3], bb[3])
+        return ra
+
+    prev: list[tuple[int, int, int]] = []
+    prev_row = -2
+    for r in np.flatnonzero(fg.any(axis=1)).tolist():
+        if r != prev_row + 1:
+            prev = []
+        prev_row = r
+        d = np.diff(np.concatenate(([0], fg[r].view(np.int8), [0])))
+        starts = np.flatnonzero(d == 1).tolist()
+        ends = np.flatnonzero(d == -1).tolist()
+        cur: list[tuple[int, int, int]] = []
+        for s, e in zip(starts, ends):
+            cid = -1
+            for ps, pe, pid in prev:
+                if ps < e and s < pe:
+                    cid = pid if cid < 0 else union(cid, pid)
+            if cid < 0:
+                cid = len(parent)
+                parent.append(cid)
+                bbox.append([s, r, e, r + 1])
+            else:
+                cid = find(cid)
+                b = bbox[cid]
+                b[0] = min(b[0], s); b[2] = max(b[2], e); b[3] = r + 1
+            cur.append((s, e, cid))
+        prev = cur
+    roots = sorted({find(i) for i in range(len(parent))})
+    boxes = np.array([bbox[r] for r in roots], dtype=np.int64)
+    order = np.lexsort((boxes[:, 0], boxes[:, 1]))
+    return boxes[order]
+
+
+def detect_rects_words(img: np.ndarray, bg: int = BACKGROUND,
+                       dilate: int = 8) -> np.ndarray:
+    """Word-level detector for glyph-shaped ink (rendered TrueType text,
+    scanned sheets): binarize -> box-dilate by ``dilate`` px (sized to
+    INTER-CHARACTER gaps, ~1/3 of a 24pt-at-150dpi cap height) -> true
+    union-find connected components (dilated word silhouettes are
+    concave, so the rectangle fast path does not apply) -> shrink to the
+    tight ink bbox. Emits the word granularity CRAFT emits and the
+    grouping rules assume; gaps wider than 2*dilate (true word spaces)
+    may still merge, and the template recognizer re-splits those by
+    inserting spaces at wide in-box gaps."""
+    fg = img != bg
+    if not fg.any():
+        return np.zeros((0, 4), dtype=np.int64)
+    pad = np.pad(fg, dilate + 1).astype(np.int32)
+    ii = pad.cumsum(axis=0).cumsum(axis=1)
+    k = 2 * dilate + 1
+    h, w = fg.shape
+    y0, x0 = np.arange(h), np.arange(w)
+    a = ii[k:, k:][np.ix_(y0, x0)]
+    b = ii[:-k, k:][np.ix_(y0, x0)]
+    c = ii[k:, :-k][np.ix_(y0, x0)]
+    d = ii[:-k, :-k][np.ix_(y0, x0)]
+    dilated = (a - b - c + d) > 0
+    out = []
+    for x1, y1, x2, y2 in _components_bboxes(dilated):
+        sub = fg[y1:y2, x1:x2]
+        rows = np.flatnonzero(sub.any(axis=1))
+        cols = np.flatnonzero(sub.any(axis=0))
+        if not len(rows):
+            continue
+        out.append([x1 + cols[0], y1 + rows[0],
+                    x1 + cols[-1] + 1, y1 + rows[-1] + 1])
+    boxes = np.array(out, dtype=np.int64)
+    order = np.lexsort((boxes[:, 0], boxes[:, 1]))
+    return boxes[order]

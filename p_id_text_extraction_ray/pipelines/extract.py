@@ -56,6 +56,7 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
                        cfg: ExtractConfig,
                        detector_cls=PixelDetector,
                        detector_args: tuple = (),
+                       recognizer_cls=StubRecognizer,
                        stop_after: str | None = None,
                        counter=None) -> "ray.data.Dataset":
     """CV path over unique media_ref rows -> recognized per-media rows."""
@@ -147,7 +148,7 @@ def extract_media_rows(uniq_refs: "ray.data.Dataset", media_root: str,
         CropStage(media_root, cfg, counter), batch_format="pyarrow",
         batch_size=cfg.recognize_batch_size)
     return crops.map_batches(
-        StubRecognizer, fn_constructor_args=(cfg, counter),
+        recognizer_cls, fn_constructor_args=(cfg, counter),
         batch_format="pyarrow", batch_size=cfg.recognize_batch_size,
         concurrency=rec_pool, num_cpus=1)
 
@@ -156,6 +157,7 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
                   cfg: ExtractConfig | None = None,
                   detector_cls=PixelDetector,
                   detector_args: tuple = (),
+                  recognizer_cls=StubRecognizer,
                   stop_after: str | None = None,
                   counter=None) -> "ray.data.Dataset":
     """Build the lazy extraction Dataset. Does NOT call ray.init().
@@ -218,6 +220,7 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
 
     media_rows = extract_media_rows(uniq_refs, media_root, cfg,
                                     detector_cls, detector_args,
+                                    recognizer_cls=recognizer_cls,
                                     stop_after=stop_after, counter=counter)
     if stop_after in ("detect", "group", "recognize"):
         return media_rows

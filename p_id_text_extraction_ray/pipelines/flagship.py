@@ -187,3 +187,63 @@ def pid_pdf_ingest(sf_dir: str):
 
     return pages.map_batches(count_detections, batch_format="pandas") \
         .sort(["doc_id", "page"])
+
+
+def pid_pdf_ocr(sf_dir: str):
+    """The zero-external-model OCR chain as a driver-visible query:
+    deterministic synthetic PDFs -> in-engine rasterizer (real TrueType
+    glyph shapes, NOT value-coded pixels) -> the full distributed
+    extract pipeline with the word-granularity detector and the
+    template-matching recognizer -> per-doc span text. Rows-only;
+    deterministic. The recovered text equals the tag written into each
+    PDF, which the query exposes as a verifiable ``match`` column.
+    """
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from ..fixtures.pdfgen import make_pdf
+    from ..sources.pdf import PdfIngestStage
+    from ..stages.ocr import TemplateRecognizer, WordDetector
+    from .extract import extract_spans
+
+    n_docs = max(4, min(24, pq.ParquetFile(
+        os.path.join(sf_dir, "documents.parquet")).metadata.num_rows // 100))
+    key = os.path.abspath(sf_dir).replace(os.sep, "_")
+    root = f"/tmp/pid_pdf_ocr_{key}"
+    media_root = os.path.join(root, "media")
+    docs_path = os.path.join(root, "docs.parquet")
+    tags = [f"PV-{1000 + 7 * i}" for i in range(n_docs)]
+
+    if not os.path.exists(docs_path):
+        stage = PdfIngestStage(media_root, dpi=150)
+        pages = stage(pa.table({
+            "doc_id": pa.array([f"DOC-{i:03d}" for i in range(n_docs)]),
+            "pdf_bytes": pa.array(
+                [make_pdf([f"BT /F1 24 Tf 40 120 Td ({t}) Tj ET\n".encode()])
+                 for t in tags], pa.binary())}))
+        refs = pages.column("media_ref").to_pylist()
+        span_type = pa.list_(pa.struct([
+            ("kind", pa.string()), ("text", pa.string()),
+            ("media_ref", pa.string()), ("offset", pa.int32())]))
+        pq.write_table(pa.table({
+            "doc_id": pa.array([f"DOC-{i:03d}" for i in range(n_docs)]),
+            "spans": pa.array(
+                [[{"kind": "image", "text": "", "media_ref": refs[i],
+                   "offset": 0}] for i in range(n_docs)], span_type)}),
+            docs_path)
+
+    spans = extract_spans(rd.read_parquet(docs_path), media_root,
+                          detector_cls=WordDetector,
+                          recognizer_cls=TemplateRecognizer).to_pandas()
+    expect = pd.DataFrame({"doc_id": [f"DOC-{i:03d}" for i in range(n_docs)],
+                           "expected": tags})
+    got = spans[spans["kind"].isin(["tag", "image_text"])] \
+        .groupby("doc_id", as_index=False).agg(text=("text", " ".join))
+    out = expect.merge(got, on="doc_id", how="left")
+    out["text"] = out["text"].fillna("")
+    out["match"] = out["text"] == out["expected"]
+    return out.sort_values("doc_id").reset_index(drop=True)

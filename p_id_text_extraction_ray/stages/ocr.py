@@ -1,0 +1,190 @@
+"""Template-matching recognizer: real OCR for rendered glyph shapes.
+
+``StubRecognizer`` reads the fixtures' value-coded pixels; this actor
+reads ACTUAL glyph shapes — the text on pages produced by the engine's
+PDF rasterizer (``media/pdfraster.py``) or any other binarizable
+render. Classical template matching: glyph templates are rasterized
+once per actor from a TrueType font (``media/ttf.py``), a crop is
+binarized and segmented into glyphs at ink-free columns, and each
+segment is scored by bitmap IoU against every template at the
+segment's aspect class. On clean vector renders this resolves the
+P&ID tag charset (A-Z 0-9 - . /) essentially exactly; it is the
+engine's stand-in for TrOCR/EasyOCR (``text_recognition.py:37-51``)
+that needs no ML runtime, behind the same actor interface + fallback
+chain (rotate clockwise when orientation==90, re-recognize).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import ExtractConfig
+from ..functions.rectdetect import detect_rects_words
+from .cv import PixelDetector, StubRecognizer
+
+DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+CHARSET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789-./"
+_T = 24                                      # template cell (pixels)
+
+
+def _render_glyph(font, ch: str, size: int = 64):
+    """(tight binary bitmap, bbox y-range in font units) of one glyph
+    at ``size`` px per em. The y-range is relative to the BASELINE, so
+    callers can distinguish marks by vertical position ('.' sits on the
+    baseline, '-' floats mid-x-height, 'J' descends)."""
+    from ..media.pdfraster import _fill_polygons
+
+    gid = font.glyph_id(ch)
+    contours = font.glyph_contours(gid)
+    if not contours:
+        return None, (0.0, 0.0)
+    scale = size / font.units_per_em
+    pts = np.concatenate(contours)
+    fy0, fy1 = float(pts[:, 1].min()), float(pts[:, 1].max())
+    x0, y0 = pts.min(axis=0) * scale
+    x1, y1 = pts.max(axis=0) * scale
+    w = max(1, int(np.ceil(x1 - x0)) + 2)
+    h = max(1, int(np.ceil(y1 - y0)) + 2)
+    canvas = np.full((h, w), 255, np.uint8)
+    polys = []
+    for c in contours:
+        x = c[:, 0] * scale - x0 + 1
+        y = (y1 - c[:, 1] * scale) + 1       # flip to raster rows
+        polys.append(np.stack([x, y], axis=1))
+    _fill_polygons(canvas, polys, 0, False, (0, 0, w, h))
+    ink = canvas < 128
+    rows = np.nonzero(ink.any(axis=1))[0]
+    cols = np.nonzero(ink.any(axis=0))[0]
+    if not len(rows):
+        return None, (0.0, 0.0)
+    return ink[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1], (fy0, fy1)
+
+
+def _resize_mask(m: np.ndarray, h: int, w: int) -> np.ndarray:
+    yi = (np.arange(h) * m.shape[0] // h).clip(0, m.shape[0] - 1)
+    xi = (np.arange(w) * m.shape[1] // w).clip(0, m.shape[1] - 1)
+    return m[yi][:, xi]
+
+
+class WordDetector(PixelDetector):
+    """Detection actor for glyph-shaped ink: the word-granularity kernel
+    (``rectdetect.detect_rects_words``) replaces the exact-rectangle
+    fixture kernel, emitting the word boxes CRAFT would — per-glyph
+    boxes are taller than wide, which the reference's orientation+
+    alignment connection rules (grouping_logic.py:324-436) read as
+    vertical text and refuse to chain horizontally."""
+
+    _kernel = staticmethod(detect_rects_words)
+
+
+class TemplateRecognizer(StubRecognizer):
+    """Drop-in for ``StubRecognizer`` (same ctor/actor/batch contract,
+    same fallback chain) recognizing rendered glyph shapes."""
+
+    INK_THRESHOLD = 128
+
+    def __init__(self, cfg: ExtractConfig | None = None, counter=None,
+                 font_path: str = DEJAVU):
+        super().__init__(cfg, counter)
+        from ..media.ttf import TrueTypeFont
+
+        font = TrueTypeFont(open(font_path, "rb").read())
+        raw = []
+        cap = None
+        for ch in CHARSET:
+            bmp, (fy0, fy1) = _render_glyph(font, ch)
+            if bmp is None:
+                continue
+            if ch == "0":
+                cap = (fy0, fy1)
+            raw.append((ch, bmp, fy0, fy1))
+        if cap is None:
+            cap = (0.0, max(r[3] for r in raw))
+        cap_span = cap[1] - cap[0]
+        # (char, TxT mask, rel height, rel top/bottom above baseline)
+        self._templates = [
+            (ch, _resize_mask(bmp, _T, _T), (fy1 - fy0) / cap_span,
+             fy1 / cap_span, fy0 / cap_span)
+            for ch, bmp, fy0, fy1 in raw]
+
+    # --- recognition ---------------------------------------------------
+
+    def _read(self, crop: np.ndarray) -> tuple[str, float]:
+        ink = crop < self.INK_THRESHOLD
+        if not ink.any():
+            return "", 0.0
+        rows = np.nonzero(ink.any(axis=1))[0]
+        cols = np.nonzero(ink.any(axis=0))[0]
+        ink = ink[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]
+        line_h = ink.shape[0]
+        # segment at ink-free columns
+        col_has = ink.any(axis=0)
+        segs = []
+        start = None
+        for x, has in enumerate(col_has.tolist() + [False]):
+            if has and start is None:
+                start = x
+            elif not has and start is not None:
+                segs.append((start, x))
+                start = None
+        # per-segment tight vertical extents
+        exts = []
+        for a, b in segs:
+            seg = ink[:, a:b]
+            srows = np.nonzero(seg.any(axis=1))[0]
+            exts.append((int(srows[0]), int(srows[-1]) + 1))
+        # baseline = typical segment bottom; cap top = typical top of
+        # baseline-sitting segments (most of the charset is cap-height
+        # on the baseline, so medians are robust)
+        bottoms = np.array([e[1] for e in exts], dtype=np.float64)
+        baseline = float(np.median(bottoms))
+        on_base = [e for e in exts if abs(e[1] - baseline) <= 0.15 * line_h]
+        cap_top = float(np.median([e[0] for e in on_base])) if on_base \
+            else 0.0
+        cap_px = max(1.0, baseline - cap_top)
+
+        text = []
+        scores = []
+        prev_end = None
+        for (a, b), (t0, t1) in zip(segs, exts):
+            if prev_end is not None and (a - prev_end) > 0.45 * cap_px:
+                text.append(" ")             # word gap inside a merged box
+            prev_end = b
+            seg = ink[t0:t1, a:b]
+            # vertical position in cap units above the baseline
+            s_top = (baseline - t0) / cap_px
+            s_bot = (baseline - t1) / cap_px
+            norm = _resize_mask(seg, _T, _T)
+
+            def score_against(require_pos: bool):
+                best, best_score = "?", 0.0
+                for ch, tmpl, _t_rel, t_top, t_bot in self._templates:
+                    if require_pos and (abs(t_top - s_top) > 0.25
+                                        or abs(t_bot - s_bot) > 0.25):
+                        continue
+                    inter = (norm & tmpl).sum()
+                    union = (norm | tmpl).sum()
+                    s = inter / union if union else 0.0
+                    if s > best_score:
+                        best, best_score = ch, s
+                return best, best_score
+
+            best, best_score = score_against(True)
+            if best == "?":
+                best, best_score = score_against(False)
+            text.append(best)
+            scores.append(best_score)
+        conf = float(np.mean(scores)) if scores else 0.0
+        return "".join(text), conf
+
+    # StubRecognizer.__call__ drives these:
+    def _primary(self, crop: np.ndarray) -> tuple[str, float]:
+        text, conf = self._read(crop)
+        # horizontal reads of vertical text score poorly -> gate routes
+        # to the rotation fallback, like low-confidence TrOCR
+        return text, conf
+
+    def _fallback(self, crop: np.ndarray, rot: int) -> tuple[str, float]:
+        if rot == 90:
+            crop = np.rot90(crop, k=-1)      # clockwise, reference behavior
+        return self._read(crop)
