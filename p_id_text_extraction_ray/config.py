@@ -48,6 +48,53 @@ class TilingConfig:
 
 
 @dataclass(frozen=True)
+class DetectionConfig:
+    """The reference's seven CRAFT/EasyOCR ``detect()`` thresholds
+    (``/root/reference/configs/base.yaml:33-41``, passed through at
+    ``src/text_detection/text_detection.py:64-81``), mapped onto the
+    engine's glyph-ink word detector (``stages/ocr.WordDetector`` ->
+    ``functions/rectdetect.detect_rects_words``). Defaults are the
+    reference's shipped values; each mapping is documented where it is
+    applied:
+
+    - ``text_threshold`` / ``low_text`` -> hysteresis binarization: a
+      pixel with luminance <= 255*(1-low_text) is *candidate* ink (the
+      region-growing low cut of CRAFT's score map); a component is kept
+      only if it contains at least one *strong* pixel with luminance
+      <= 255*(1-text_threshold) (the confidence cut).
+    - ``link_threshold`` -> the glyph-linking dilation radius: adjacent
+      glyphs whose gap is <= 2*dilate merge into one word, where
+      ``dilate = round(80 * (1 - link_threshold))`` px — calibrated so
+      the shipped default (0.9) reproduces the kernel's tuned 8 px link
+      radius for 150 dpi / 24 pt renders; a higher link threshold
+      demands stronger affinity, i.e. a smaller linking radius.
+    - ``height_ths`` / ``width_ths`` / ``slope_ths`` / ``ycenter_ths``
+      -> the post-detection same-line box merge (EasyOCR's
+      ``group_text_box`` step): two word boxes merge when their heights
+      differ by <= height_ths * max(h), their vertical centers by
+      <= ycenter_ths * max(h), their horizontal gap is
+      <= width_ths * max(h), and the center-to-center slope is
+      <= slope_ths.
+    """
+
+    text_threshold: float = 0.7   # base.yaml:35
+    link_threshold: float = 0.9   # base.yaml:36
+    low_text: float = 0.2         # base.yaml:37
+    height_ths: float = 0.1       # base.yaml:38
+    width_ths: float = 0.1        # base.yaml:39
+    slope_ths: float = 0.04       # base.yaml:40
+    ycenter_ths: float = 0.5      # base.yaml:41
+
+    def __post_init__(self) -> None:
+        if not 0 < self.text_threshold <= 1:
+            raise ValueError("text_threshold must be in (0, 1]")
+        if not 0 <= self.low_text <= self.text_threshold:
+            raise ValueError("low_text must be in [0, text_threshold]")
+        if not 0 < self.link_threshold <= 1:
+            raise ValueError("link_threshold must be in (0, 1]")
+
+
+@dataclass(frozen=True)
 class RecognitionConfig:
     """Recognition fallback-chain parameters.
 
@@ -78,6 +125,7 @@ class ExtractConfig:
     """Top-level engine configuration for the extraction pipeline."""
 
     tiling: TilingConfig = field(default_factory=TilingConfig)
+    detection: DetectionConfig = field(default_factory=DetectionConfig)
     grouping: GroupingConfig = field(default_factory=GroupingConfig)
     recognition: RecognitionConfig = field(default_factory=RecognitionConfig)
     reading_order: ReadingOrderConfig = field(default_factory=ReadingOrderConfig)

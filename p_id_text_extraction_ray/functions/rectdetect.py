@@ -166,8 +166,63 @@ def _components_bboxes(fg: np.ndarray) -> np.ndarray:
     return boxes[order]
 
 
+def merge_line_boxes(boxes: np.ndarray, height_ths: float, width_ths: float,
+                     slope_ths: float, ycenter_ths: float) -> np.ndarray:
+    """Same-line box merge — the engine's EasyOCR ``group_text_box`` step
+    (the reference forwards its four thresholds at
+    ``text_detection.py:67-81``). Two boxes join when their heights
+    differ by <= height_ths * max(h), vertical centers by
+    <= ycenter_ths * max(h), horizontal gap (negative if overlapping)
+    is <= width_ths * max(h), and the center-to-center slope is
+    <= slope_ths; joins are transitive (union-find) and the merged box
+    is the bbox union. O(n^2) pairwise numpy per tile — n is the word
+    count of ONE tile, never corpus-sized."""
+    n = len(boxes)
+    if n <= 1:
+        return boxes
+    x1, y1, x2, y2 = (boxes[:, i].astype(np.float64) for i in range(4))
+    h = y2 - y1
+    cy = (y1 + y2) / 2.0
+    cx = (x1 + x2) / 2.0
+    hmax = np.maximum(h[:, None], h[None, :])
+    cond = np.abs(h[:, None] - h[None, :]) <= height_ths * hmax
+    cond &= np.abs(cy[:, None] - cy[None, :]) <= ycenter_ths * hmax
+    gap = np.maximum(x1[None, :] - x2[:, None], x1[:, None] - x2[None, :])
+    cond &= gap <= width_ths * hmax
+    dx = np.maximum(np.abs(cx[:, None] - cx[None, :]), 1.0)
+    cond &= np.abs(cy[:, None] - cy[None, :]) / dx <= slope_ths
+    parent = list(range(n))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i, j in zip(*(a.tolist() for a in np.nonzero(cond))):
+        if i < j:
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+    roots = np.array([find(i) for i in range(n)])
+    out = []
+    for r in np.unique(roots):
+        m = roots == r
+        out.append([int(x1[m].min()), int(y1[m].min()),
+                    int(x2[m].max()), int(y2[m].max())])
+    merged = np.array(out, dtype=np.int64)
+    order = np.lexsort((merged[:, 0], merged[:, 1]))
+    return merged[order]
+
+
 def detect_rects_words(img: np.ndarray, bg: int = BACKGROUND,
-                       dilate: int = 8) -> np.ndarray:
+                       dilate: int = 8, *,
+                       strong_max: int | None = None,
+                       weak_max: int | None = None,
+                       height_ths: float | None = None,
+                       width_ths: float | None = None,
+                       slope_ths: float | None = None,
+                       ycenter_ths: float | None = None) -> np.ndarray:
     """Word-level detector for glyph-shaped ink (rendered TrueType text,
     scanned sheets): binarize -> box-dilate by ``dilate`` px (sized to
     INTER-CHARACTER gaps, ~1/3 of a 24pt-at-150dpi cap height) -> true
@@ -176,8 +231,18 @@ def detect_rects_words(img: np.ndarray, bg: int = BACKGROUND,
     tight ink bbox. Emits the word granularity CRAFT emits and the
     grouping rules assume; gaps wider than 2*dilate (true word spaces)
     may still merge, and the template recognizer re-splits those by
-    inserting spaces at wide in-box gaps."""
-    fg = img != bg
+    inserting spaces at wide in-box gaps.
+
+    The keyword thresholds carry the reference's CRAFT/EasyOCR detect
+    parameters (``config.DetectionConfig``): when ``weak_max`` is given,
+    candidate ink is luminance <= weak_max (CRAFT's ``low_text`` region
+    cut) instead of exact non-background; when ``strong_max`` is given,
+    a component survives only if it contains a pixel with luminance
+    <= strong_max (CRAFT's ``text_threshold`` confidence cut) —
+    hysteresis thresholding. When all four line-merge factors are given,
+    ``merge_line_boxes`` runs on the tight boxes (EasyOCR's
+    ``height_ths/width_ths/slope_ths/ycenter_ths``)."""
+    fg = (img != bg) if weak_max is None else (img <= weak_max)
     if not fg.any():
         return np.zeros((0, 4), dtype=np.int64)
     pad = np.pad(fg, dilate + 1).astype(np.int32)
@@ -197,8 +262,18 @@ def detect_rects_words(img: np.ndarray, bg: int = BACKGROUND,
         cols = np.flatnonzero(sub.any(axis=0))
         if not len(rows):
             continue
-        out.append([x1 + cols[0], y1 + rows[0],
-                    x1 + cols[-1] + 1, y1 + rows[-1] + 1])
+        tx1, ty1 = x1 + cols[0], y1 + rows[0]
+        tx2, ty2 = x1 + cols[-1] + 1, y1 + rows[-1] + 1
+        if strong_max is not None:
+            region = img[ty1:ty2, tx1:tx2]
+            if not ((region <= strong_max) & fg[ty1:ty2, tx1:tx2]).any():
+                continue        # weak-only component: below text_threshold
+        out.append([tx1, ty1, tx2, ty2])
+    if not out:
+        return np.zeros((0, 4), dtype=np.int64)
     boxes = np.array(out, dtype=np.int64)
+    if None not in (height_ths, width_ths, slope_ths, ycenter_ths):
+        boxes = merge_line_boxes(boxes, height_ths, width_ths,
+                                 slope_ths, ycenter_ths)
     order = np.lexsort((boxes[:, 0], boxes[:, 1]))
     return boxes[order]

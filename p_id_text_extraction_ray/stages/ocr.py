@@ -72,9 +72,26 @@ class WordDetector(PixelDetector):
     fixture kernel, emitting the word boxes CRAFT would — per-glyph
     boxes are taller than wide, which the reference's orientation+
     alignment connection rules (grouping_logic.py:324-436) read as
-    vertical text and refuse to chain horizontally."""
+    vertical text and refuse to chain horizontally.
 
-    _kernel = staticmethod(detect_rects_words)
+    The seven reference detect thresholds (``config.DetectionConfig``,
+    from ``configs/base.yaml:33-41``) parameterize the kernel per actor:
+    hysteresis ink cuts from ``text_threshold``/``low_text``, the
+    glyph-linking dilation radius from ``link_threshold``
+    (``round(80 * (1 - link))`` px — the shipped 0.9 default reproduces
+    the tuned 8 px radius), and the EasyOCR-style same-line merge from
+    ``height_ths``/``width_ths``/``slope_ths``/``ycenter_ths``."""
+
+    def __init__(self, cfg: ExtractConfig | None = None):
+        super().__init__(cfg)
+        det = self.cfg.detection
+        dilate = max(1, round(80 * (1 - det.link_threshold)))
+        strong_max = int(round(255 * (1 - det.text_threshold)))
+        weak_max = int(round(255 * (1 - det.low_text)))
+        self._kernel = lambda img: detect_rects_words(
+            img, dilate=dilate, strong_max=strong_max, weak_max=weak_max,
+            height_ths=det.height_ths, width_ths=det.width_ths,
+            slope_ths=det.slope_ths, ycenter_ths=det.ycenter_ths)
 
 
 class TemplateRecognizer(StubRecognizer):
