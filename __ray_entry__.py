@@ -147,12 +147,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": T.top_bigrams,
         "sample_mix": T.sample_mix,
         "doc_repetition_stats": T.doc_repetition_stats,
+        "gopher_quality_flags": T.gopher_quality_flags,
         "doc_zscore_by_lang": T.doc_zscore_by_lang,
         "tfidf_top_terms": T.tfidf_top_terms,
         "decontaminate_train": C.decontaminate_train,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
         "cap_per_source": C.cap_per_source,
+        "dedup_paragraphs": C.dedup_paragraphs,
         "shuffle_corpus": C.shuffle_corpus,
         "chunk_documents": CH.chunk_documents,
         "fuzzy_token_pairs": F.fuzzy_token_pairs,
@@ -256,6 +258,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_mad_by_lang": T.DOC_LENGTH_MAD_SQL,
         "heavy_hitter_tokens": K.HEAVY_HITTER_TOKENS_SQL,
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
+        "gopher_quality_flags": T.GOPHER_QUALITY_FLAGS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
         "sample_mix": T.SAMPLE_MIX_SQL,
         "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,
@@ -264,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "cap_per_source": C.CAP_PER_SOURCE_SQL,
+        "dedup_paragraphs": C.DEDUP_PARAGRAPHS_SQL,
         "shuffle_corpus": C.SHUFFLE_CORPUS_SQL,
         "chunk_documents": CH.CHUNK_SQL,
         "fuzzy_token_pairs": F.FUZZY_TOKEN_PAIRS_SQL,

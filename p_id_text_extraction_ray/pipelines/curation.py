@@ -553,3 +553,117 @@ SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
 FROM documents
 ORDER BY shuffle_rank
 """
+
+
+# ------------------- corpus-level exact paragraph dedup (reassembly)
+
+def dedup_paragraphs(sf_dir: str):
+    """Cross-document exact paragraph dedup with in-order reassembly —
+    the boilerplate-paragraph removal step of a crawl curation pipeline
+    (repeated footers/navboxes struck from every page but their first
+    occurrence). A paragraph survives only at its globally first
+    position (smallest (doc_id, position)); every document is rebuilt
+    from its surviving paragraphs in original order.
+
+    Scale shape, two all-to-alls, paragraph text shuffles ONCE:
+
+    1. winner pass — paragraphs become (hash64, doc_id, i) rows (8-byte
+       key, no text, like decontamination's gram rows); one hash-bucket
+       shuffle + per-bucket vectorized first-occurrence pick yields the
+       winning (doc_id, i) positions.
+    2. fused filter+reassembly — exploded paragraphs (with text) and
+       winner positions co-partition by doc_id hash in one shuffle;
+       inside each bucket an inner merge keeps winning positions and a
+       per-doc ordered join rebuilds the text. Per-doc paragraph counts
+       come free (the bucket holds every paragraph of its docs), so
+       n_dropped needs no third pass.
+
+    The exploded view is computed twice (two consumers of one lazy
+    plan), trading a re-read for never materializing the corpus.
+    64-bit paragraph hashes stand in for paragraph equality in the
+    winner pass (the reassembly side never compares text either — it
+    trusts positions), same collision stance as ``decontaminate_train``.
+    """
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, pars = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            ps = text.split("\n\n")
+            ids.extend([doc_id] * len(ps))
+            idxs.extend(range(len(ps)))
+            pars.extend(ps)
+        return pd.DataFrame({"doc_id": np.asarray(ids, dtype=np.int64),
+                             "i": np.asarray(idxs, dtype=np.int64),
+                             "par": pd.Series(pars, dtype=object)})
+
+    exploded = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+
+    # --- pass 1: winning (doc_id, i) per distinct paragraph hash
+    def hash_rows(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.fromiter((stable_hash64(p) for p in df["par"]),
+                        dtype=np.uint64, count=len(df)).astype(np.int64)
+        out = pd.DataFrame({"h": h, "doc_id": df["doc_id"].to_numpy(),
+                            "i": df["i"].to_numpy()})
+        # per-batch pre-prune: one candidate per hash shrinks the shuffle
+        out = out.sort_values(["h", "doc_id", "i"]).drop_duplicates("h")
+        return out.assign(__bucket=_bucket_of(out["h"], 64))
+
+    def first_per_hash(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["h", "doc_id", "i"]).drop_duplicates("h")
+                [["doc_id", "i"]])
+
+    winners = exploded.map_batches(hash_rows, batch_format="pandas") \
+        .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS) \
+        .map_groups(first_per_hash, batch_format="pandas")
+
+    # --- pass 2: co-partition paragraphs + winners by doc, rebuild docs
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            out = df.assign(__side=np.int8(side),
+                            __bucket=_bucket_of(df["doc_id"], 64))
+            if side == 1:
+                out = out.assign(par=pd.Series([None] * len(df),
+                                               dtype=object))
+            return out[["doc_id", "i", "par", "__side", "__bucket"]]
+        return fn
+
+    def rebuild(df: pd.DataFrame) -> pd.DataFrame:
+        side = df["__side"].to_numpy()
+        pars = df.loc[side == 0, ["doc_id", "i", "par"]]
+        wins = df.loc[side == 1, ["doc_id", "i"]]
+        n_par = pars.groupby("doc_id").size()
+        kept = pars.merge(wins, on=["doc_id", "i"], how="inner") \
+            .sort_values(["doc_id", "i"])
+        agg = kept.groupby("doc_id").agg(
+            text_dedup=("par", "\n\n".join), n_kept=("par", "size"))
+        out = n_par.rename("n_par").to_frame().join(agg, how="left")
+        out["text_dedup"] = out["text_dedup"].fillna("")
+        out["n_dropped"] = (out["n_par"]
+                            - out["n_kept"].fillna(0)).astype(np.int64)
+        return out.reset_index()[["doc_id", "text_dedup", "n_dropped"]]
+
+    both = exploded.map_batches(tag(0), batch_format="pandas") \
+        .union(winners.map_batches(tag(1), batch_format="pandas"))
+    return both.groupby(
+        "__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS) \
+        .map_groups(lambda df: rebuild(df.drop(columns="__bucket")),
+                    batch_format="pandas").sort("doc_id")
+
+
+DEDUP_PARAGRAPHS_SQL = r"""
+WITH base AS (
+  SELECT doc_id, string_split(text, e'\n\n') AS ls FROM documents),
+p AS (
+  SELECT doc_id, unnest(ls) AS par, unnest(range(len(ls))) AS i
+  FROM base),
+k AS (
+  SELECT doc_id, i, par,
+         row_number() OVER (PARTITION BY par ORDER BY doc_id, i) AS rn
+  FROM p)
+SELECT doc_id,
+       coalesce(string_agg(par, e'\n\n' ORDER BY i)
+                FILTER (WHERE rn = 1), '') AS text_dedup,
+       count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""

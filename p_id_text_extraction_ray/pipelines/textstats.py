@@ -866,3 +866,131 @@ FROM documents d JOIN m ON d.lang = m.lang
 GROUP BY d.lang
 ORDER BY d.lang
 """
+
+
+# ----------------- Gopher-style composite quality rules (Rae et al. '21)
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# Word-count and stopword cuts are scaled to the synthetic corpus (docs
+# are 10-99 words with ~0.8 distinct stopwords, so the paper's 50 / 2
+# would reject 100% and the gate would be degenerate); the rule SHAPE
+# and every other threshold are the paper's table A1 values.
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 25, 100_000   # paper: 50 / 100k
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 1                           # paper: 2
+
+
+def gopher_quality_flags(sf_dir: str):
+    """The Gopher corpus-filter rule set (Rae et al. '21, table A1) as
+    per-document features plus the composite keep decision: word-count
+    bounds, mean word length bounds, symbol-to-word ratio (# and
+    ellipsis), bullet-line and ellipsis-line fractions, alphabetic-word
+    fraction, and the >=2-distinct-stopwords rule. Embarrassingly
+    parallel per-doc map (same shape as ``doc_repetition_stats``);
+    word tokens are ``\\w+`` over the lowercased text on BOTH sides so
+    every ratio divides the same integers as the SQL oracle.
+    """
+    import numpy as np
+    word_re = re.compile(r"\w+")
+    alpha_re = re.compile(r"[a-z]")
+    bullet_re = re.compile(r"^\s*[-*•]")
+    ellipsis_re = re.compile(r"(\.\.\.|…)\s*$")
+    stop_set = set(GOPHER_STOPWORDS)
+
+    def flags(df: pd.DataFrame) -> pa.Table:
+        n = len(df)
+        n_words = np.zeros(n, dtype=np.int64)
+        mwl = np.zeros(n, dtype=np.float64)
+        sym = np.zeros(n, dtype=np.float64)
+        bul = np.zeros(n, dtype=np.float64)
+        ell = np.zeros(n, dtype=np.float64)
+        alf = np.zeros(n, dtype=np.float64)
+        nst = np.zeros(n, dtype=np.int64)
+        for k, text in enumerate(df["text"]):
+            low = text.lower()
+            words = word_re.findall(low)
+            n_words[k] = len(words)
+            if words:
+                mwl[k] = sum(map(len, words)) / len(words)
+                sym[k] = ((low.count("#") + low.count("...")
+                           + low.count("…")) / len(words))
+                alf[k] = (sum(1 for w in words if alpha_re.search(w))
+                          / len(words))
+            lines = low.split("\n")
+            bul[k] = sum(1 for l in lines if bullet_re.match(l)) / len(lines)
+            ell[k] = (sum(1 for l in lines if ellipsis_re.search(l))
+                      / len(lines))
+            nst[k] = len(stop_set.intersection(words))
+        keep = ((n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS)
+                & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+                & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+                & (bul <= GOPHER_MAX_BULLET_FRAC)
+                & (ell <= GOPHER_MAX_ELLIPSIS_FRAC)
+                & (alf >= GOPHER_MIN_ALPHA_FRAC)
+                & (nst >= GOPHER_MIN_STOPWORDS))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "n_words": pa.array(n_words),
+            "mean_word_len": pa.array(np.round(mwl, 6)),
+            "symbol_ratio": pa.array(np.round(sym, 6)),
+            "bullet_line_frac": pa.array(np.round(bul, 6)),
+            "ellipsis_line_frac": pa.array(np.round(ell, 6)),
+            "alpha_word_frac": pa.array(np.round(alf, 6)),
+            "n_stopwords": pa.array(nst),
+            "keep": pa.array(keep.astype(np.int64))})
+
+    return _docs(sf_dir).map_batches(flags, batch_format="pandas")
+
+
+GOPHER_QUALITY_FLAGS_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, lower(text) AS low,
+         regexp_extract_all(lower(text), '\w+') AS ws,
+         string_split(lower(text), e'\n')       AS ls
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws)
+         END AS mwl,
+         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           ((length(low) - length(replace(low, '#', '')))
+            + (length(low) - length(replace(low, '...', ''))) / 3
+            + (length(low) - length(replace(low, '…', ''))))::DOUBLE
+           / len(ws)
+         END AS sym,
+         len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]')))::DOUBLE
+           / len(ls) AS bul,
+         len(list_filter(ls, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::DOUBLE
+           / len(ls) AS ell,
+         CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+           len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::DOUBLE
+           / len(ws)
+         END AS alf,
+         len(list_filter({(
+             "['" + "','".join(GOPHER_STOPWORDS) + "']"
+         )}, s -> list_contains(ws, s))) AS nst
+  FROM base)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym, 6) AS symbol_ratio,
+       round(bul, 6) AS bullet_line_frac,
+       round(ell, 6) AS ellipsis_line_frac,
+       round(alf, 6) AS alpha_word_frac,
+       nst AS n_stopwords,
+       CASE WHEN n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+             AND mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}
+             AND sym <= {GOPHER_MAX_SYMBOL_RATIO}
+             AND bul <= {GOPHER_MAX_BULLET_FRAC}
+             AND ell <= {GOPHER_MAX_ELLIPSIS_FRAC}
+             AND alf >= {GOPHER_MIN_ALPHA_FRAC}
+             AND nst >= {GOPHER_MIN_STOPWORDS}
+        THEN 1 ELSE 0 END AS keep
+FROM feat
+"""
