@@ -1,0 +1,86 @@
+"""Web-page main-content extraction over the documents corpus.
+
+The north-star text path applied to crawl-shaped input: every document
+is wrapped in a deterministic synthetic page template (navigation bar,
+link-list sidebar, templated footer, script/style noise — the chrome a
+crawler actually sees), and ``functions/htmlextract.extract_main_text``
+must strip the chrome and recover exactly the article body. The wrap is
+a pure function of (doc_id, text), so the whole query is deterministic
+and self-verifying: the ``match`` column is 1 iff the extracted body
+equals the original document text. Rows-only (DuckDB cannot parse
+HTML); correctness of the extractor on adversarial markup lives in
+``tests/test_htmlextract.py``.
+
+Scale shape: embarrassingly parallel ``map_batches`` (one compiled-
+regex tokenizer pass per page, no shuffle at all); at 100 TB this is
+the canonical streaming stage — read, transform, emit, backpressure.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+
+from ..functions.htmlextract import extract_main_text
+from ._util import sized_read
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    return sized_read(os.path.join(sf_dir, "documents.parquet"),
+                      list(columns), rows_per_block=4096)
+
+
+def synth_page(doc_id: int, text: str) -> str:
+    """Deterministic crawl-page template around a document's text: the
+    body paragraphs are the doc's words in ~3 chunks; everything else
+    is boilerplate the extractor must remove."""
+    words = text.split()
+    k = max(1, (len(words) + 2) // 3)
+    paras = [" ".join(words[i:i + k]) for i in range(0, len(words), k)] \
+        or [""]
+    para_html = "\n".join(f"<p>{p}</p>" for p in paras)
+    return f"""<!DOCTYPE html>
+<html><head><title>Doc {doc_id} &mdash; Corpus</title>
+<style>p {{ margin: 0 }}</style>
+<script>var q = "<p>not text</p>";</script>
+</head><body>
+<header><h1><a href="/">Corpus {doc_id % 7}</a></h1></header>
+<nav><ul><li><a href="/a">home</a></li><li><a href="/b">browse all
+documents</a></li><li><a href="/c">about this corpus</a></li></ul></nav>
+<div id="content">
+<article>
+{para_html}
+</article>
+</div>
+<aside><p>related: <a href="/r1">doc {doc_id + 1}</a>
+<a href="/r2">doc {doc_id + 2}</a> <a href="/r3">doc {doc_id + 3}</a>
+</p></aside>
+<div class="share"><p><a href="/s">share</a> <a href="/t">tweet</a></p></div>
+<footer><p>copyright corpus press {2000 + doc_id % 20} all rights
+reserved</p></footer>
+</body></html>"""
+
+
+def html_main_content(sf_dir: str):
+    """documents -> synthetic crawl pages -> main-content extraction.
+
+    Output per doc: extracted title, body, block counts, and ``match``
+    (1 iff the body equals the source text after the same whitespace
+    normalization the page template applies)."""
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            res = extract_main_text(synth_page(int(doc_id), text))
+            expected = " ".join(text.split())
+            got = " ".join(res["main_text"].split())
+            rows.append((int(doc_id), res["title"], res["main_text"],
+                         res["n_blocks"], res["n_kept"],
+                         int(got == expected)))
+        return pd.DataFrame(rows, columns=[
+            "doc_id", "title", "main_text", "n_blocks", "n_kept",
+            "match"])
+
+    return _docs(sf_dir).map_batches(run, batch_format="pandas") \
+        .sort("doc_id")
