@@ -134,7 +134,8 @@ def run_bench() -> dict:
                      "pagerank_tokens", "events_value_percentile",
                      "lineitem_corr_matrix", "q11_important_stock",
                      "cap_per_source", "shuffle_corpus",
-                     "doc_length_mad_by_lang"):
+                     "doc_length_mad_by_lang", "dedup_paragraphs",
+                     "gopher_quality_flags", "html_main_content"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -142,6 +142,13 @@ class ExtractConfig:
     # (lossless PIDR/PNG fixtures).
     detect_bg_tolerance: int = 0
 
+    # Text path: route markup-bearing text spans through HTML
+    # main-content extraction (functions/htmlextract) before the
+    # byte-stream clean — the north star's "HTML boilerplate strip"
+    # for crawl-shaped corpora. Off by default: the P&ID fixture
+    # corpus carries plain text and the goldens pin that behavior.
+    html_strip: bool = False
+
     # Ray execution knobs. Actor pools AUTOSCALE between (1, max); max=None
     # derives from the cluster CPU count at pipeline build so the two pools
     # plus the stateless task stages can never deadlock a small cluster

@@ -177,7 +177,7 @@ def extract_spans(docs: "ray.data.Dataset", media_root: str,
 
     text_rows = (spans
                  .map_batches(route_text, batch_format="pyarrow")
-                 .map_batches(make_clean_text_fn(counter),
+                 .map_batches(make_clean_text_fn(counter, cfg.html_strip),
                               batch_format="pyarrow"))
     if stop_after == "text_clean":
         return text_rows

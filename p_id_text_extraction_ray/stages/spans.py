@@ -63,10 +63,19 @@ def route_image(batch: pa.Table) -> pa.Table:
     return t.select(["doc_id", "offset", "media_ref"])
 
 
-def make_clean_text_fn(counter=None):
-    """Factory for the text-clean batch fn with optional drop counting."""
+def make_clean_text_fn(counter=None, html_strip: bool = False):
+    """Factory for the text-clean batch fn with optional drop counting.
+
+    ``html_strip`` (``ExtractConfig.html_strip``): markup-bearing text
+    spans are routed through the main-content extractor
+    (``functions/htmlextract.extract_main_text`` — chrome prune,
+    link-density cut) before the byte-stream clean; plain-text spans
+    never pay for it (a vectorized regex picks the HTML subset, and
+    only those rows take the per-span Python extraction)."""
 
     def fn(batch: pa.Table) -> pa.Table:
+        if html_strip and len(batch):
+            batch = strip_html_spans(batch)
         out = clean_text_spans(batch)
         if counter is not None:
             from ..state.counters import record_drop
@@ -74,6 +83,23 @@ def make_clean_text_fn(counter=None):
         return out
 
     return fn
+
+
+def strip_html_spans(batch: pa.Table) -> pa.Table:
+    """Replace the text of markup-bearing spans with their extracted
+    main content (boilerplate stripped); plain spans pass untouched."""
+    from ..functions.htmlextract import extract_main_text
+
+    text = batch.column("text").combine_chunks()
+    is_html = pc.match_substring_regex(text, r"<[a-zA-Z!/]")
+    if not pc.any(is_html).as_py():
+        return batch
+    py = text.to_pylist()
+    mask = is_html.to_pylist()
+    new = [extract_main_text(t)["main_text"] if m else t
+           for t, m in zip(py, mask)]
+    return batch.set_column(batch.schema.get_field_index("text"),
+                            "text", pa.array(new, pa.string()))
 
 
 def clean_text_spans(batch: pa.Table) -> pa.Table:

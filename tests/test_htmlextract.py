@@ -116,3 +116,42 @@ def test_html_main_content_query(ray_session):
     assert len(out) == 500
     assert int(out["match"].sum()) == 500
     assert (out["n_blocks"] > out["n_kept"]).all()   # chrome was present
+
+
+def test_flagship_text_path_html_strip(ray_session, tmp_path):
+    """ExtractConfig(html_strip=True) routes markup-bearing text spans
+    through main-content extraction inside the REAL pipeline; plain
+    spans and the default config are untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from p_id_text_extraction_ray.config import ExtractConfig
+    from p_id_text_extraction_ray.pipelines.extract import extract_spans
+
+    page = ("<html><body><nav><a>home</a> <a>about</a></nav>"
+            "<p>the actual article body lives here</p>"
+            "<footer><p>copyright chrome</p></footer></body></html>")
+    span_type = pa.list_(pa.struct([("kind", pa.string()),
+                                    ("text", pa.string()),
+                                    ("media_ref", pa.string()),
+                                    ("offset", pa.int32())]))
+    docs = pa.table({
+        "doc_id": pa.array(["D0"], pa.string()),
+        "spans": pa.array([[
+            {"kind": "text", "text": page, "media_ref": "", "offset": 0},
+            {"kind": "text", "text": "plain span stays", "media_ref": "",
+             "offset": 1},
+        ]], span_type)})
+    p = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, p)
+
+    on = extract_spans(rd.read_parquet(p), str(tmp_path),
+                       cfg=ExtractConfig(html_strip=True)).to_pandas() \
+        .sort_values("offset")
+    assert on["text"].tolist() == ["the actual article body lives here",
+                                   "plain span stays"]
+
+    off = extract_spans(rd.read_parquet(p), str(tmp_path)).to_pandas() \
+        .sort_values("offset")
+    assert "<nav>" in off["text"].iloc[0]        # default: markup kept
