@@ -84,3 +84,45 @@ def html_main_content(sf_dir: str):
 
     return _docs(sf_dir).map_batches(run, batch_format="pandas") \
         .sort("doc_id")
+
+
+def _accent(text: str) -> str:
+    """Deterministic non-ASCII enrichment of a plain-ASCII doc (vowels
+    in every 5th word become accented), so the mojibake round-trip has
+    something to corrupt."""
+    table = str.maketrans("aeiou", "áéíóú")
+    words = text.split(" ")
+    return " ".join(w.translate(table) if i % 5 == 0 else w
+                    for i, w in enumerate(words))
+
+
+def fix_text_encoding(sf_dir: str):
+    """documents -> deterministic mojibake corruption -> repair.
+
+    Each doc's text is accented (pure function of the text), corrupted
+    the way crawls actually corrupt it (UTF-8 bytes re-read as cp1252;
+    every 3rd doc corrupted twice — double mojibake), then repaired by
+    ``functions/textfix.fix_mojibake``. Self-verifying: ``match`` is 1
+    iff the repair recovered the pre-corruption text exactly, and
+    ``n_fixed`` counts the mojibake signatures removed. Rows-only
+    (DuckDB has no byte-level re-decode). Embarrassingly parallel
+    map_batches; no shuffle.
+    """
+    from ..functions.textfix import fix_mojibake, mojibake_score
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            clean = _accent(text)
+            rounds = 2 if doc_id % 3 == 0 else 1
+            bad = clean
+            for _ in range(rounds):
+                bad = bad.encode("utf-8").decode("cp1252")
+            fixed = fix_mojibake(bad)
+            rows.append((int(doc_id), mojibake_score(bad),
+                         int(fixed == clean)))
+        return pd.DataFrame(rows,
+                            columns=["doc_id", "n_fixed", "match"])
+
+    return _docs(sf_dir).map_batches(run, batch_format="pandas") \
+        .sort("doc_id")
