@@ -45,6 +45,8 @@ from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extra
                                                          pid_pdf_ingest,
                                                          pid_pdf_ocr)
 from p_id_text_extraction_ray.pipelines.webextract import \
+    curate_web_corpus as _curate_web_corpus
+from p_id_text_extraction_ray.pipelines.webextract import \
     fix_text_encoding as _fix_text_encoding
 from p_id_text_extraction_ray.pipelines.webextract import \
     html_main_content as _html_main_content
@@ -196,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pid_pdf_ocr": pid_pdf_ocr,
         "html_main_content": _html_main_content,
         "fix_text_encoding": _fix_text_encoding,
+        "curate_web_corpus": _curate_web_corpus,
         "pid_extract_pdf_points": pid_extract_pdf_points,
         "pid_grouping_stats": pid_grouping_stats,
         "media_ahash_index": MD.media_ahash_index,

@@ -584,6 +584,13 @@ def dedup_paragraphs(sf_dir: str):
     winner pass (the reassembly side never compares text either — it
     trusts positions), same collision stance as ``decontaminate_train``.
     """
+    return dedup_paragraphs_ds(_docs(sf_dir))
+
+
+def dedup_paragraphs_ds(docs):
+    """Dataset-level core of ``dedup_paragraphs``: (doc_id, text) rows
+    in, (doc_id, text_dedup, n_dropped) rows out — composable into
+    larger curation chains (``webextract.curate_web_corpus``)."""
     from .joins import DEFAULT_SHUFFLE_PARTITIONS, _bucket_of
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -597,7 +604,7 @@ def dedup_paragraphs(sf_dir: str):
                              "i": np.asarray(idxs, dtype=np.int64),
                              "par": pd.Series(pars, dtype=object)})
 
-    exploded = _docs(sf_dir).map_batches(explode, batch_format="pandas")
+    exploded = docs.map_batches(explode, batch_format="pandas")
 
     # --- pass 1: winning (doc_id, i) per distinct paragraph hash
     def hash_rows(df: pd.DataFrame) -> pd.DataFrame:

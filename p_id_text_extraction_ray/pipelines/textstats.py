@@ -894,6 +894,14 @@ def gopher_quality_flags(sf_dir: str):
     word tokens are ``\\w+`` over the lowercased text on BOTH sides so
     every ratio divides the same integers as the SQL oracle.
     """
+    return _docs(sf_dir).map_batches(gopher_flags_frame,
+                                     batch_format="pandas")
+
+
+def gopher_flags_frame(df: pd.DataFrame) -> pa.Table:
+    """Per-batch kernel of ``gopher_quality_flags`` — module-level so
+    composed chains (``webextract.curate_web_corpus``) reuse the exact
+    same rule arithmetic."""
     import numpy as np
     word_re = re.compile(r"\w+")
     alpha_re = re.compile(r"[a-z]")
@@ -901,50 +909,47 @@ def gopher_quality_flags(sf_dir: str):
     ellipsis_re = re.compile(r"(\.\.\.|…)\s*$")
     stop_set = set(GOPHER_STOPWORDS)
 
-    def flags(df: pd.DataFrame) -> pa.Table:
-        n = len(df)
-        n_words = np.zeros(n, dtype=np.int64)
-        mwl = np.zeros(n, dtype=np.float64)
-        sym = np.zeros(n, dtype=np.float64)
-        bul = np.zeros(n, dtype=np.float64)
-        ell = np.zeros(n, dtype=np.float64)
-        alf = np.zeros(n, dtype=np.float64)
-        nst = np.zeros(n, dtype=np.int64)
-        for k, text in enumerate(df["text"]):
-            low = text.lower()
-            words = word_re.findall(low)
-            n_words[k] = len(words)
-            if words:
-                mwl[k] = sum(map(len, words)) / len(words)
-                sym[k] = ((low.count("#") + low.count("...")
-                           + low.count("…")) / len(words))
-                alf[k] = (sum(1 for w in words if alpha_re.search(w))
-                          / len(words))
-            lines = low.split("\n")
-            bul[k] = sum(1 for l in lines if bullet_re.match(l)) / len(lines)
-            ell[k] = (sum(1 for l in lines if ellipsis_re.search(l))
-                      / len(lines))
-            nst[k] = len(stop_set.intersection(words))
-        keep = ((n_words >= GOPHER_MIN_WORDS)
-                & (n_words <= GOPHER_MAX_WORDS)
-                & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
-                & (sym <= GOPHER_MAX_SYMBOL_RATIO)
-                & (bul <= GOPHER_MAX_BULLET_FRAC)
-                & (ell <= GOPHER_MAX_ELLIPSIS_FRAC)
-                & (alf >= GOPHER_MIN_ALPHA_FRAC)
-                & (nst >= GOPHER_MIN_STOPWORDS))
-        return pa.table({
-            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
-            "n_words": pa.array(n_words),
-            "mean_word_len": pa.array(np.round(mwl, 6)),
-            "symbol_ratio": pa.array(np.round(sym, 6)),
-            "bullet_line_frac": pa.array(np.round(bul, 6)),
-            "ellipsis_line_frac": pa.array(np.round(ell, 6)),
-            "alpha_word_frac": pa.array(np.round(alf, 6)),
-            "n_stopwords": pa.array(nst),
-            "keep": pa.array(keep.astype(np.int64))})
-
-    return _docs(sf_dir).map_batches(flags, batch_format="pandas")
+    n = len(df)
+    n_words = np.zeros(n, dtype=np.int64)
+    mwl = np.zeros(n, dtype=np.float64)
+    sym = np.zeros(n, dtype=np.float64)
+    bul = np.zeros(n, dtype=np.float64)
+    ell = np.zeros(n, dtype=np.float64)
+    alf = np.zeros(n, dtype=np.float64)
+    nst = np.zeros(n, dtype=np.int64)
+    for k, text in enumerate(df["text"]):
+        low = text.lower()
+        words = word_re.findall(low)
+        n_words[k] = len(words)
+        if words:
+            mwl[k] = sum(map(len, words)) / len(words)
+            sym[k] = ((low.count("#") + low.count("...")
+                       + low.count("…")) / len(words))
+            alf[k] = (sum(1 for w in words if alpha_re.search(w))
+                      / len(words))
+        lines = low.split("\n")
+        bul[k] = sum(1 for l in lines if bullet_re.match(l)) / len(lines)
+        ell[k] = (sum(1 for l in lines if ellipsis_re.search(l))
+                  / len(lines))
+        nst[k] = len(stop_set.intersection(words))
+    keep = ((n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MIN_MWL) & (mwl <= GOPHER_MAX_MWL)
+            & (sym <= GOPHER_MAX_SYMBOL_RATIO)
+            & (bul <= GOPHER_MAX_BULLET_FRAC)
+            & (ell <= GOPHER_MAX_ELLIPSIS_FRAC)
+            & (alf >= GOPHER_MIN_ALPHA_FRAC)
+            & (nst >= GOPHER_MIN_STOPWORDS))
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+        "n_words": pa.array(n_words),
+        "mean_word_len": pa.array(np.round(mwl, 6)),
+        "symbol_ratio": pa.array(np.round(sym, 6)),
+        "bullet_line_frac": pa.array(np.round(bul, 6)),
+        "ellipsis_line_frac": pa.array(np.round(ell, 6)),
+        "alpha_word_frac": pa.array(np.round(alf, 6)),
+        "n_stopwords": pa.array(nst),
+        "keep": pa.array(keep.astype(np.int64))})
 
 
 GOPHER_QUALITY_FLAGS_SQL = rf"""

@@ -126,3 +126,61 @@ def fix_text_encoding(sf_dir: str):
 
     return _docs(sf_dir).map_batches(run, batch_format="pandas") \
         .sort("doc_id")
+
+
+def curate_web_corpus(sf_dir: str):
+    """The full crawl-curation chain as ONE composed lazy plan — what a
+    100 TB training-data run actually looks like end to end:
+
+        synthetic crawl page  (deterministic wrap of each doc)
+        -> HTML main-content extraction     (chrome stripped)
+        -> mojibake corruption + repair     (cp1252 round-trip, fixed)
+        -> Gopher quality gate              (composite keep rules)
+        -> cross-doc paragraph dedup        (winner shuffle + rebuild)
+
+    The narrow stages fuse into one streaming map over the corpus; the
+    only all-to-alls are paragraph dedup's two bucketed shuffles.
+    Output: one row per surviving doc with its final text, word count,
+    and deduped-paragraph count. End-to-end losslessness (final text ==
+    whitespace-normalized source when n_dropped == 0) is asserted in
+    ``tests/test_htmlextract.py``. Rows-only — the HTML/encoding stages
+    are not SQL-expressible; the gate and dedup stages are
+    oracle-checked standalone (``gopher_quality_flags``,
+    ``dedup_paragraphs``).
+    """
+    from ..functions.htmlextract import extract_main_text
+    from ..functions.textfix import fix_mojibake
+    from .curation import dedup_paragraphs_ds
+    from .textstats import gopher_flags_frame
+
+    def wrap_extract_fix(df: pd.DataFrame) -> pd.DataFrame:
+        texts = []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            main = extract_main_text(synth_page(int(doc_id), text))
+            bad = main["main_text"].encode("utf-8").decode("cp1252") \
+                if any(ord(c) > 0x7F for c in main["main_text"]) \
+                else main["main_text"]
+            texts.append(fix_mojibake(bad))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "text": texts})
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        flags = gopher_flags_frame(df).to_pandas()
+        return df.loc[flags["keep"].to_numpy() == 1,
+                      ["doc_id", "text"]]
+
+    extracted = _docs(sf_dir) \
+        .map_batches(wrap_extract_fix, batch_format="pandas") \
+        .map_batches(gate, batch_format="pandas")
+    deduped = dedup_paragraphs_ds(extracted)
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        norm = df["text_dedup"].map(lambda t: " ".join(t.split()))
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "n_words": norm.map(lambda t: len(t.split())).to_numpy(),
+            "n_dropped": df["n_dropped"].to_numpy(),
+            "text_final": df["text_dedup"]})
+
+    return deduped.map_batches(summarize, batch_format="pandas") \
+        .sort("doc_id")

@@ -155,3 +155,30 @@ def test_flagship_text_path_html_strip(ray_session, tmp_path):
     off = extract_spans(rd.read_parquet(p), str(tmp_path)).to_pandas() \
         .sort_values("offset")
     assert "<nav>" in off["text"].iloc[0]        # default: markup kept
+
+
+def test_curate_web_corpus_chain(ray_session):
+    """Composed chain: extraction + repair are lossless, the gate keeps
+    exactly the gopher-kept docs, and untouched docs round-trip."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from p_id_text_extraction_ray.pipelines.textstats import \
+        gopher_quality_flags
+    from p_id_text_extraction_ray.pipelines.webextract import \
+        curate_web_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = curate_web_corpus(sf).to_pandas().set_index("doc_id")
+    flags = gopher_quality_flags(sf).to_pandas()
+    kept = set(flags.loc[flags["keep"] == 1, "doc_id"])
+    assert set(out.index) == kept
+
+    src = pq.read_table(sf + "/documents.parquet",
+                        columns=["doc_id", "text"]).to_pandas() \
+        .set_index("doc_id")
+    undedup = out[out["n_dropped"] == 0]
+    assert len(undedup) > 0
+    for doc_id, row in undedup.iterrows():
+        assert " ".join(row["text_final"].split()) == \
+            " ".join(src.loc[doc_id, "text"].split())
