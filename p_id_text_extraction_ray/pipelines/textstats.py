@@ -999,3 +999,99 @@ SELECT doc_id, n_words,
         THEN 1 ELSE 0 END AS keep
 FROM feat
 """
+
+
+# ---------------- CCNet-style perplexity bucketing (Wenzek et al. '20)
+
+def ccnet_perplexity_buckets(sf_dir: str):
+    """Assign every document to the head / middle / tail tercile of its
+    language's LM-score distribution — CCNet's quality bucketing, with
+    the corpus' own unigram LM standing in for the external KenLM
+    (same substitution as ``doc_unigram_logprob``, whose bit-exact
+    score this reuses).
+
+    Scale shape: scores come from the existing distributed LM pipeline;
+    one co-partitioned join attaches ``lang``; scores quantize onto a
+    bounded grid (``floor(avg_logprob * 100) / 100`` — floor, not
+    round, so both engines quantize identical doubles identically), so
+    the per-language distribution is a SMALL histogram (grid cells x
+    languages), built by one bucketed sum and collected to the driver
+    only at histogram size. Tercile thresholds derive from integer
+    cumulative counts (``3*cum >= k*n`` — no float division) and
+    broadcast back into a final labeling map. The labeled table is
+    materialized once so the LM pipeline does not execute twice.
+    """
+    import numpy as np
+
+    from .joins import hash_join
+
+    from ._util import bucketed_group_sum
+
+    scores = doc_unigram_logprob(sf_dir).map_batches(
+        lambda df: df[["doc_id", "avg_logprob"]], batch_format="pandas")
+    langs = _docs(sf_dir, ("doc_id", "lang"))
+
+    def quantize(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.floor(df["avg_logprob"].to_numpy(np.float64) * 100.0) / 100.0
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "lang": df["lang"],
+                             "score_q": q})
+
+    sl = hash_join(scores, langs, on="doc_id") \
+        .map_batches(quantize, batch_format="pandas").materialize()
+
+    hist = bucketed_group_sum(
+        sl.map_batches(lambda df: df.assign(c=np.int64(1))
+                       [["lang", "score_q", "c"]], batch_format="pandas"),
+        ["lang", "score_q"], ["c"]).to_pandas()
+
+    th: dict[str, tuple[float, float]] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("score_q")
+        cum = g["c"].cumsum().to_numpy()
+        n = int(cum[-1])
+        sq = g["score_q"].to_numpy()
+        t1 = float(sq[np.argmax(3 * cum >= n)])
+        t2 = float(sq[np.argmax(3 * cum >= 2 * n)])
+        th[str(lang)] = (t1, t2)
+
+    def label(df: pd.DataFrame) -> pd.DataFrame:
+        t1 = df["lang"].map(lambda l: th[l][0]).to_numpy()
+        t2 = df["lang"].map(lambda l: th[l][1]).to_numpy()
+        s = df["score_q"].to_numpy()
+        bucket = np.where(s <= t1, "tail",
+                          np.where(s <= t2, "middle", "head"))
+        return df.assign(bucket=bucket)
+
+    return sl.map_batches(label, batch_format="pandas").sort("doc_id")
+
+
+CCNET_PERPLEXITY_BUCKETS_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+             FROM documents),
+dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, t),
+tc AS (SELECT t, CAST(sum(tf) AS BIGINT) AS c FROM dt GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS grand FROM tc),
+s AS (SELECT doc_id,
+             round(sum(tf * ln((c * 1.0) / grand) ORDER BY t)
+                   / CAST(sum(tf) AS DOUBLE), 6) AS avg6
+      FROM dt JOIN tc USING (t) CROSS JOIN tot GROUP BY doc_id),
+sl AS (SELECT s.doc_id, d.lang, floor(avg6 * 100) / 100 AS score_q
+       FROM s JOIN documents d USING (doc_id)),
+h AS (SELECT lang, score_q, count(*) AS c FROM sl GROUP BY lang, score_q),
+cum AS (SELECT lang, score_q,
+               sum(c) OVER (PARTITION BY lang ORDER BY score_q) AS cc,
+               sum(c) OVER (PARTITION BY lang) AS n
+        FROM h),
+th AS (SELECT lang,
+              min(score_q) FILTER (WHERE 3 * cc >= n)     AS t1,
+              min(score_q) FILTER (WHERE 3 * cc >= 2 * n) AS t2
+       FROM cum GROUP BY lang)
+SELECT sl.doc_id, sl.lang, sl.score_q,
+       CASE WHEN sl.score_q <= th.t1 THEN 'tail'
+            WHEN sl.score_q <= th.t2 THEN 'middle'
+            ELSE 'head' END AS bucket
+FROM sl JOIN th USING (lang)
+ORDER BY doc_id
+"""
