@@ -135,7 +135,9 @@ def run_bench() -> dict:
                      "lineitem_corr_matrix", "q11_important_stock",
                      "cap_per_source", "shuffle_corpus",
                      "doc_length_mad_by_lang", "dedup_paragraphs",
-                     "gopher_quality_flags", "html_main_content"):
+                     "gopher_quality_flags", "html_main_content",
+                     "fix_text_encoding", "curate_web_corpus",
+                     "ccnet_perplexity_buckets"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -104,3 +104,19 @@ def test_full_pdf_to_spans_pipeline(ray_session, tmp_path):
         if row["kind"] in ("tag", "image_text"):
             got.setdefault(row["doc_id"], []).append(row["text"])
     assert got == {f"DOC-{i}": [tags[i]] for i in range(len(tags))}
+
+
+def test_template_ocr_survives_jpeg_roundtrip(recognizer):
+    """The full lossy chain: render real glyphs -> encode with the
+    engine's baseline JPEG encoder -> decode with the engine's decoder
+    -> template recognition still reads the tag exactly (ringing is
+    absorbed by the recognizer's ink threshold)."""
+    from p_id_text_extraction_ray.media.jpeg import decode_jpeg, encode_jpeg
+
+    for tag in ("PV-2205", "LIC-5488"):
+        pdf = make_pdf([f"BT /F1 24 Tf 20 100 Td ({tag}) Tj ET\n".encode()])
+        page = render_pdf_pages(pdf, dpi=150)[0]
+        lossy = decode_jpeg(encode_jpeg(page, quality=90))
+        text, conf = recognizer._read(lossy)
+        assert text == tag, (tag, text)
+        assert conf > 0.6
