@@ -1012,7 +1012,7 @@ def ccnet_perplexity_buckets(sf_dir: str):
 
     Scale shape: scores come from the existing distributed LM pipeline;
     one co-partitioned join attaches ``lang``; scores quantize onto a
-    bounded grid (``floor(avg_logprob * 100) / 100`` — floor, not
+    bounded grid (``floor(avg_logprob * 1000) / 1000`` — floor, not
     round, so both engines quantize identical doubles identically), so
     the per-language distribution is a SMALL histogram (grid cells x
     languages), built by one bucketed sum and collected to the driver
@@ -1032,7 +1032,7 @@ def ccnet_perplexity_buckets(sf_dir: str):
     langs = _docs(sf_dir, ("doc_id", "lang"))
 
     def quantize(df: pd.DataFrame) -> pd.DataFrame:
-        q = np.floor(df["avg_logprob"].to_numpy(np.float64) * 100.0) / 100.0
+        q = np.floor(df["avg_logprob"].to_numpy(np.float64) * 1000.0) / 1000.0
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
                              "lang": df["lang"],
                              "score_q": q})
@@ -1077,7 +1077,7 @@ s AS (SELECT doc_id,
              round(sum(tf * ln((c * 1.0) / grand) ORDER BY t)
                    / CAST(sum(tf) AS DOUBLE), 6) AS avg6
       FROM dt JOIN tc USING (t) CROSS JOIN tot GROUP BY doc_id),
-sl AS (SELECT s.doc_id, d.lang, floor(avg6 * 100) / 100 AS score_q
+sl AS (SELECT s.doc_id, d.lang, floor(avg6 * 1000) / 1000 AS score_q
        FROM s JOIN documents d USING (doc_id)),
 h AS (SELECT lang, score_q, count(*) AS c FROM sl GROUP BY lang, score_q),
 cum AS (SELECT lang, score_q,
