@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition_stats": T.doc_repetition_stats,
         "gopher_quality_flags": T.gopher_quality_flags,
         "ccnet_perplexity_buckets": T.ccnet_perplexity_buckets,
+        "bpe_token_counts": T.bpe_token_counts,
         "doc_zscore_by_lang": T.doc_zscore_by_lang,
         "tfidf_top_terms": T.tfidf_top_terms,
         "decontaminate_train": C.decontaminate_train,
@@ -270,6 +271,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition_stats": T.DOC_REPETITION_STATS_SQL,
         "gopher_quality_flags": T.GOPHER_QUALITY_FLAGS_SQL,
         "ccnet_perplexity_buckets": T.CCNET_PERPLEXITY_BUCKETS_SQL,
+        "bpe_token_counts": T.BPE_TOKEN_COUNTS_SQL,
         "top_bigrams": T.TOP_BIGRAMS_SQL,
         "sample_mix": T.SAMPLE_MIX_SQL,
         "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,

@@ -1095,3 +1095,45 @@ SELECT sl.doc_id, sl.lang, sl.score_q,
 FROM sl JOIN th USING (lang)
 ORDER BY doc_id
 """
+
+
+# -------------------- BPE-style pre-tokenizer token counting
+
+# GPT-2's pre-tokenizer split, restricted to constructs Python re and
+# DuckDB's RE2 evaluate identically (the \s+(?!\S) lookahead is dropped
+# — RE2 has no lookahead; contractions, letter runs, digit runs,
+# punctuation runs and whitespace runs are the token classes).
+BPE_SPLIT_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_counts(sf_dir: str):
+    """Token counting under BOTH tokenizers a data pipeline budgets
+    with: whitespace words and a BPE-style pre-tokenizer (the GPT-2
+    split pattern) — the count that actually approximates model tokens
+    when packing sequences or pricing a corpus. Vectorized: one
+    compiled-regex count kernel per batch, no shuffle."""
+
+    pat = re.compile(BPE_SPLIT_PATTERN)
+
+    def counts(df: pd.DataFrame) -> pa.Table:
+        import numpy as np
+        n_bpe = np.fromiter((sum(1 for _ in pat.finditer(t))
+                             for t in df["text"]),
+                            dtype=np.int64, count=len(df))
+        n_ws = np.fromiter((len(t.split()) for t in df["text"]),
+                           dtype=np.int64, count=len(df))
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"].to_numpy(dtype=np.int64)),
+            "n_bpe_tokens": pa.array(n_bpe),
+            "n_ws_tokens": pa.array(n_ws)})
+
+    return _docs(sf_dir).map_batches(counts, batch_format="pandas")
+
+
+BPE_TOKEN_COUNTS_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN.replace("'", "''")}'))
+           AS n_bpe_tokens,
+       len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+FROM documents
+"""
