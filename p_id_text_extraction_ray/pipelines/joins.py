@@ -56,8 +56,23 @@ def _bucketed_join(left, right, on: list[str], how: str, num_buckets: int,
     optional pandas fn applied to the left frame INSIDE each bucket before
     the merge (used by sum_join for the fused reduction)."""
     num_partitions = num_partitions or DEFAULT_SHUFFLE_PARTITIONS
-    l_cols = left.schema().names
-    r_cols = right.schema().names
+    l_schema = left.schema()
+    r_schema = right.schema()
+    if l_schema is None or r_schema is None:
+        # A side produced no blocks at all (schema unknowable — e.g. an
+        # empty corpus upstream). Inner joins degenerate to an empty
+        # result; a left join with a live left side passes it through
+        # (the missing side's non-key columns are unknowable).
+        if how == "left" and l_schema is not None:
+            return left
+        import ray
+        l_cols = list(l_schema.names) if l_schema is not None else list(on)
+        r_cols = list(r_schema.names) if r_schema is not None else list(on)
+        out_cols = l_cols + [c for c in r_cols if c not in l_cols]
+        return ray.data.from_pandas(
+            pd.DataFrame({c: pd.Series(dtype=object) for c in out_cols}))
+    l_cols = l_schema.names
+    r_cols = r_schema.names
     overlap = (set(l_cols) & set(r_cols)) - set(on)
     if overlap:
         raise ValueError(f"non-key column collision: {sorted(overlap)}")

@@ -696,9 +696,11 @@ def doc_unigram_logprob(sf_dir: str):
     g = bucketed_group_sum(
         tf.map_batches(lambda df: df[["t", "tf"]].rename(columns={"tf": "c"}),
                        batch_format="pandas"), "t", ["c"])
-    grand = int(g.map_batches(
+    gn = g.map_batches(
         lambda df: pd.DataFrame({"n": [df["c"].sum()]}),
-        batch_format="pandas").to_pandas()["n"].sum())
+        batch_format="pandas").to_pandas()
+    # empty corpus: the partial-sum frame has no columns at all
+    grand = int(gn["n"].sum()) if "n" in gn.columns else 0
 
     joined = hash_join(tf, g, on="t")
 
@@ -1046,7 +1048,8 @@ def ccnet_perplexity_buckets(sf_dir: str):
         ["lang", "score_q"], ["c"]).to_pandas()
 
     th: dict[str, tuple[float, float]] = {}
-    for lang, g in hist.groupby("lang"):
+    # empty corpus: the histogram frame has no columns at all
+    for lang, g in (hist.groupby("lang") if "lang" in hist.columns else ()):
         g = g.sort_values("score_q")
         cum = g["c"].cumsum().to_numpy()
         n = int(cum[-1])
