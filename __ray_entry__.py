@@ -39,6 +39,8 @@ from p_id_text_extraction_ray.pipelines import similarity as S
 from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import temporal as TM
 from p_id_text_extraction_ray.pipelines import textstats as T
+from p_id_text_extraction_ray.pipelines import audiovideo as AV
+from p_id_text_extraction_ray.pipelines import webfilter as WF
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
                                                          pid_grouping_stats,
@@ -205,6 +207,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pid_grouping_stats": pid_grouping_stats,
         "media_ahash_index": MD.media_ahash_index,
         "media_resize": media_resize,
+        "audio_features": AV.audio_features,
+        "video_frame_sample": AV.video_frame_sample,
+        "pii_redact": WF.pii_redact,
+        "c4_quality_flags": WF.c4_quality_flags,
     }
 
 
@@ -326,6 +332,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_filter_docs": T.QUALITY_FILTER_SQL,
         "text_clean": T.TEXT_CLEAN_SQL,
         "split_train_holdout": T.SPLIT_SQL,
+        "pii_redact": WF.PII_REDACT_SQL,
+        "c4_quality_flags": WF.C4_QUALITY_FLAGS_SQL,
         # rows-only (approximate or non-SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, doc_fingerprints,
         # events_sessionize is SQL-expressible and included above.

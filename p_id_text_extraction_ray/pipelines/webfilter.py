@@ -1,0 +1,136 @@
+"""Web-corpus hygiene operators: PII redaction and C4-style quality flags.
+
+Both are single-pass ``map_batches`` transforms (no shuffle at any scale:
+each doc is scored/rewritten independently, so 100 TB streams straight
+through task-pool workers with the read's own partitioning).
+
+* ``pii_redact`` — the standard pre-training scrub pass: emails, IPv4
+  addresses and phone-like digit runs are replaced with typed
+  placeholders, with per-category counts kept as columns (the counts
+  feed corpus audits; the placeholders keep token positions stable).
+  Patterns are written in the RE2-compatible subset that Python ``re``
+  evaluates identically (explicit ``[0-9]``, no lookaround), and the
+  three rewrites apply in a fixed order (email -> ip -> phone) so the
+  DuckDB oracle can mirror them as nested ``regexp_replace`` stages.
+  The sandbox corpus is digit-free word soup, so corpus counts are
+  zero and the text passes through — planted-PII pytest cases carry
+  the redaction semantics (``tests/test_webfilter.py``).
+
+* ``c4_quality_flags`` — C4's heuristic page filters (Raffel et al.
+  2020), adapted doc-level: word-count band, terminal punctuation,
+  lorem-ipsum / curly-brace / boilerplate-phrase tripwires. ``keep``
+  applies the band + tripwires; the punctuation flag is reported but
+  (unlike line-level C4) not fatal, because whole docs are the unit
+  here.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+# RE2 + Python-re identical subset (ASCII classes, leftmost-first greedy)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+?[0-9][0-9() \-]{6,}[0-9]"
+
+C4_MIN_WORDS = 50        # corpus docs are 10-99 words: the band splits it
+C4_MAX_WORDS = 100_000
+C4_PHRASES = ("lorem ipsum", "javascript", "cookie policy",
+              "privacy policy", "terms of use")
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=list(columns))
+
+
+def redact_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """The pii_redact kernel on a pandas frame (reused by the composed
+    curation chain and by planted-case tests)."""
+    email = re.compile(EMAIL_RE)
+    ipv4 = re.compile(IPV4_RE)
+    phone = re.compile(PHONE_RE)
+    t1 = df["text"].str.replace(email, "<EMAIL>", regex=True)
+    t2 = t1.str.replace(ipv4, "<IP>", regex=True)
+    t3 = t2.str.replace(phone, "<PHONE>", regex=True)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "clean_text": t3,
+        "n_emails": df["text"].str.count(email).astype("int64"),
+        "n_ips": t1.str.count(ipv4).astype("int64"),
+        "n_phones": t2.str.count(phone).astype("int64")})
+
+
+def pii_redact(sf_dir: str):
+    """(doc_id, clean_text, n_emails, n_ips, n_phones) per document."""
+    return _docs(sf_dir).map_batches(redact_frame, batch_format="pandas")
+
+
+PII_REDACT_SQL = rf"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+         regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1)
+SELECT doc_id,
+       regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       n_emails, n_ips,
+       len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones
+FROM s2
+"""
+
+
+def c4_flags_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """The c4_quality_flags kernel on a pandas frame."""
+    text = df["text"]
+    lower = text.str.lower()
+    n_words = text.str.count(r"\S+").astype("int64")
+    has_term = text.str.contains('[.!?"]$', regex=True)
+    no_lorem = ~lower.str.contains("lorem ipsum", regex=False)
+    no_curly = ~text.str.contains("{", regex=False)
+    any_phrase = pd.Series(False, index=df.index)
+    for p in C4_PHRASES:
+        any_phrase |= lower.str.contains(p, regex=False)
+    no_phrase = ~any_phrase
+    keep = ((n_words >= C4_MIN_WORDS) & (n_words <= C4_MAX_WORDS)
+            & no_lorem & no_curly & no_phrase)
+    return pd.DataFrame({
+        "doc_id": df["doc_id"].to_numpy(),
+        "n_words": n_words,
+        "has_terminal_punct": has_term,
+        "no_lorem_ipsum": no_lorem,
+        "no_curly_brace": no_curly,
+        "no_policy_phrase": no_phrase,
+        "keep": keep})
+
+
+def c4_quality_flags(sf_dir: str):
+    """Per-doc C4 heuristic flags + the resulting keep decision."""
+    return _docs(sf_dir).map_batches(c4_flags_frame, batch_format="pandas")
+
+
+_PHRASE_PRED = " OR ".join(
+    f"contains(lower(text), '{p}')" for p in C4_PHRASES)
+
+C4_QUALITY_FLAGS_SQL = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '\S+')) AS n_words,
+       regexp_matches(text, '[.!?"]$') AS has_terminal_punct,
+       NOT contains(lower(text), 'lorem ipsum') AS no_lorem_ipsum,
+       NOT contains(text, '{{') AS no_curly_brace,
+       NOT ({_PHRASE_PRED}) AS no_policy_phrase,
+       (len(regexp_extract_all(text, '\S+')) BETWEEN {C4_MIN_WORDS}
+            AND {C4_MAX_WORDS})
+       AND NOT contains(lower(text), 'lorem ipsum')
+       AND NOT contains(text, '{{')
+       AND NOT ({_PHRASE_PRED}) AS keep
+FROM documents
+"""

@@ -3,11 +3,12 @@
 Media payloads are opaque binary columns addressed by ``media_ref`` with
 typed metadata columns; each operation is an actor-pool ``map_batches``
 stage (decode state, e.g. codec contexts, lives in ``__init__``). The image
-path is fully real on the PIDR raster codec; audio/video containers have no
-decoder in this environment, so those stages gate the decode behind an
-injectable hook (default raises ``NotImplementedError``) while the Ray-side
-plumbing — schemas, batching, actor signature, output layout — is real and
-tested with deterministic fakes.
+path is fully real on the PIDR raster codec; audio and video decode are
+real for the RIFF containers (WAV PCM/float and uncompressed-DIB AVI via
+``media/riff.py``) and gated behind an injectable hook (default raises
+``NotImplementedError``) for compressed containers, while the Ray-side
+plumbing — schemas, batching, actor signature, output layout — is the same
+either way and tested on both the real codecs and deterministic fakes.
 """
 
 from __future__ import annotations
@@ -60,10 +61,15 @@ class ImageResizeStage:
                          "resized": pa.array(blobs, pa.binary())})
 
 
-def _no_audio_decoder(blob: bytes) -> np.ndarray:
+def _default_audio_decoder(blob: bytes) -> np.ndarray:
+    """Real for RIFF/WAVE (PCM + IEEE-float, ``media/riff.py``); other
+    containers keep the injectable boundary."""
+    from ..media.riff import decode_wav, is_wav
+    if is_wav(blob):
+        return decode_wav(blob)[0]
     raise NotImplementedError(
-        "audio decode requires a codec library not present in this "
-        "environment; inject `decode` (bytes -> float32 PCM) to supply one")
+        "only WAV decodes natively here; inject `decode` (bytes -> "
+        "float32 PCM) for other audio containers")
 
 
 class AudioFeatureStage:
@@ -76,7 +82,7 @@ class AudioFeatureStage:
     N_FRAMES = 16
 
     def __init__(self, decode: Callable[[bytes], np.ndarray] | None = None):
-        self.decode = decode or _no_audio_decoder
+        self.decode = decode or _default_audio_decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs = batch.column("ref").to_pylist()
@@ -95,10 +101,16 @@ class AudioFeatureStage:
                          "features": pa.array(feats, pa.list_(pa.float64()))})
 
 
-def _no_video_decoder(blob: bytes, frame_indices: list[int]) -> list[np.ndarray]:
+def _default_video_decoder(blob: bytes, frame_indices: list[int]) -> list[np.ndarray]:
+    """Real for RIFF/AVI with uncompressed DIB frames (``media/riff.py``,
+    only the requested frames' bytes are touched); compressed streams
+    keep the injectable boundary."""
+    from ..media.riff import decode_avi_frames, is_avi
+    if is_avi(blob):
+        return decode_avi_frames(blob, frame_indices)
     raise NotImplementedError(
-        "video decode requires a codec library not present in this "
-        "environment; inject `decode_frames` to supply one")
+        "only uncompressed-DIB AVI decodes natively here; inject "
+        "`decode_frames` for other video containers")
 
 
 class VideoFrameSampleStage:
@@ -112,7 +124,7 @@ class VideoFrameSampleStage:
     def __init__(self, k: int = 4,
                  decode_frames: Callable[[bytes, list[int]], list[np.ndarray]] | None = None):
         self.k = k
-        self.decode_frames = decode_frames or _no_video_decoder
+        self.decode_frames = decode_frames or _default_video_decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         refs_out: list[str] = []
