@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_frame_sample": AV.video_frame_sample,
         "pii_redact": WF.pii_redact,
         "c4_quality_flags": WF.c4_quality_flags,
+        "quality_model_score": WF.quality_model_score,
     }
 
 
@@ -334,6 +335,7 @@ def oracle_sql() -> dict[str, str]:
         "split_train_holdout": T.SPLIT_SQL,
         "pii_redact": WF.PII_REDACT_SQL,
         "c4_quality_flags": WF.C4_QUALITY_FLAGS_SQL,
+        "quality_model_score": WF.QUALITY_MODEL_SCORE_SQL,
         # rows-only (approximate or non-SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, doc_fingerprints,
         # events_sessionize is SQL-expressible and included above.

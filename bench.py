@@ -138,8 +138,8 @@ def run_bench() -> dict:
                      "gopher_quality_flags", "html_main_content",
                      "fix_text_encoding", "curate_web_corpus",
                      "ccnet_perplexity_buckets", "pii_redact",
-                     "c4_quality_flags", "audio_features",
-                     "video_frame_sample"):
+                     "c4_quality_flags", "quality_model_score",
+                     "audio_features", "video_frame_sample"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

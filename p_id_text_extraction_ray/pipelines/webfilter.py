@@ -134,3 +134,78 @@ SELECT doc_id,
        AND NOT ({_PHRASE_PRED}) AS keep
 FROM documents
 """
+
+
+# ------------------------------------------------- model-based quality
+
+class QualityModelStage:
+    """Hashed-bag-of-words linear quality scorer — the batched
+    model-inference pattern: the weight table (64 Ki float64, standing in
+    for fasttext/classifier weights) and a token->bucket hash cache are
+    actor state built once in ``__init__``; each batch runs pure-local
+    scoring (one doc = one row, so there is NO shuffle at any scale).
+
+    Determinism contract (what lets DuckDB mirror it bit-for-bit):
+    bucket = first 4 hex digits of md5(token); weight = bucket/2^16 - 0.5
+    (both exact doubles); per-doc logit sums tf*w in ascending token
+    order (left-associative, == SQL ``sum(x ORDER BY t)``); sigmoid via
+    libm ``math.exp``; rounded to 6 dp. Swapping in real trained weights
+    only changes ``self.w``."""
+
+    def __init__(self):
+        import numpy as np
+        self.w = np.arange(65536, dtype=np.float64) / 65536.0 - 0.5
+        self._bucket: dict[str, int] = {}
+
+    def _h(self, token: str) -> int:
+        h = self._bucket.get(token)
+        if h is None:
+            import hashlib
+            h = int(hashlib.md5(token.encode()).hexdigest()[:4], 16)
+            self._bucket[token] = h
+        return h
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        import math
+        from collections import Counter
+
+        import numpy as np
+        ids, ns, scores = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            cnt = Counter(text.split())
+            if not cnt:
+                continue  # tokenless docs drop, like the SQL unnest
+            num = 0.0
+            for t in sorted(cnt):
+                num = num + cnt[t] * self.w[self._h(t)]
+            n = sum(cnt.values())
+            ids.append(doc_id)
+            ns.append(n)
+            scores.append(round(1.0 / (1.0 + math.exp(-(num / n))), 6))
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "n_tokens": np.array(ns, np.int64),
+                             "quality_score": np.array(scores, np.float64)})
+
+
+def quality_model_score(sf_dir: str):
+    """(doc_id, n_tokens, quality_score) per document on a warm-weight
+    actor pool."""
+    return _docs(sf_dir).map_batches(
+        QualityModelStage, batch_format="pandas",
+        concurrency=(1, 8), num_cpus=1)
+
+
+QUALITY_MODEL_SCORE_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS t
+             FROM documents),
+dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, t),
+s AS (SELECT doc_id,
+             sum(tf * (CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT)
+                       / 65536.0 - 0.5) ORDER BY t) AS num,
+             CAST(sum(tf) AS BIGINT) AS n_tokens
+      FROM dt GROUP BY doc_id)
+SELECT doc_id, n_tokens,
+       round(1.0 / (1.0 + exp(-(num / n_tokens))), 6) AS quality_score
+FROM s
+"""

@@ -75,3 +75,32 @@ def test_c4_flag_values():
     assert bool(c4_flags_frame(pd.DataFrame({
         "doc_id": [0], "text": [("ok " * 60).strip() + "."]}))
         .loc[0, "has_terminal_punct"])
+
+
+def test_quality_model_kernel_matches_oracle_exactly():
+    from p_id_text_extraction_ray.pipelines.webfilter import (
+        QUALITY_MODEL_SCORE_SQL, QualityModelStage)
+    docs = pd.concat([DOCS, pd.DataFrame(
+        {"doc_id": [100], "text": ["Zyzzyva zealot zephyr zest"]})],
+        ignore_index=True)
+    mine = QualityModelStage()(docs).sort_values("doc_id") \
+        .reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = con.sql(QUALITY_MODEL_SCORE_SQL).df() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(mine) == len(docs) - 1          # the empty doc drops
+    pd.testing.assert_frame_equal(mine, oracle, check_dtype=False,
+                                  check_exact=True)  # bit-exact at 6 dp
+
+
+def test_quality_model_score_query_e2e(ray_session):
+    from p_id_text_extraction_ray.pipelines.webfilter import quality_model_score
+    df = quality_model_score("/root/testdata/sf0.001").to_pandas()
+    assert len(df) == 500
+    assert df["quality_score"].between(0, 1).all()
+    # actor warm state does not leak across batches: same doc, same score
+    again = quality_model_score("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(
+        df.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
