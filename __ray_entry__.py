@@ -40,6 +40,7 @@ from p_id_text_extraction_ray.pipelines import sketches as K
 from p_id_text_extraction_ray.pipelines import temporal as TM
 from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines import audiovideo as AV
+from p_id_text_extraction_ray.pipelines import corpusstats as CS
 from p_id_text_extraction_ray.pipelines import webfilter as WF
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
@@ -206,12 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pid_extract_pdf_points": pid_extract_pdf_points,
         "pid_grouping_stats": pid_grouping_stats,
         "media_ahash_index": MD.media_ahash_index,
+        "media_near_dup_pairs": MD.media_near_dup_pairs,
         "media_resize": media_resize,
         "audio_features": AV.audio_features,
         "video_frame_sample": AV.video_frame_sample,
         "pii_redact": WF.pii_redact,
         "c4_quality_flags": WF.c4_quality_flags,
         "quality_model_score": WF.quality_model_score,
+        "vocab_growth_curve": CS.vocab_growth_curve,
+        "resample_to_lang_mix": CS.resample_to_lang_mix,
+        "dsir_importance_weights": CS.dsir_importance_weights,
     }
 
 
@@ -336,6 +341,9 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": WF.PII_REDACT_SQL,
         "c4_quality_flags": WF.C4_QUALITY_FLAGS_SQL,
         "quality_model_score": WF.QUALITY_MODEL_SCORE_SQL,
+        "vocab_growth_curve": CS.VOCAB_GROWTH_CURVE_SQL,
+        "resample_to_lang_mix": CS.RESAMPLE_TO_LANG_MIX_SQL,
+        "dsir_importance_weights": CS.DSIR_IMPORTANCE_WEIGHTS_SQL,
         # rows-only (approximate or non-SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, doc_fingerprints,
         # events_sessionize is SQL-expressible and included above.

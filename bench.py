@@ -139,7 +139,9 @@ def run_bench() -> dict:
                      "fix_text_encoding", "curate_web_corpus",
                      "ccnet_perplexity_buckets", "pii_redact",
                      "c4_quality_flags", "quality_model_score",
-                     "audio_features", "video_frame_sample"):
+                     "audio_features", "video_frame_sample",
+                     "vocab_growth_curve", "resample_to_lang_mix",
+                     "dsir_importance_weights", "media_near_dup_pairs"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

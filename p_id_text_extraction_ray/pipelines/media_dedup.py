@@ -136,3 +136,13 @@ def media_ahash_pairs(media_root: str):
     return (pairs.groupby(["ref_a", "ref_b"],
                           num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
             .map_groups(lambda g: g.head(1), batch_format="pandas"))
+
+
+def media_near_dup_pairs(sf_dir: str):
+    """Near-duplicate image pairs over the flagship interleaved corpus'
+    media pool (rows-only: pixel pipeline). Banded-LSH candidates +
+    in-bucket Hamming verify — the image analogue of dedup_minhash_lsh;
+    planted-duplicate recall is pytest-carried (test_media_dedup.py)."""
+    from .flagship import build_interleaved_docs
+    _, media_root = build_interleaved_docs(sf_dir)
+    return media_ahash_pairs(media_root).sort(["ref_a", "ref_b"])

@@ -8,9 +8,12 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from p_id_text_extraction_ray.pipelines import audiovideo as AV
+from p_id_text_extraction_ray.pipelines import corpusstats as CS
 from p_id_text_extraction_ray.pipelines import curation as C
 from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines import webextract as W
+from p_id_text_extraction_ray.pipelines import webfilter as WF
 
 
 @pytest.fixture(scope="module")
@@ -29,8 +32,18 @@ def empty_dir(tmp_path_factory):
 @pytest.mark.parametrize("op", [
     C.dedup_paragraphs, T.gopher_quality_flags, T.bpe_token_counts,
     T.ccnet_perplexity_buckets, W.html_main_content, W.fix_text_encoding,
-    W.curate_web_corpus])
+    W.curate_web_corpus, WF.pii_redact, WF.c4_quality_flags,
+    WF.quality_model_score, CS.resample_to_lang_mix,
+    CS.dsir_importance_weights, AV.audio_features,
+    AV.video_frame_sample])
 def test_empty_documents(ray_session, empty_dir, op):
     res = op(empty_dir)
     df = res.to_pandas() if hasattr(res, "to_pandas") else res
     assert len(df) == 0
+
+
+def test_empty_vocab_growth(ray_session, empty_dir):
+    from p_id_text_extraction_ray.pipelines.corpusstats import vocab_growth_curve
+    out = vocab_growth_curve(empty_dir)
+    assert len(out) == 10 and out[["n_docs", "vocab_size",
+                                   "n_tokens"]].to_numpy().sum() == 0
