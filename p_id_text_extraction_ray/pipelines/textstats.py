@@ -650,6 +650,11 @@ FROM n GROUP BY lang
 
 # ------------------------------ unigram LM log-prob (quality filter)
 
+# Vocabulary size below which the term->count table broadcasts into the
+# scoring map instead of joining (~250k terms ≈ a few MB shipped once).
+UNIGRAM_BROADCAST_TERM_CAP = 250_000
+
+
 def doc_unigram_logprob(sf_dir: str):
     """(doc_id, n_tokens, avg_logprob, perplexity) per non-empty doc:
     score under the corpus' own unigram LM — the CCNet-style (Wenzek et
@@ -695,14 +700,28 @@ def doc_unigram_logprob(sf_dir: str):
 
     g = bucketed_group_sum(
         tf.map_batches(lambda df: df[["t", "tf"]].rename(columns={"tf": "c"}),
-                       batch_format="pandas"), "t", ["c"])
+                       batch_format="pandas"), "t", ["c"]).materialize()
     gn = g.map_batches(
         lambda df: pd.DataFrame({"n": [df["c"].sum()]}),
         batch_format="pandas").to_pandas()
     # empty corpus: the partial-sum frame has no columns at all
     grand = int(gn["n"].sum()) if "n" in gn.columns else 0
 
-    joined = hash_join(tf, g, on="t")
+    # Attach global counts to the (doc, term) rows. Adaptive: a small
+    # vocabulary (most corpora after tokenization; bounded here) is a
+    # classic broadcast side — ship the count dict into the map and skip
+    # the term-join shuffle entirely; an unbounded term space (the 100-TB
+    # raw-web case) falls back to the partitioned hash join. Both paths
+    # attach IDENTICAL integer counts, so scores stay bit-exact.
+    n_terms = g.count()
+    if n_terms <= UNIGRAM_BROADCAST_TERM_CAP:
+        gdf = g.to_pandas()
+        cmap = dict(zip(gdf["t"], gdf["c"].astype(np.int64)))
+        joined = tf.map_batches(
+            lambda df: df.assign(c=df["t"].map(cmap).astype(np.int64)),
+            batch_format="pandas")
+    else:
+        joined = hash_join(tf, g, on="t")
 
     def score_docs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc_id", "t"], kind="mergesort")

@@ -94,3 +94,17 @@ def test_compression_ratio_flags_repetition(ray_session, tmp_path):
     # deterministic: second run returns identical ratios
     again = T.doc_compression_ratio(root).to_pandas().sort_values("doc_id")
     assert (again["ratio"].to_numpy() == out["ratio"].to_numpy()).all()
+
+
+def test_unigram_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """The adaptive broadcast fast path and the partitioned-join fallback
+    must produce identical scores (same attached counts, same sums)."""
+    from p_id_text_extraction_ray.pipelines import textstats as T
+    fast = T.doc_unigram_logprob("/root/testdata/sf0.001").to_pandas()
+    monkeypatch.setattr(T, "UNIGRAM_BROADCAST_TERM_CAP", 0)
+    slow = T.doc_unigram_logprob("/root/testdata/sf0.001").to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        fast.sort_values("doc_id").reset_index(drop=True),
+        slow.sort_values("doc_id").reset_index(drop=True),
+        check_exact=True)
