@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": WF.pii_redact,
         "c4_quality_flags": WF.c4_quality_flags,
         "quality_model_score": WF.quality_model_score,
+        "curate_web_pipeline": WF.curate_web_pipeline,
         "vocab_growth_curve": CS.vocab_growth_curve,
         "resample_to_lang_mix": CS.resample_to_lang_mix,
         "dsir_importance_weights": CS.dsir_importance_weights,
@@ -341,6 +342,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": WF.PII_REDACT_SQL,
         "c4_quality_flags": WF.C4_QUALITY_FLAGS_SQL,
         "quality_model_score": WF.QUALITY_MODEL_SCORE_SQL,
+        "curate_web_pipeline": WF.CURATE_WEB_PIPELINE_SQL,
         "vocab_growth_curve": CS.VOCAB_GROWTH_CURVE_SQL,
         "resample_to_lang_mix": CS.RESAMPLE_TO_LANG_MIX_SQL,
         "dsir_importance_weights": CS.DSIR_IMPORTANCE_WEIGHTS_SQL,

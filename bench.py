@@ -141,7 +141,8 @@ def run_bench() -> dict:
                      "c4_quality_flags", "quality_model_score",
                      "audio_features", "video_frame_sample",
                      "vocab_growth_curve", "resample_to_lang_mix",
-                     "dsir_importance_weights", "media_near_dup_pairs"):
+                     "dsir_importance_weights", "media_near_dup_pairs",
+                     "curate_web_pipeline"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

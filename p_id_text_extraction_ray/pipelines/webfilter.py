@@ -209,3 +209,114 @@ SELECT doc_id, n_tokens,
        round(1.0 / (1.0 + exp(-(num / n_tokens))), 6) AS quality_score
 FROM s
 """
+
+
+# ------------------------------------------- composed curation pipeline
+
+CURATE_SCORE_MIN = 0.49
+
+
+class CurateWebStage(QualityModelStage):
+    """Fused per-doc curation: PII redact -> C4 keep -> quality-model
+    score -> threshold, all inside one actor call (each step is a pure
+    row-local transform, so fusing them removes three intermediate
+    materializations; the weight table still loads once per actor).
+    Emits only survivors: (doc_id, lang, clean_text, quality_score)."""
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:  # type: ignore[override]
+        red = redact_frame(df)
+        merged = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                               "lang": df["lang"].to_numpy(),
+                               "text": red["clean_text"]})
+        keep = c4_flags_frame(merged)["keep"].to_numpy()
+        surv = merged.loc[keep]
+        scores = QualityModelStage.__call__(self, surv)
+        out = surv.merge(scores[["doc_id", "quality_score"]], on="doc_id")
+        out = out.loc[out["quality_score"] >= CURATE_SCORE_MIN]
+        return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(),
+                             "lang": out["lang"].to_numpy(),
+                             "clean_text": out["text"].to_numpy(),
+                             "quality_score":
+                                 out["quality_score"].to_numpy()})
+
+
+def curate_web_pipeline(sf_dir: str):
+    """The full web-curation chain as ONE streaming plan + a tiny
+    counts pass: redact -> C4 -> model score -> threshold (fused,
+    row-local, actor pool) -> deterministic resample of the survivors
+    to a uniform language mix (exact integer md5 threshold, as in
+    ``corpusstats.resample_to_lang_mix``). Survivors materialize once
+    (object store, spillable) so the mix counts don't re-run the chain.
+    Every stage is mirrored exactly in the DuckDB oracle."""
+    import hashlib
+
+    from .corpusstats import _U52
+
+    docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+    surv = docs.map_batches(CurateWebStage, batch_format="pandas",
+                            concurrency=(1, 8), num_cpus=1).materialize()
+
+    part = surv.map_batches(
+        lambda df: df["lang"].value_counts().rename_axis("lang")
+        .reset_index(name="n"), batch_format="pandas").to_pandas()
+    counts = (part.groupby("lang")["n"].sum()
+              if "lang" in part.columns else pd.Series([], dtype="int64"))
+    if counts.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "lang": pd.Series([], dtype=object),
+                             "clean_text": pd.Series([], dtype=object),
+                             "quality_score": pd.Series([], dtype="float64")})
+    nl = counts.to_dict()
+    m = int(counts.min())
+
+    def accept(df: pd.DataFrame) -> pd.DataFrame:
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+                * int(nl[l]) < m * _U52
+                for d, l in zip(df["doc_id"], df["lang"])]
+        return df.loc[keep]
+
+    return surv.map_batches(accept, batch_format="pandas")
+
+
+_C4_CLEAN_PRED = " OR ".join(
+    f"contains(lower(clean_text), '{p}')" for p in C4_PHRASES)
+
+CURATE_WEB_PIPELINE_SQL = rf"""
+WITH s1 AS (
+  SELECT doc_id, lang,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents),
+s2 AS (SELECT doc_id, lang,
+              regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2 FROM s1),
+red AS (SELECT doc_id, lang,
+               regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g') AS clean_text
+        FROM s2),
+keepc4 AS (
+  SELECT doc_id, lang, clean_text FROM red
+  WHERE len(regexp_extract_all(clean_text, '\S+'))
+        BETWEEN {C4_MIN_WORDS} AND {C4_MAX_WORDS}
+    AND NOT contains(lower(clean_text), 'lorem ipsum')
+    AND NOT contains(clean_text, '{{')
+    AND NOT ({_C4_CLEAN_PRED})),
+tok AS (SELECT doc_id, unnest(regexp_extract_all(clean_text, '\S+')) AS t
+        FROM keepc4),
+dt AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, t),
+s AS (SELECT doc_id,
+             sum(tf * (CAST(concat('0x', substr(md5(t), 1, 4)) AS BIGINT)
+                       / 65536.0 - 0.5) ORDER BY t) AS num,
+             CAST(sum(tf) AS BIGINT) AS n FROM dt GROUP BY doc_id),
+q AS (SELECT doc_id,
+             round(1.0 / (1.0 + exp(-(num / n))), 6) AS quality_score
+      FROM s),
+surv AS (SELECT k.doc_id, k.lang, k.clean_text, q.quality_score
+         FROM keepc4 k JOIN q USING (doc_id)
+         WHERE q.quality_score >= {CURATE_SCORE_MIN}),
+nl AS (SELECT lang, count(*) n FROM surv GROUP BY lang),
+m AS (SELECT min(n) m FROM nl)
+SELECT doc_id, lang, clean_text, quality_score
+FROM surv JOIN nl USING (lang) CROSS JOIN m
+WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) AS HUGEINT) * n
+      < CAST(m AS HUGEINT) * 4503599627370496
+"""

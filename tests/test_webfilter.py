@@ -104,3 +104,25 @@ def test_quality_model_score_query_e2e(ray_session):
     pd.testing.assert_frame_equal(
         df.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_curate_web_stage_composes_kernels():
+    """The fused stage equals running the three kernels in sequence."""
+    from p_id_text_extraction_ray.pipelines.webfilter import (
+        CURATE_SCORE_MIN, CurateWebStage, QualityModelStage)
+    docs = DOCS.assign(lang=["en", "de", "fr", "en", "de",
+                             "fr", "en", "de", "fr", "en"])
+    out = CurateWebStage()(docs)
+    red = redact_frame(docs)
+    merged = pd.DataFrame({"doc_id": docs["doc_id"], "lang": docs["lang"],
+                           "text": red["clean_text"]})
+    keep = c4_flags_frame(merged)["keep"].to_numpy()
+    surv = merged.loc[keep]
+    scores = QualityModelStage()(surv).set_index("doc_id")["quality_score"]
+    want = surv[scores.reindex(surv["doc_id"]).to_numpy()
+                >= CURATE_SCORE_MIN]
+    assert list(out["doc_id"]) == list(want["doc_id"])
+    assert (out["quality_score"] >= CURATE_SCORE_MIN).all()
+    # PII placeholders survive into the curated text
+    assert all("<EMAIL>" not in t or "@" not in t
+               for t in out["clean_text"])
