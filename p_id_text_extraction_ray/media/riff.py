@@ -75,12 +75,16 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
     if channels < 1:
         raise ValueError("WAV with zero channels")
 
+    def aligned(width: int) -> bytes:
+        # a truncated final sample (damaged stream) is dropped, not fatal
+        return data[:len(data) - len(data) % width]
+
     if tag == 1:  # integer PCM
         if bits == 8:
             pcm = (np.frombuffer(data, np.uint8).astype(np.float32)
                    - 128.0) / 128.0
         elif bits == 16:
-            pcm = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
+            pcm = np.frombuffer(aligned(2), "<i2").astype(np.float32) / 32768.0
         elif bits == 24:
             raw = np.frombuffer(data, np.uint8)
             raw = raw[:len(raw) - len(raw) % 3].reshape(-1, 3)
@@ -90,14 +94,15 @@ def decode_wav(blob: bytes) -> tuple[np.ndarray, int]:
             val -= (val & 0x800000) << 1  # sign-extend 24 -> 32
             pcm = val.astype(np.float32) / 8388608.0
         elif bits == 32:
-            pcm = np.frombuffer(data, "<i4").astype(np.float32) / 2147483648.0
+            pcm = np.frombuffer(aligned(4), "<i4").astype(np.float32) \
+                / 2147483648.0
         else:
             raise NotImplementedError(f"{bits}-bit integer PCM")
     elif tag == 3:  # IEEE float
         if bits == 32:
-            pcm = np.frombuffer(data, "<f4").astype(np.float32)
+            pcm = np.frombuffer(aligned(4), "<f4").astype(np.float32)
         elif bits == 64:
-            pcm = np.frombuffer(data, "<f8").astype(np.float32)
+            pcm = np.frombuffer(aligned(8), "<f8").astype(np.float32)
         else:
             raise NotImplementedError(f"{bits}-bit float PCM")
     else:

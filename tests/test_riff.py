@@ -165,3 +165,16 @@ def test_video_frame_sample_query_e2e(ray_session):
     assert sub["mean_luma"].tolist() == [
         round(float(frames[i].mean()), 4)
         for i in sub["frame_index"].tolist()]
+
+
+def test_wav_truncated_final_sample_dropped():
+    pcm = _pcm(100)
+    blob = encode_wav(pcm, 8000)
+    # chop one byte off the data chunk (and fix the declared size)
+    cut = bytearray(blob[:-1])
+    cut[4:8] = struct.pack("<I", len(cut) - 8)
+    i = bytes(cut).index(b"data") + 4
+    cut[i:i + 4] = struct.pack("<I", struct.unpack_from("<I", cut, i)[0] - 1)
+    out, _ = decode_wav(bytes(cut))
+    assert len(out) == 99
+    assert np.max(np.abs(out - pcm[:99])) < 1.5 / 32768
