@@ -110,8 +110,12 @@ def vocab_growth_curve(sf_dir: str):
 
     dh = (docs.map_batches(doc_hist, batch_format="pandas").to_pandas()
           .groupby("decile", as_index=False).sum())
-    vh = (vocab.to_pandas()
-          .groupby("decile", as_index=False)["vocab_size"].sum())
+    vp = vocab.to_pandas()
+    # all-empty texts: no token rows at all -> a column-less frame
+    vh = (vp.groupby("decile", as_index=False)["vocab_size"].sum()
+          if "decile" in vp.columns
+          else pd.DataFrame({"decile": pd.Series([], dtype=np.int64),
+                             "vocab_size": pd.Series([], dtype=np.int64)}))
     out = dh.merge(vh, on="decile", how="left").fillna({"vocab_size": 0})
     out["cutoff_doc_id"] = cuts
     return out[["decile", "cutoff_doc_id", "n_docs",
