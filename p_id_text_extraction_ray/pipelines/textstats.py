@@ -716,7 +716,9 @@ def doc_unigram_logprob(sf_dir: str):
     n_terms = g.count()
     if n_terms <= UNIGRAM_BROADCAST_TERM_CAP:
         gdf = g.to_pandas()
-        cmap = dict(zip(gdf["t"], gdf["c"].astype(np.int64)))
+        # empty corpus: the count frame has no columns at all
+        cmap = (dict(zip(gdf["t"], gdf["c"].astype(np.int64)))
+                if "t" in gdf.columns else {})
         joined = tf.map_batches(
             lambda df: df.assign(c=df["t"].map(cmap).astype(np.int64)),
             batch_format="pandas")
