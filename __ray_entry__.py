@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
         "dedup_clusters": D.dedup_clusters,
         "dedup_incremental": D.dedup_incremental,
+        "doc_novelty_score": D.doc_novelty_score,
         # similarity search
         "ann_topk_bruteforce": S.ann_topk_bruteforce,
         "ann_lsh_topk": S.ann_lsh_topk,
@@ -329,6 +330,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": D.DEDUP_EMBEDDING_SQL,
         "dedup_clusters": D.DEDUP_CLUSTERS_SQL,
         "dedup_incremental": D.DEDUP_INCREMENTAL_SQL,
+        "doc_novelty_score": D.DOC_NOVELTY_SCORE_SQL,
         "ann_topk_bruteforce": S.ANN_TOPK_SQL,
         "embedding_label_centroids": S.EMBEDDING_CENTROIDS_SQL,
         "knn_label_propagation": S.KNN_LABEL_PROPAGATION_SQL,

@@ -142,7 +142,7 @@ def run_bench() -> dict:
                      "audio_features", "video_frame_sample",
                      "vocab_growth_curve", "resample_to_lang_mix",
                      "dsir_importance_weights", "media_near_dup_pairs",
-                     "curate_web_pipeline"):
+                     "curate_web_pipeline", "doc_novelty_score"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -708,3 +708,78 @@ WHERE src_num >= {CORPUS_SOURCE_MAX}
   AND content_hash NOT IN (SELECT content_hash FROM h
                            WHERE src_num < {CORPUS_SOURCE_MAX})
 """
+
+
+# ----------------------------------------------- per-doc n-gram novelty
+
+def doc_novelty_score(sf_dir: str):
+    """(doc_id, n_shingles, n_unique, novelty): the fraction of a doc's
+    distinct word-{K}-gram shingles that appear in NO other document —
+    the contamination/novelty signal dual to ``strip_boilerplate_ngrams``
+    (which removes the other tail of the same distribution).
+
+    Distributed shape reuses the dedup machinery end to end: distinct
+    (shingle, doc) rows -> bounded bucketed count per shingle -> one
+    partitioned join back to the rows -> per-doc bucketed sums. Nothing
+    corpus-sized touches the driver. Oracle mirrors with string shingles
+    (the 64-bit shingle hash is collision-free at test scale, as for
+    ``dedup_ngram_jaccard``)."""
+    from ._util import bucketed_group_sum
+    from .joins import hash_join
+
+    srows = _docs(sf_dir).map_batches(
+        lambda df: _shingle_rows(df).assign(
+            shingle=lambda d: d["shingle"].to_numpy(np.uint64)
+            .view(np.int64)),
+        batch_format="pandas")
+
+    counts = bucketed_group_sum(
+        srows.map_batches(
+            lambda df: pd.DataFrame({"shingle": df["shingle"].to_numpy(),
+                                     "c": np.ones(len(df), np.int64)}),
+            batch_format="pandas"),
+        "shingle", ["c"])
+
+    joined = hash_join(srows, counts, on="shingle")
+
+    per_doc = bucketed_group_sum(
+        joined.map_batches(
+            lambda df: pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_shingles": np.ones(len(df), np.int64),
+                "n_unique": (df["c"].to_numpy(np.int64) == 1)
+                .astype(np.int64)}),
+            batch_format="pandas"),
+        "doc_id", ["n_shingles", "n_unique"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n_shingles"].to_numpy(np.int64)
+        u = df["n_unique"].to_numpy(np.int64)
+        return df.assign(novelty=np.round(u / n, 6))
+
+    return per_doc.map_batches(finish, batch_format="pandas")
+
+
+DOC_NOVELTY_SCORE_SQL = rf"""
+WITH words AS (
+  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+  FROM documents),
+shingles AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - {SHINGLE_K - 1}),
+                  i -> array_to_string(w[i:i+{SHINGLE_K - 1}], ' '))) AS s
+    FROM words WHERE len(w) >= {SHINGLE_K}
+    UNION ALL
+    SELECT doc_id, array_to_string(w, ' ') AS s
+    FROM words WHERE len(w) < {SHINGLE_K} AND len(w) > 0)),
+counts AS (SELECT s, CAST(count(*) AS BIGINT) AS c
+           FROM shingles GROUP BY s),
+per AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+  FROM shingles JOIN counts USING (s) GROUP BY doc_id)
+SELECT doc_id, n_shingles, n_unique,
+       round(n_unique * 1.0 / n_shingles, 6) AS novelty
+FROM per
+"""

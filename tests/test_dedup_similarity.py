@@ -172,3 +172,25 @@ def test_dedup_clusters_planted(ray_session, planted_dir):
     lab = dict(zip(df["doc_id"], df["cluster"]))
     assert lab[0] == lab[1] == lab[2] == 0
     assert lab[3] == 3 and lab[4] == 4 and lab[5] == 5
+
+
+def test_doc_novelty_planted(ray_session, tmp_path):
+    """A doc copied verbatim from another has zero novelty; a doc in a
+    disjoint vocabulary has full novelty."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.pipelines.dedup import doc_novelty_score
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([base, base,  # verbatim pair: nothing unique
+                          "omega psi chi phi upsilon tau sigma rho"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(base), len(base), 40], pa.int64())})
+    root = str(tmp_path)
+    pq.write_table(docs, f"{root}/documents.parquet")
+    out = doc_novelty_score(root).to_pandas().set_index("doc_id")
+    assert out.loc[0, "novelty"] == 0.0 and out.loc[1, "novelty"] == 0.0
+    assert out.loc[2, "novelty"] == 1.0
+    assert out.loc[2, "n_shingles"] == 8 - 2  # 8 words -> 6 3-gram shingles
