@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ccnet_perplexity_buckets": T.ccnet_perplexity_buckets,
         "bpe_token_counts": T.bpe_token_counts,
         "doc_zscore_by_lang": T.doc_zscore_by_lang,
+        "doc_char_entropy": T.doc_char_entropy,
         "tfidf_top_terms": T.tfidf_top_terms,
         "decontaminate_train": C.decontaminate_train,
         "pack_sequences": C.pack_sequences,
@@ -289,6 +290,7 @@ def oracle_sql() -> dict[str, str]:
         "top_bigrams": T.TOP_BIGRAMS_SQL,
         "sample_mix": T.SAMPLE_MIX_SQL,
         "doc_zscore_by_lang": T.DOC_ZSCORE_BY_LANG_SQL,
+        "doc_char_entropy": T.DOC_CHAR_ENTROPY_SQL,
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "decontaminate_train": C.DECONTAMINATE_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,

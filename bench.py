@@ -142,7 +142,8 @@ def run_bench() -> dict:
                      "audio_features", "video_frame_sample",
                      "vocab_growth_curve", "resample_to_lang_mix",
                      "dsir_importance_weights", "media_near_dup_pairs",
-                     "curate_web_pipeline", "doc_novelty_score"):
+                     "curate_web_pipeline", "doc_novelty_score",
+                     "doc_char_entropy"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

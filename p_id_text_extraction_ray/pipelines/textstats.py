@@ -1161,3 +1161,55 @@ SELECT doc_id,
        len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
 FROM documents
 """
+
+
+# ------------------------------------- character-level entropy signal
+
+def doc_char_entropy(sf_dir: str):
+    """(doc_id, n_chars_text, char_entropy) per non-empty doc: Shannon
+    entropy of the character distribution in nats — low entropy flags
+    repetitive/degenerate pages, high entropy flags binary-ish noise
+    (the standard cheap quality signal next to the Gopher ratios).
+
+    Pure row-local map (no shuffle at any scale). Bit-exact vs the
+    oracle: p = k/n as identical doubles, libm ``ln``, contributions
+    summed in ascending character order (== SQL ``sum(x ORDER BY c)``),
+    negated once, 6 dp."""
+    import math
+
+    from collections import Counter
+
+    import numpy as np
+
+    def entropy_frame(df: pd.DataFrame) -> pd.DataFrame:
+        ids, ns, hs = [], [], []
+        for d, t in zip(df["doc_id"], df["text"]):
+            if not t:
+                continue  # charless docs drop, like the SQL unnest
+            cnt = Counter(t)
+            n = len(t)
+            acc = 0.0
+            for ch in sorted(cnt):
+                p = cnt[ch] / n
+                acc = acc + p * math.log(p)
+            ids.append(d)
+            ns.append(n)
+            hs.append(round(-acc, 6))
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "n_chars_text": np.array(ns, np.int64),
+                             "char_entropy": np.array(hs, np.float64)})
+
+    return _docs(sf_dir).map_batches(entropy_frame, batch_format="pandas")
+
+
+DOC_CHAR_ENTROPY_SQL = r"""
+WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+            FROM documents),
+cc AS (SELECT doc_id, c, CAST(count(*) AS BIGINT) AS k
+       FROM ch GROUP BY doc_id, c),
+n AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n FROM cc GROUP BY doc_id)
+SELECT doc_id, n AS n_chars_text,
+       round(-sum((k * 1.0 / n) * ln(k * 1.0 / n) ORDER BY c), 6)
+           AS char_entropy
+FROM cc JOIN n USING (doc_id) GROUP BY doc_id, n
+"""
