@@ -320,3 +320,67 @@ WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
                 AS BIGINT) AS HUGEINT) * n
       < CAST(m AS HUGEINT) * 4503599627370496
 """
+
+
+def curate_web_resumable(sf_dir: str, out_dir: str, *,
+                         num_partitions: int = 16,
+                         wave_partitions: int = 8) -> dict:
+    """``curate_web_pipeline`` as a checkpointed job: output lands in
+    ``out_dir/rows/part=N`` parquet directories with a per-partition
+    manifest, so a killed run resumes from the missing partitions only
+    (``state/rowsink.py``). The chain is row-local except the language
+    mix counts; those are computed once over the whole corpus and cached
+    atomically in ``out_dir/mix.json`` (deterministic, so a re-run that
+    lost the cache recomputes the identical counts). Union of all
+    partitions == the one-shot query, pytest-verified."""
+    import json
+    import hashlib
+    import os
+    import uuid
+
+    from ..state.rowsink import key_partition_filter, write_resumable_rows
+    from .corpusstats import _U52
+
+    mix_path = os.path.join(out_dir, "mix.json")
+    if os.path.exists(mix_path):
+        with open(mix_path) as f:
+            mix = json.load(f)
+        nl = {k: int(v) for k, v in mix["nl"].items()}
+        m = int(mix["m"])
+    else:
+        docs = _docs(sf_dir, ("doc_id", "text", "lang"))
+        part = (docs.map_batches(CurateWebStage, batch_format="pandas",
+                                 concurrency=(1, 8), num_cpus=1)
+                .map_batches(lambda df: df["lang"].value_counts()
+                             .rename_axis("lang").reset_index(name="n"),
+                             batch_format="pandas").to_pandas())
+        counts = (part.groupby("lang")["n"].sum()
+                  if "lang" in part.columns
+                  else pd.Series([], dtype="int64"))
+        nl = {str(k): int(v) for k, v in counts.items()}
+        m = int(counts.min()) if not counts.empty else 0
+        os.makedirs(out_dir, exist_ok=True)
+        tmp = f"{mix_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"nl": nl, "m": m}, f)
+        os.replace(tmp, mix_path)
+
+    def accept(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or m == 0:
+            return df.iloc[0:0]
+        keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
+                * nl[l] < m * _U52
+                for d, l in zip(df["doc_id"], df["lang"])]
+        return df.loc[keep]
+
+    def make_wave_ds(wave: frozenset[int]):
+        docs = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+            key_partition_filter("doc_id", wave, num_partitions),
+            batch_format="pyarrow")
+        return (docs.map_batches(CurateWebStage, batch_format="pandas",
+                                 concurrency=(1, 8), num_cpus=1)
+                .map_batches(accept, batch_format="pandas"))
+
+    return write_resumable_rows(make_wave_ds, out_dir, key_col="doc_id",
+                                num_partitions=num_partitions,
+                                wave_partitions=wave_partitions)

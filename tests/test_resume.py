@@ -103,3 +103,47 @@ def test_resumable_concurrent_waves(ray_session, tiny_fixture, tmp_path):
     got = _norm(pq.read_table(os.path.join(out, "spans")).to_pandas())
     golden = _norm(pq.read_table(tiny_fixture.golden).to_pandas())
     pd.testing.assert_frame_equal(got, golden)
+
+
+def test_curate_web_resumable_matches_oneshot_and_resumes(ray_session, tmp_path):
+    """The generic row sink: full run == the one-shot query; killing two
+    partitions and re-running rewrites only those, byte-identically."""
+    import glob
+    import json
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from p_id_text_extraction_ray.pipelines.webfilter import (
+        curate_web_pipeline, curate_web_resumable)
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "curate_out")
+
+    def read_all():
+        frames = [pq.read_table(p).to_pandas() for p in sorted(
+            glob.glob(os.path.join(out, "rows", "part=*", "*.parquet")))]
+        df = pd.concat(frames, ignore_index=True)
+        return df[sorted(df.columns)].sort_values("doc_id") \
+            .reset_index(drop=True)
+
+    s1 = curate_web_resumable(sf, out, num_partitions=8, wave_partitions=3)
+    assert s1["skipped"] == 0 and s1["processed"] == 8
+    want = curate_web_pipeline(sf).to_pandas()
+    want = want[sorted(want.columns)].sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(read_all(), want, check_dtype=False)
+    assert s1["rows_out"] == len(want)
+
+    # kill: two manifests gone, one of their data dirs corrupted
+    os.remove(os.path.join(out, "manifest", "2.json"))
+    os.remove(os.path.join(out, "manifest", "5.json"))
+    shutil.rmtree(os.path.join(out, "rows", "part=5"))
+    # cached mix counts survive the kill
+    with open(os.path.join(out, "mix.json")) as f:
+        assert json.load(f)["m"] > 0
+
+    s2 = curate_web_resumable(sf, out, num_partitions=8, wave_partitions=3)
+    assert s2["skipped"] == 6 and s2["processed"] == 2
+    pd.testing.assert_frame_equal(read_all(), want, check_dtype=False)
