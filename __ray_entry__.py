@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_quality_flags": WF.c4_quality_flags,
         "quality_model_score": WF.quality_model_score,
         "curate_web_pipeline": WF.curate_web_pipeline,
+        "curate_web_checkpointed": WF.curate_web_checkpointed,
         "vocab_growth_curve": CS.vocab_growth_curve,
         "resample_to_lang_mix": CS.resample_to_lang_mix,
         "dsir_importance_weights": CS.dsir_importance_weights,

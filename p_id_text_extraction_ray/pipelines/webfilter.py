@@ -384,3 +384,30 @@ def curate_web_resumable(sf_dir: str, out_dir: str, *,
     return write_resumable_rows(make_wave_ds, out_dir, key_col="doc_id",
                                 num_partitions=num_partitions,
                                 wave_partitions=wave_partitions)
+
+
+def curate_web_checkpointed(sf_dir: str):
+    """Driver-visible wrapper over ``curate_web_resumable``: runs the
+    checkpointed job into a scratch dir and returns the union of its
+    partitions (rows-only; equality with ``curate_web_pipeline`` is
+    pytest-carried by the kill/resume test)."""
+    import glob
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join("/tmp", "curate_ckpt_"
+                       + _hl.md5(sf_dir.encode()).hexdigest()[:8])
+    shutil.rmtree(out, ignore_errors=True)
+    curate_web_resumable(sf_dir, out)
+    frames = [pq.read_table(p).to_pandas() for p in sorted(
+        glob.glob(os.path.join(out, "rows", "part=*", "*.parquet")))]
+    if not frames:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "lang": pd.Series([], dtype=object),
+                             "clean_text": pd.Series([], dtype=object),
+                             "quality_score": pd.Series([], dtype="float64")})
+    return pd.concat(frames, ignore_index=True) \
+        .sort_values("doc_id").reset_index(drop=True)
