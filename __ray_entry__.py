@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_trailing_window": TM.events_trailing_window,
         "user_activity_streaks": TM.user_activity_streaks,
         "pagerank_tokens": G.pagerank_tokens,
+        "token_triangle_count": G.token_triangle_count,
         "events_value_percentile": RK.events_value_percentile,
         "lineitem_corr_matrix": PF.lineitem_corr_matrix,
         "user_mode_event_type": AX.user_mode_event_type,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_window": TM.EVENTS_TRAILING_WINDOW_SQL,
         "user_activity_streaks": TM.USER_ACTIVITY_STREAKS_SQL,
         "pagerank_tokens": G.PAGERANK_TOKENS_SQL,
+        "token_triangle_count": G.TOKEN_TRIANGLE_COUNT_SQL,
         "events_value_percentile": RK.EVENTS_VALUE_PERCENTILE_SQL,
         "lineitem_corr_matrix": PF.LINEITEM_CORR_MATRIX_SQL,
         "user_mode_event_type": AX.USER_MODE_EVENT_TYPE_SQL,

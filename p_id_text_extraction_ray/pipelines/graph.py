@@ -174,3 +174,111 @@ p2 AS ({_pr_level("p1")}),
 p3 AS ({_pr_level("p2")})
 SELECT tok AS token, r AS pagerank FROM p3
 """
+
+
+# ----------------------------------------------- triangle counting
+
+TRIANGLE_MIN_COOC = 2
+
+
+def token_triangle_count(sf_dir: str):
+    """One-row summary of the token co-occurrence graph's triangle
+    structure: edge / oriented-wedge / triangle counts and the closure
+    ratio (triangles per oriented wedge; 1.0 = every wedge closes).
+
+    Distributed node-iterator with lexicographic orientation: per-doc
+    distinct token pairs (a < b) -> bucketed count -> edges (count >=
+    {T}); wedges a<b<c from one partitioned self-join on the middle
+    node; triangles from a second join probing the closing (a, c) edge.
+    Each triangle is produced exactly once, so no division by symmetry
+    is needed. Skew note: a hub token of degree d contributes O(d^2)
+    wedges — the co-occurrence threshold is the degree-capping knob (at
+    web scale raise it, or pre-drop stopword-degree nodes, before the
+    wedge join).
+
+    Oracle mirrors with string pairs (``doc_id``-grouped self-joins).
+    """
+    from itertools import combinations
+
+    from ._util import bucketed_group_sum
+    from .joins import hash_join
+
+    import ray.data as rd
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+
+    def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for t in df["text"]:
+            toks = sorted(set(t.split()))
+            for a, b in combinations(toks, 2):
+                out_a.append(a)
+                out_b.append(b)
+        return pd.DataFrame({"a": pd.Series(out_a, dtype=object),
+                             "b": pd.Series(out_b, dtype=object),
+                             "c": np.ones(len(out_a), np.int64)})
+
+    edges = (bucketed_group_sum(
+        docs.map_batches(pair_rows, batch_format="pandas"), ["a", "b"],
+        ["c"])
+        .map_batches(lambda df: df.loc[df["c"] >= TRIANGLE_MIN_COOC,
+                                       ["a", "b"]],
+                     batch_format="pandas").materialize())
+
+    n_edges = edges.count()
+    if n_edges == 0:
+        return pd.DataFrame({
+            "n_edges": pd.Series([0], dtype="int64"),
+            "n_wedges": pd.Series([0], dtype="int64"),
+            "n_triangles": pd.Series([0], dtype="int64"),
+            "closure_ratio": pd.Series([float("nan")], dtype="float64")})
+
+    mid = edges.map_batches(
+        lambda df: df.rename(columns={"a": "b", "b": "cc"}),
+        batch_format="pandas")
+    wedges = hash_join(edges, mid, on="b").materialize()
+    n_wedges = wedges.count()
+
+    closing = edges.map_batches(
+        lambda df: df.rename(columns={"b": "cc"}),
+        batch_format="pandas")
+    tri = hash_join(
+        wedges.map_batches(lambda df: df[["a", "cc"]],
+                           batch_format="pandas"),
+        closing.map_batches(lambda df: df.assign(hit=np.int64(1)),
+                            batch_format="pandas"),
+        on=["a", "cc"])
+    tp = tri.map_batches(
+        lambda df: pd.DataFrame({"n": [np.int64(len(df))]}),
+        batch_format="pandas").to_pandas()
+    n_tri = int(tp["n"].sum()) if "n" in tp.columns else 0
+
+    return pd.DataFrame({
+        "n_edges": pd.Series([n_edges], dtype="int64"),
+        "n_wedges": pd.Series([n_wedges], dtype="int64"),
+        "n_triangles": pd.Series([n_tri], dtype="int64"),
+        "closure_ratio": pd.Series(
+            [round(n_tri * 1.0 / n_wedges, 6) if n_wedges else float("nan")],
+            dtype="float64")})
+
+
+TOKEN_TRIANGLE_COUNT_SQL = rf"""
+WITH words AS (SELECT doc_id,
+                      list_distinct(regexp_extract_all(text, '\S+')) w
+               FROM documents),
+tok AS (SELECT doc_id, unnest(w) t FROM words),
+pairs AS (SELECT a.doc_id, a.t AS a, b.t AS b
+          FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t),
+edges AS (SELECT a, b FROM pairs GROUP BY a, b
+          HAVING count(*) >= {TRIANGLE_MIN_COOC}),
+wedges AS (SELECT e1.a, e1.b, e2.b AS c
+           FROM edges e1 JOIN edges e2 ON e1.b = e2.a),
+tri AS (SELECT CAST(count(*) AS BIGINT) n
+        FROM wedges w JOIN edges e ON w.a = e.a AND w.c = e.b)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+       (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+       (SELECT n FROM tri) AS n_triangles,
+       round((SELECT n FROM tri) * 1.0
+             / (SELECT count(*) FROM wedges), 6) AS closure_ratio
+"""

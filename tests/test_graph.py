@@ -87,3 +87,28 @@ def test_pagerank_matches_oracle_on_corpus(ray_session, tmp_path):
     assert len(out) == len(orc)
     pd.testing.assert_frame_equal(out, orc, check_dtype=False,
                                   atol=1e-9, rtol=0)
+
+
+def test_triangle_count_planted_graph(ray_session, tmp_path):
+    """A corpus engineered to a known graph: one triangle (x,y,z), one
+    open wedge (p-q-r with no p-r edge)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.pipelines.graph import token_triangle_count
+    # each pair must co-occur in >= 2 docs to become an edge
+    texts = ["x y z", "x y z",          # triangle edges xy xz yz
+             "p q", "p q", "q r", "q r"]  # wedge p-q-r, no p-r edge
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64())})
+    root = str(tmp_path)
+    pq.write_table(docs, f"{root}/documents.parquet")
+    out = token_triangle_count(root)
+    row = out.iloc[0]
+    assert row["n_edges"] == 5          # xy xz yz pq qr
+    assert row["n_triangles"] == 1      # xyz
+    assert row["n_wedges"] == 2         # x<y<z closed, p<q<r open
+    assert row["closure_ratio"] == 0.5
