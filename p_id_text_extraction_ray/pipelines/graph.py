@@ -179,6 +179,9 @@ SELECT tok AS token, r AS pagerank FROM p3
 # ----------------------------------------------- triangle counting
 
 TRIANGLE_MIN_COOC = 2
+# edge count below which wedge/triangle closing runs on the driver
+# (adjacency sets) instead of two distributed joins
+TRIANGLE_LOCAL_EDGE_CAP = 200_000
 
 
 def token_triangle_count(sf_dir: str):
@@ -209,15 +212,26 @@ def token_triangle_count(sf_dir: str):
                            columns=["text"])
 
     def pair_rows(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
+        # combiner: aggregate pair counts WITHIN the batch before the
+        # shuffle — the distinct-pair space is bounded by the batch's
+        # vocabulary (C(V,2)), so this collapses the O(docs x w^2) raw
+        # pair stream by orders of magnitude
+        from collections import Counter
+        cnt: Counter = Counter()
         for t in df["text"]:
             toks = sorted(set(t.split()))
-            for a, b in combinations(toks, 2):
-                out_a.append(a)
-                out_b.append(b)
-        return pd.DataFrame({"a": pd.Series(out_a, dtype=object),
-                             "b": pd.Series(out_b, dtype=object),
-                             "c": np.ones(len(out_a), np.int64)})
+            cnt.update(combinations(toks, 2))
+        if not cnt:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "c": pd.Series([], dtype="int64")})
+        pairs, counts = zip(*cnt.items())
+        return pd.DataFrame({"a": pd.Series([p[0] for p in pairs],
+                                            dtype=object),
+                             "b": pd.Series([p[1] for p in pairs],
+                                            dtype=object),
+                             "c": np.fromiter(counts, np.int64,
+                                              count=len(counts))})
 
     edges = (bucketed_group_sum(
         docs.map_batches(pair_rows, batch_format="pandas"), ["a", "b"],
@@ -233,6 +247,31 @@ def token_triangle_count(sf_dir: str):
             "n_wedges": pd.Series([0], dtype="int64"),
             "n_triangles": pd.Series([0], dtype="int64"),
             "closure_ratio": pd.Series([float("nan")], dtype="float64")})
+
+    if n_edges <= TRIANGLE_LOCAL_EDGE_CAP:
+        # a thresholded graph this small is pure plan overhead as a pair
+        # of distributed joins — close it out with adjacency sets on the
+        # driver (identical counts; the join path below is the scale
+        # path and is pinned to this one by an equivalence test)
+        edf = edges.to_pandas()
+        nbrs: dict[str, set[str]] = {}
+        for a, b in zip(edf["a"], edf["b"]):
+            nbrs.setdefault(a, set()).add(b)
+        n_wedges = 0
+        n_tri = 0
+        for a, b in zip(edf["a"], edf["b"]):
+            succ = nbrs.get(b)
+            if not succ:
+                continue
+            n_wedges += len(succ)
+            n_tri += len(succ & nbrs.get(a, set()))
+        return pd.DataFrame({
+            "n_edges": pd.Series([n_edges], dtype="int64"),
+            "n_wedges": pd.Series([n_wedges], dtype="int64"),
+            "n_triangles": pd.Series([n_tri], dtype="int64"),
+            "closure_ratio": pd.Series(
+                [round(n_tri * 1.0 / n_wedges, 6) if n_wedges
+                 else float("nan")], dtype="float64")})
 
     mid = edges.map_batches(
         lambda df: df.rename(columns={"a": "b", "b": "cc"}),

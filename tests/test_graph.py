@@ -112,3 +112,14 @@ def test_triangle_count_planted_graph(ray_session, tmp_path):
     assert row["n_triangles"] == 1      # xyz
     assert row["n_wedges"] == 2         # x<y<z closed, p<q<r open
     assert row["closure_ratio"] == 0.5
+
+
+def test_triangle_join_path_matches_local(ray_session, monkeypatch):
+    """The distributed join path (cap forced to 0) and the local
+    adjacency path produce identical counts."""
+    import pandas as pd
+    from p_id_text_extraction_ray.pipelines import graph as G
+    fast = G.token_triangle_count("/root/testdata/sf0.001")
+    monkeypatch.setattr(G, "TRIANGLE_LOCAL_EDGE_CAP", 0)
+    slow = G.token_triangle_count("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
