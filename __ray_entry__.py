@@ -63,7 +63,60 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # relational core
+        # --- interleaved: curation / dedup / webfilter / corpusstats /
+        # graph / textstats first, so the driver's 50-query sample
+        # exercises every family (round-3 verdict item #3)
+        "dedup_paragraphs": C.dedup_paragraphs,
+        "curate_web_pipeline": WF.curate_web_pipeline,
+        "dsir_importance_weights": CS.dsir_importance_weights,
+        "gopher_quality_flags": T.gopher_quality_flags,
+        "token_triangle_count": G.token_triangle_count,
+        "pii_redact": WF.pii_redact,
+        "c4_quality_flags": WF.c4_quality_flags,
+        "quality_model_score": WF.quality_model_score,
+        "vocab_growth_curve": CS.vocab_growth_curve,
+        "resample_to_lang_mix": CS.resample_to_lang_mix,
+        "dedup_exact": D.dedup_exact,
+        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
+        "dedup_embedding_cosine": D.dedup_embedding_cosine,
+        "dedup_clusters": D.dedup_clusters,
+        "dedup_incremental": D.dedup_incremental,
+        "doc_novelty_score": D.doc_novelty_score,
+        "decontaminate_train": C.decontaminate_train,
+        "pack_sequences": C.pack_sequences,
+        "curate_corpus": C.curate_corpus,
+        "cap_per_source": C.cap_per_source,
+        "shuffle_corpus": C.shuffle_corpus,
+        "pagerank_tokens": G.pagerank_tokens,
+        "ccnet_perplexity_buckets": T.ccnet_perplexity_buckets,
+        "doc_unigram_logprob": T.doc_unigram_logprob,
+        "bpe_token_counts": T.bpe_token_counts,
+        "doc_char_entropy": T.doc_char_entropy,
+        "doc_repetition_stats": T.doc_repetition_stats,
+        "doc_zscore_by_lang": T.doc_zscore_by_lang,
+        "tfidf_top_terms": T.tfidf_top_terms,
+        "inverted_index": RT.inverted_index,
+        "bm25_search": RT.bm25_search,
+        "token_cooccurrence": RT.token_cooccurrence,
+        "ann_topk_bruteforce": S.ann_topk_bruteforce,
+        "knn_label_propagation": S.knn_label_propagation,
+        "embedding_label_centroids": S.embedding_label_centroids,
+        "hard_negatives_topk": S.hard_negatives_topk,
+        "chi2_term_source": PF.chi2_term_source,
+        "heavy_hitter_tokens": K.heavy_hitter_tokens,
+        "chunk_documents": CH.chunk_documents,
+        "vocab_oov_rate": CH.vocab_oov_rate,
+        "fuzzy_token_pairs": F.fuzzy_token_pairs,
+        "strip_boilerplate_ngrams": F.strip_boilerplate_ngrams,
+        "source_vocab_overlap": C.source_vocab_overlap,
+        "source_kl_divergence": C.source_kl_divergence,
+        "doc_token_stats": T.doc_token_stats,
+        "lang_id_pred": T.lang_id_pred,
+        "tag_extract": T.tag_extract,
+        "quality_filter_docs": T.quality_filter_docs,
+        "sample_mix": T.sample_mix,
+        "top_bigrams": T.top_bigrams,
+        # --- relational / analytics / windows / sketches / flagship
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
         "q5_local_supplier_volume": R.q5_local_supplier_volume,
@@ -95,7 +148,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": R2.q19_disjunctive_revenue,
         "q20_dominant_suppliers": R2.q20_dominant_suppliers,
         "q21_problem_suppliers": R2.q21_problem_suppliers,
-        # window / analytics operators
         "top_orders_per_priority": A.top_orders_per_priority,
         "events_hopping_window": A.events_hopping_window,
         "events_user_profile": A.events_user_profile,
@@ -117,90 +169,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_priority_rollup": AX.segment_priority_rollup,
         "segment_status_cube": AX.segment_status_cube,
         "retention_cohorts": AX.retention_cohorts,
-        "source_vocab_overlap": C.source_vocab_overlap,
-        "source_kl_divergence": C.source_kl_divergence,
-        "hard_negatives_topk": S.hard_negatives_topk,
         "doc_length_median_by_lang": T.doc_length_median_by_lang,
         "doc_length_mad_by_lang": T.doc_length_mad_by_lang,
-        # sketches
         "cms_user_event_counts": K.cms_user_event_counts,
         "approx_distinct_users": K.approx_distinct_users,
-        "heavy_hitter_tokens": K.heavy_hitter_tokens,
         "approx_length_quantiles": K.approx_length_quantiles,
-        # dedup suite
-        "dedup_exact": D.dedup_exact,
-        "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_simhash": D.dedup_simhash,
-        "dedup_embedding_cosine": D.dedup_embedding_cosine,
-        "dedup_clusters": D.dedup_clusters,
-        "dedup_incremental": D.dedup_incremental,
-        "doc_novelty_score": D.doc_novelty_score,
-        # similarity search
-        "ann_topk_bruteforce": S.ann_topk_bruteforce,
         "ann_lsh_topk": S.ann_lsh_topk,
         "ann_ivf_topk": S.ann_ivf_topk,
-        "embedding_label_centroids": S.embedding_label_centroids,
-        "knn_label_propagation": S.knn_label_propagation,
         "embedding_pca_project": S.embedding_pca_project,
         "embedding_quantize_int8": S.embedding_quantize_int8,
         "embedding_kmeans_clusters": S.embedding_kmeans_clusters,
-        # text analysis
-        "doc_token_stats": T.doc_token_stats,
-        "lang_id_pred": T.lang_id_pred,
-        "tag_extract": T.tag_extract,
-        "quality_filter_docs": T.quality_filter_docs,
         "doc_fingerprints": T.doc_fingerprints,
         "doc_length_quantiles": T.doc_length_quantiles,
         "text_clean": T.text_clean,
         "split_train_holdout": T.split_train_holdout,
-        "top_bigrams": T.top_bigrams,
-        "sample_mix": T.sample_mix,
-        "doc_repetition_stats": T.doc_repetition_stats,
-        "gopher_quality_flags": T.gopher_quality_flags,
-        "ccnet_perplexity_buckets": T.ccnet_perplexity_buckets,
-        "bpe_token_counts": T.bpe_token_counts,
-        "doc_zscore_by_lang": T.doc_zscore_by_lang,
-        "doc_char_entropy": T.doc_char_entropy,
-        "tfidf_top_terms": T.tfidf_top_terms,
-        "decontaminate_train": C.decontaminate_train,
-        "pack_sequences": C.pack_sequences,
-        "curate_corpus": C.curate_corpus,
-        "cap_per_source": C.cap_per_source,
-        "dedup_paragraphs": C.dedup_paragraphs,
-        "shuffle_corpus": C.shuffle_corpus,
-        "chunk_documents": CH.chunk_documents,
-        "fuzzy_token_pairs": F.fuzzy_token_pairs,
-        "strip_boilerplate_ngrams": F.strip_boilerplate_ngrams,
         "price_quantity_regression": AX.price_quantity_regression,
-        "vocab_oov_rate": CH.vocab_oov_rate,
         "stratified_sample_by_source": SP.stratified_sample_by_source,
         "events_window_dedup": SP.events_window_dedup,
         "doc_ntile_by_lang": RK.doc_ntile_by_lang,
         "brand_revenue_rank": RK.brand_revenue_rank,
         "events_hourly_gapfill": AX.events_hourly_gapfill,
-        "inverted_index": RT.inverted_index,
-        "bm25_search": RT.bm25_search,
-        "token_cooccurrence": RT.token_cooccurrence,
         "profile_lineitem": PF.profile_lineitem,
         "audit_lineitem": PF.audit_lineitem,
-        "chi2_term_source": PF.chi2_term_source,
         "events_running_records": SC.events_running_records,
         "weighted_sample_docs": SP.weighted_sample_docs,
-        "doc_unigram_logprob": T.doc_unigram_logprob,
         "doc_compression_ratio": T.doc_compression_ratio,
         "events_error_followups": TM.events_error_followups,
         "event_transition_matrix": TM.event_transition_matrix,
         "user_decayed_value": TM.user_decayed_value,
         "events_trailing_window": TM.events_trailing_window,
         "user_activity_streaks": TM.user_activity_streaks,
-        "pagerank_tokens": G.pagerank_tokens,
-        "token_triangle_count": G.token_triangle_count,
         "events_value_percentile": RK.events_value_percentile,
         "lineitem_corr_matrix": PF.lineitem_corr_matrix,
         "user_mode_event_type": AX.user_mode_event_type,
         "discount_quantity_spearman": AX.discount_quantity_spearman,
-        # flagship extraction (pixel pipeline; rows-only)
         "pid_extract": pid_extract,
         "pid_pdf_ingest": pid_pdf_ingest,
         "pid_pdf_ocr": pid_pdf_ocr,
@@ -214,14 +218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": media_resize,
         "audio_features": AV.audio_features,
         "video_frame_sample": AV.video_frame_sample,
-        "pii_redact": WF.pii_redact,
-        "c4_quality_flags": WF.c4_quality_flags,
-        "quality_model_score": WF.quality_model_score,
-        "curate_web_pipeline": WF.curate_web_pipeline,
         "curate_web_checkpointed": WF.curate_web_checkpointed,
-        "vocab_growth_curve": CS.vocab_growth_curve,
-        "resample_to_lang_mix": CS.resample_to_lang_mix,
-        "dsir_importance_weights": CS.dsir_importance_weights,
     }
 
 

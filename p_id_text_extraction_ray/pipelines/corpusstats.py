@@ -62,10 +62,12 @@ def vocab_growth_curve(sf_dir: str):
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     mn, mx = _scalar_minmax_docid(docs)
-    if mx == 0 and mn == 0:      # empty corpus: 10 zero rows like the oracle
+    if mx == 0 and mn == 0:
+        # empty corpus: zero counts and NULL cutoffs, exactly like the
+        # oracle (min/max over zero rows is NULL) — NaN is pandas' null
         return pd.DataFrame({
             "decile": np.arange(1, N_CHECKPOINTS + 1, dtype=np.int64),
-            "cutoff_doc_id": np.zeros(N_CHECKPOINTS, np.int64),
+            "cutoff_doc_id": np.full(N_CHECKPOINTS, np.nan),
             "n_docs": np.zeros(N_CHECKPOINTS, np.int64),
             "vocab_size": np.zeros(N_CHECKPOINTS, np.int64),
             "n_tokens": np.zeros(N_CHECKPOINTS, np.int64)})

@@ -630,7 +630,8 @@ def dedup_clusters(sf_dir: str):
         lambda df: pd.DataFrame({"doc_id": df["node"].values,
                                  "cc_label": df["label"].values}),
         batch_format="pandas")
-    assigned = hash_join(docs, cc, on="doc_id", how="left")
+    assigned = hash_join(docs, cc, on="doc_id", how="left",
+                         right_cols_hint=["cc_label"])
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         lab = df["cc_label"].fillna(df["doc_id"]).astype("int64")

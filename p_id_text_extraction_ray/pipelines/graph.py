@@ -121,7 +121,7 @@ def pagerank_tokens(sf_dir: str):
                 ranks_sparse.map_batches(
                     lambda df: df.rename(columns={"tok": "src"}),
                     batch_format="pandas"),
-                on="src", how="left").map_batches(
+                on="src", how="left", right_cols_hint=["r"]).map_batches(
                 lambda df: df.assign(r=np.where(
                     np.isnan(df["r"].to_numpy(np.float64)),
                     base, df["r"].to_numpy(np.float64))),
@@ -138,7 +138,8 @@ def pagerank_tokens(sf_dir: str):
                                        batch_format="pandas").materialize()
 
     # one dense join at the very end reintroduces zero-in-degree nodes
-    return hash_join(nodes, ranks_sparse, on="tok", how="left").map_batches(
+    return hash_join(nodes, ranks_sparse, on="tok", how="left",
+                     right_cols_hint=["r"]).map_batches(
         lambda df: pd.DataFrame({
             "token": df["tok"].values,
             "pagerank": np.where(np.isnan(df["r"].to_numpy(np.float64)),

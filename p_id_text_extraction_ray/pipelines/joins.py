@@ -51,20 +51,36 @@ DEFAULT_SHUFFLE_PARTITIONS = 16
 
 
 def _bucketed_join(left, right, on: list[str], how: str, num_buckets: int,
-                   pre_left=None, num_partitions: int | None = None):
+                   pre_left=None, num_partitions: int | None = None,
+                   right_cols_hint: list[str] | None = None):
     """Shared core: tag/bucket/union/per-bucket merge. ``pre_left`` is an
     optional pandas fn applied to the left frame INSIDE each bucket before
-    the merge (used by sum_join for the fused reduction)."""
+    the merge (used by sum_join for the fused reduction).
+    ``right_cols_hint`` names the right side's non-key columns for the
+    case where the right side produced no blocks at all (schema
+    unknowable): a left join then appends them as all-null columns so the
+    output schema is stable across the empty and non-empty paths."""
     num_partitions = num_partitions or DEFAULT_SHUFFLE_PARTITIONS
     l_schema = left.schema()
     r_schema = right.schema()
     if l_schema is None or r_schema is None:
         # A side produced no blocks at all (schema unknowable — e.g. an
         # empty corpus upstream). Inner joins degenerate to an empty
-        # result; a left join with a live left side passes it through
-        # (the missing side's non-key columns are unknowable).
+        # result; a left join with a live left side passes it through,
+        # padded with the hinted right columns as nulls (without a hint
+        # the missing side's non-key columns are unknowable).
         if how == "left" and l_schema is not None:
-            return left
+            pad = [c for c in (right_cols_hint or [])
+                   if c not in on and c not in l_schema.names]
+            if not pad:
+                return left
+
+            def pad_cols(df: pd.DataFrame) -> pd.DataFrame:
+                for c in pad:
+                    df[c] = np.nan
+                return df
+
+            return left.map_batches(pad_cols, batch_format="pandas")
         import ray
         l_cols = list(l_schema.names) if l_schema is not None else list(on)
         r_cols = list(r_schema.names) if r_schema is not None else list(on)
@@ -107,15 +123,19 @@ def _bucketed_join(left, right, on: list[str], how: str, num_buckets: int,
 
 
 def hash_join(left, right, on: list[str] | str, how: str = "inner",
-              num_buckets: int = 64, num_partitions: int | None = None):
+              num_buckets: int = 64, num_partitions: int | None = None,
+              right_cols_hint: list[str] | None = None):
     """Partitioned hash join of two Datasets on equality keys.
 
     Non-key column names must be disjoint between the sides. Returns a
     Dataset with left columns then right columns (keys once).
+    ``right_cols_hint`` keeps a left join's output schema stable when the
+    right side is block-less (see ``_bucketed_join``).
     """
     on = [on] if isinstance(on, str) else list(on)
     return _bucketed_join(left, right, on, how, num_buckets,
-                          num_partitions=num_partitions)
+                          num_partitions=num_partitions,
+                          right_cols_hint=right_cols_hint)
 
 
 def sum_join(left, right, on: list[str] | str, sum_cols: list[str],

@@ -275,7 +275,8 @@ def q13_customer_distribution(sf_dir: str):
     per_cust = bucketed_group_sum(orders, "c_custkey", ["c_count"])
 
     cust = _read(sf_dir, "customer", ["c_custkey"])
-    left = hash_join(cust, per_cust, on="c_custkey", how="left")
+    left = hash_join(cust, per_cust, on="c_custkey", how="left",
+                     right_cols_hint=["c_count"])
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         c = df["c_count"].fillna(0).astype(np.int64)

@@ -93,7 +93,9 @@ def c4_flags_frame(df: pd.DataFrame) -> pd.DataFrame:
     text = df["text"]
     lower = text.str.lower()
     n_words = text.str.count(r"\S+").astype("int64")
-    has_term = text.str.contains('[.!?"]$', regex=True)
+    # \Z, not $: Python's $ also matches before a trailing newline, while
+    # the oracle's RE2 $ is end-of-text only (ADVICE r3) — \Z matches RE2.
+    has_term = text.str.contains('[.!?"]\\Z', regex=True)
     no_lorem = ~lower.str.contains("lorem ipsum", regex=False)
     no_curly = ~text.str.contains("{", regex=False)
     any_phrase = pd.Series(False, index=df.index)
@@ -325,22 +327,57 @@ WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
 def curate_web_resumable(sf_dir: str, out_dir: str, *,
                          num_partitions: int = 16,
                          wave_partitions: int = 8) -> dict:
-    """``curate_web_pipeline`` as a checkpointed job: output lands in
-    ``out_dir/rows/part=N`` parquet directories with a per-partition
-    manifest, so a killed run resumes from the missing partitions only
-    (``state/rowsink.py``). The chain is row-local except the language
-    mix counts; those are computed once over the whole corpus and cached
-    atomically in ``out_dir/mix.json`` (deterministic, so a re-run that
-    lost the cache recomputes the identical counts). Union of all
-    partitions == the one-shot query, pytest-verified."""
+    """``curate_web_pipeline`` as a checkpointed job, in TWO resumable
+    stages so the expensive chain runs exactly once per partition:
+
+    1. survivors: redact -> C4 -> model score -> threshold
+       (``CurateWebStage``) lands in ``out_dir/surv/rows/part=N`` with
+       its own manifest — the only pass that ever touches the raw text.
+    2. mix: language counts come from a column-pruned ``lang`` read of
+       the persisted survivors (tiny), cached atomically in
+       ``out_dir/mix.json``.
+    3. accept: the mix downsampling filter re-reads the persisted
+       survivor partitions (cheap, no re-scoring) into
+       ``out_dir/rows/part=N`` with the final manifest.
+
+    A killed run resumes from whichever stage's partitions are missing;
+    the survivor parquet is the checkpoint that makes the second stage
+    free. Union of all final partitions == the one-shot query,
+    pytest-verified."""
     import json
     import hashlib
     import os
     import uuid
 
+    import ray.data as rd
+
     from ..state.rowsink import key_partition_filter, write_resumable_rows
     from .corpusstats import _U52
 
+    # ---- stage 1: the expensive row-local chain, checkpointed
+    surv_dir = os.path.join(out_dir, "surv")
+
+    def make_surv_ds(wave: frozenset[int]):
+        docs = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
+            key_partition_filter("doc_id", wave, num_partitions),
+            batch_format="pyarrow")
+        return docs.map_batches(CurateWebStage, batch_format="pandas",
+                                concurrency=(1, 8), num_cpus=1)
+
+    write_resumable_rows(make_surv_ds, surv_dir, key_col="doc_id",
+                         num_partitions=num_partitions,
+                         wave_partitions=wave_partitions)
+    # per-partition parquet FILE lists (pyarrow rejects a list of dirs)
+    import glob as _glob
+    surv_parts = {}
+    for p in range(num_partitions):
+        files = sorted(_glob.glob(os.path.join(
+            surv_dir, "rows", f"part={p}", "*.parquet")))
+        if files:
+            surv_parts[p] = files
+
+    # ---- stage 2: language mix from the persisted survivors (pruned
+    # read of ONE small column; never re-runs the chain)
     mix_path = os.path.join(out_dir, "mix.json")
     if os.path.exists(mix_path):
         with open(mix_path) as f:
@@ -348,12 +385,15 @@ def curate_web_resumable(sf_dir: str, out_dir: str, *,
         nl = {k: int(v) for k, v in mix["nl"].items()}
         m = int(mix["m"])
     else:
-        docs = _docs(sf_dir, ("doc_id", "text", "lang"))
-        part = (docs.map_batches(CurateWebStage, batch_format="pandas",
-                                 concurrency=(1, 8), num_cpus=1)
-                .map_batches(lambda df: df["lang"].value_counts()
-                             .rename_axis("lang").reset_index(name="n"),
-                             batch_format="pandas").to_pandas())
+        if surv_parts:
+            all_files = [f for fs in surv_parts.values() for f in fs]
+            part = (rd.read_parquet(sorted(all_files),
+                                    columns=["lang"])
+                    .map_batches(lambda df: df["lang"].value_counts()
+                                 .rename_axis("lang").reset_index(name="n"),
+                                 batch_format="pandas").to_pandas())
+        else:
+            part = pd.DataFrame()
         counts = (part.groupby("lang")["n"].sum()
                   if "lang" in part.columns
                   else pd.Series([], dtype="int64"))
@@ -365,7 +405,9 @@ def curate_web_resumable(sf_dir: str, out_dir: str, *,
             json.dump({"nl": nl, "m": m}, f)
         os.replace(tmp, mix_path)
 
+    # ---- stage 3: the cheap accept filter over persisted survivors
     def accept(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[["doc_id", "lang", "clean_text", "quality_score"]]
         if df.empty or m == 0:
             return df.iloc[0:0]
         keep = [int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16)
@@ -373,41 +415,45 @@ def curate_web_resumable(sf_dir: str, out_dir: str, *,
                 for d, l in zip(df["doc_id"], df["lang"])]
         return df.loc[keep]
 
-    def make_wave_ds(wave: frozenset[int]):
-        docs = _docs(sf_dir, ("doc_id", "text", "lang")).map_batches(
-            key_partition_filter("doc_id", wave, num_partitions),
-            batch_format="pyarrow")
-        return (docs.map_batches(CurateWebStage, batch_format="pandas",
-                                 concurrency=(1, 8), num_cpus=1)
-                .map_batches(accept, batch_format="pandas"))
+    def make_accept_ds(wave: frozenset[int]):
+        paths = [f for p in sorted(wave) if p in surv_parts
+                 for f in surv_parts[p]]
+        if not paths:
+            import pyarrow as pa
+            return rd.from_arrow(pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "lang": pa.array([], pa.string()),
+                 "clean_text": pa.array([], pa.string()),
+                 "quality_score": pa.array([], pa.float64())}))
+        return rd.read_parquet(paths).map_batches(
+            accept, batch_format="pandas")
 
-    return write_resumable_rows(make_wave_ds, out_dir, key_col="doc_id",
+    return write_resumable_rows(make_accept_ds, out_dir, key_col="doc_id",
                                 num_partitions=num_partitions,
                                 wave_partitions=wave_partitions)
 
 
 def curate_web_checkpointed(sf_dir: str):
     """Driver-visible wrapper over ``curate_web_resumable``: runs the
-    checkpointed job into a scratch dir and returns the union of its
-    partitions (rows-only; equality with ``curate_web_pipeline`` is
-    pytest-carried by the kill/resume test)."""
+    checkpointed job into a fresh scratch dir and returns the LAZY union
+    of its output partitions (a ``ray.data`` read — the curated corpus
+    is corpus-scale at 100 TB, so it must never concat on the driver;
+    rows-only in the driver check, and equality with
+    ``curate_web_pipeline`` is pytest-carried by the kill/resume test)."""
     import glob
-    import hashlib as _hl
     import os
-    import shutil
+    import tempfile
 
-    import pyarrow.parquet as pq
+    import ray.data as rd
 
-    out = os.path.join("/tmp", "curate_ckpt_"
-                       + _hl.md5(sf_dir.encode()).hexdigest()[:8])
-    shutil.rmtree(out, ignore_errors=True)
+    out = tempfile.mkdtemp(prefix="curate_ckpt_")
     curate_web_resumable(sf_dir, out)
-    frames = [pq.read_table(p).to_pandas() for p in sorted(
-        glob.glob(os.path.join(out, "rows", "part=*", "*.parquet")))]
-    if not frames:
+    files = sorted(glob.glob(os.path.join(out, "rows", "part=*",
+                                          "*.parquet")))
+    if not files:
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "lang": pd.Series([], dtype=object),
                              "clean_text": pd.Series([], dtype=object),
                              "quality_score": pd.Series([], dtype="float64")})
-    return pd.concat(frames, ignore_index=True) \
-        .sort_values("doc_id").reset_index(drop=True)
+    return rd.read_parquet(files, columns=[
+        "doc_id", "lang", "clean_text", "quality_score"])

@@ -144,6 +144,34 @@ def test_curate_web_resumable_matches_oneshot_and_resumes(ray_session, tmp_path)
     with open(os.path.join(out, "mix.json")) as f:
         assert json.load(f)["m"] > 0
 
+    # the expensive chain's checkpoint (stage-1 survivors) must NOT be
+    # re-run by the resume: record its files + mtimes
+    surv_files = {p: os.path.getmtime(p) for p in glob.glob(
+        os.path.join(out, "surv", "rows", "part=*", "*.parquet"))}
+    assert surv_files, "stage-1 survivor checkpoint missing"
+
     s2 = curate_web_resumable(sf, out, num_partitions=8, wave_partitions=3)
     assert s2["skipped"] == 6 and s2["processed"] == 2
     pd.testing.assert_frame_equal(read_all(), want, check_dtype=False)
+    assert {p: os.path.getmtime(p) for p in glob.glob(
+        os.path.join(out, "surv", "rows", "part=*", "*.parquet"))} \
+        == surv_files, "resume re-ran the scoring chain"
+
+
+def test_curate_web_checkpointed_is_lazy_and_equal(ray_session):
+    """The driver-visible wrapper returns a LAZY Dataset over the output
+    partitions (never a driver-side concat) with the one-shot rows."""
+    import ray
+
+    from p_id_text_extraction_ray.pipelines.webfilter import (
+        curate_web_checkpointed, curate_web_pipeline)
+
+    sf = "/root/testdata/sf0.001"
+    got = curate_web_checkpointed(sf)
+    assert isinstance(got, ray.data.Dataset)
+    got = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = curate_web_pipeline(sf).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[sorted(got.columns)],
+                                  want[sorted(want.columns)],
+                                  check_dtype=False)

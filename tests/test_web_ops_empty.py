@@ -47,3 +47,5 @@ def test_empty_vocab_growth(ray_session, empty_dir):
     out = vocab_growth_curve(empty_dir)
     assert len(out) == 10 and out[["n_docs", "vocab_size",
                                    "n_tokens"]].to_numpy().sum() == 0
+    # oracle parity: min/max over zero rows is NULL, so cutoffs are null
+    assert out["cutoff_doc_id"].isna().all()
