@@ -8,11 +8,11 @@ grayscale raster the CV path consumes, with no native renderer.
 Supported operators: graphics state (q Q cm w g G rg RG k K gs cs CS
 sc scn SC SCN), paths (m l c v y h re) with fill (f F f* b b* B B*),
 stroke (S s), and no-paint (n); text (BT ET Tf Td TD Tm T* TL Tc Tw Tz
-Ts Tj TJ ' ") with embedded TrueType fonts (FontFile2) or system
-TrueType fallback matched by BaseFont family. Type1/CFF text renders
-as metric boxes — placement-true mass for the detection path; real
-glyph shapes need an outline format this codebase doesn't parse
-(documented degradation, not silent). XObjects: Form XObjects are
+Ts Tj TJ ' ") with embedded TrueType (FontFile2), CFF/Type2
+(FontFile3 — ``media/cff.py``), and classic Type1 (FontFile —
+``media/type1.py``) fonts, or system TrueType fallback matched by
+BaseFont family; a font program that fails to parse degrades to
+placement-true metric boxes. XObjects: Form XObjects are
 executed recursively; Image XObjects rasterize as their gray mean
 (placement-true block). Clipping (W/W*) is tracked as a rectangular
 approximation of the clip path's bbox.
@@ -25,8 +25,11 @@ actor pool (one page per task), not a per-record hot path.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 
+from .cff import CffError, CffFont
 from .pdfdoc import Name, PdfDocument, PdfError, parse_object, _skip_ws
 from .ttf import TrueTypeFont, TtfError
 
@@ -101,8 +104,24 @@ def _fill_polygons(canvas, polys, value, even_odd, clip):
                         canvas[yr, a:b] = np.minimum(canvas[yr, a:b], value)
 
 
+def _unwrap_cff(blob: bytes) -> bytes:
+    """FontFile3 payload -> bare CFF: OpenType-wrapped CFF (OTTO sfnt,
+    Subtype /OpenType) yields its ``CFF `` table; bare CFF passes
+    through."""
+    if blob[:4] == b"OTTO":
+        n = struct.unpack(">H", blob[4:6])[0]
+        for i in range(n):
+            tag, _chk, off, ln = struct.unpack(
+                ">4sIII", blob[12 + 16 * i:28 + 16 * i])
+            if tag == b"CFF ":
+                return blob[off:off + ln]
+        raise CffError("OTTO wrapper without CFF table")
+    return blob
+
+
 class _Font:
-    """Resolved PDF font: TrueType outlines or metric-box fallback."""
+    """Resolved PDF font: TrueType, CFF/Type2, or Type1 outlines, with
+    a metric-box fallback when the embedded program fails to parse."""
 
     def __init__(self, doc: PdfDocument, fdict: dict):
         self.widths = None                   # code -> width/1000
@@ -118,11 +137,26 @@ class _Font:
             self.widths = [float(doc.resolve(x)) for x in w]
         desc = doc.resolve(fdict.get("FontDescriptor")) or {}
         ff2 = doc.resolve(desc.get("FontFile2"))
+        ff3 = doc.resolve(desc.get("FontFile3"))
+        ff1 = doc.resolve(desc.get("FontFile"))
         base = str(fdict.get("BaseFont", ""))
-        blob = None
-        if isinstance(ff2, tuple):
-            blob = ff2[2]
-        else:
+        if isinstance(ff2, tuple):           # embedded TrueType
+            try:
+                self.ttf = TrueTypeFont(ff2[2])
+            except TtfError:
+                self.ttf = None              # box fallback
+        elif isinstance(ff3, tuple):         # embedded CFF (Type1C /
+            try:                             # CIDFontType0C / OpenType)
+                self.ttf = CffFont(_unwrap_cff(ff3[2]))
+            except (CffError, ValueError, IndexError, struct.error):
+                self.ttf = None
+        elif isinstance(ff1, tuple):         # classic Type1 (eexec)
+            try:
+                from .type1 import Type1Font
+                self.ttf = Type1Font(ff1[2])
+            except Exception:
+                self.ttf = None
+        else:                                # system TrueType by family
             lowered = base.lower()
             key = "default"
             if "mono" in lowered or "courier" in lowered:
@@ -132,17 +166,11 @@ class _Font:
             elif "times" in lowered or "serif" in lowered or \
                     "roman" in lowered:
                 key = "serif"
-            if sub == "TrueType" or "FontFile" not in desc and \
-                    "FontFile3" not in desc:
-                try:
-                    blob = open(_SYSTEM_FONTS[key], "rb").read()
-                except OSError:
-                    blob = None
-        if blob is not None:
             try:
-                self.ttf = TrueTypeFont(blob)
-            except TtfError:
-                self.ttf = None              # box fallback
+                self.ttf = TrueTypeFont(open(_SYSTEM_FONTS[key],
+                                             "rb").read())
+            except (OSError, TtfError):
+                self.ttf = None
 
     def advance(self, code: int) -> float:
         """Advance in text-space units (1/1000 em)."""

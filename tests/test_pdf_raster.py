@@ -202,9 +202,10 @@ def test_form_xobject_and_tj_array():
     assert cols.max() - cols.min() > 25   # A..gap..B wider than 'AB'
 
 
-def test_type1_fallback_is_placement_true_boxes():
-    """A Type1-embedded font (no FontFile2) renders metric boxes at the
-    glyph positions — mass where the text is, for detection parity."""
+def test_type1_embedded_font_renders_ink_at_text():
+    """A Type1-embedded font (FontFile) renders real glyph ink at the
+    text positions (since round 4 via media/type1.py; see
+    test_cff_type1.py for the glyph-shape assertions)."""
     data = open("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf",
                 "rb").read()
     page = render_pdf_pages(data, dpi=72)[0]
