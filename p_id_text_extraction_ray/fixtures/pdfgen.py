@@ -14,8 +14,13 @@ DEJAVU = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
 
 
 def make_pdf(pages_content: list[bytes], mediabox=(0, 0, 300, 200),
-             embed_font: str | None = DEJAVU) -> bytes:
-    """Classic-xref PDF with Flate contents; ``/F1`` = embedded TTF."""
+             embed_font: str | None = DEJAVU,
+             cff: bytes | None = None,
+             cff_widths: list[int] | None = None,
+             cff_first_char: int = 32) -> bytes:
+    """Classic-xref PDF with Flate contents; ``/F1`` = embedded TTF,
+    or a CFF program embedded as FontFile3 /Type1C when ``cff`` is
+    given (exercises the PostScript-outline font path)."""
     objs: dict[int, bytes] = {}
     counter = [1]
 
@@ -26,7 +31,23 @@ def make_pdf(pages_content: list[bytes], mediabox=(0, 0, 300, 200),
         return n
 
     font_ref = b""
-    if embed_font:
+    if cff is not None:
+        ff = add(b"<< /Length " + str(len(cff)).encode() +
+                 b" /Subtype /Type1C >>\nstream\n" + cff + b"\nendstream")
+        fd = add((f"<< /Type /FontDescriptor /FontName /TestCFF "
+                  f"/Flags 32 /FontBBox [-200 -300 1800 1300] "
+                  f"/ItalicAngle 0 /Ascent 928 /Descent -236 "
+                  f"/CapHeight 1232 /StemV 80 /FontFile3 {ff} 0 R >>")
+                 .encode())
+        w = b""
+        if cff_widths:
+            w = (f"/FirstChar {cff_first_char} /LastChar "
+                 f"{cff_first_char + len(cff_widths) - 1} /Widths ["
+                 + " ".join(str(v) for v in cff_widths) + "] ").encode()
+        fnt = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF "
+                  + w + f"/FontDescriptor {fd} 0 R >>".encode())
+        font_ref = f"/F1 {fnt} 0 R".encode()
+    elif embed_font:
         ttf = open(embed_font, "rb").read()
         ff = add(b"<< /Length " + str(len(ttf)).encode() +
                  b" >>\nstream\n" + ttf + b"\nendstream")

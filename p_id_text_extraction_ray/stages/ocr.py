@@ -66,6 +66,139 @@ def _resize_mask(m: np.ndarray, h: int, w: int) -> np.ndarray:
     return m[yi][:, xi]
 
 
+def _otsu(crop: np.ndarray) -> int:
+    """Otsu threshold (clamped to [60, 200]) — adapts binarization to
+    anti-aliased / low-contrast renders where the fixed 128 cut loses
+    stroke cores or floods glyph counters."""
+    hist = np.bincount(crop.reshape(-1), minlength=256).astype(np.float64)
+    total = hist.sum()
+    w0 = np.cumsum(hist)
+    m = np.cumsum(hist * np.arange(256))
+    w1 = total - w0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mu0 = m / w0
+        mu1 = (m[-1] - m) / w1
+        var = w0 * w1 * (mu0 - mu1) ** 2
+    var[~np.isfinite(var)] = 0.0
+    return int(np.clip(np.argmax(var), 60, 200))
+
+
+def _despeckle(ink: np.ndarray) -> np.ndarray:
+    """Drop connected components far smaller than the largest one
+    (salt noise on photographed/scanned sheets segments as phantom
+    glyphs otherwise). Run-based union-find, one pass."""
+    if not ink.any():
+        return ink
+    parent: list[int] = []
+    area: list[int] = []
+    comp_runs: list[list[tuple[int, int, int]]] = []
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    prev: list[tuple[int, int, int]] = []
+    prev_row = -2
+    for r in np.flatnonzero(ink.any(axis=1)).tolist():
+        if r != prev_row + 1:
+            prev = []
+        prev_row = r
+        d = np.diff(np.concatenate(([0], ink[r].view(np.int8), [0])))
+        starts = np.flatnonzero(d == 1).tolist()
+        ends = np.flatnonzero(d == -1).tolist()
+        cur: list[tuple[int, int, int]] = []
+        for s, e in zip(starts, ends):
+            cid = -1
+            for ps, pe, pid in prev:
+                if ps < e and s < pe:
+                    rid = find(pid)
+                    if cid < 0:
+                        cid = rid
+                    elif rid != cid:
+                        if rid < cid:
+                            cid, rid = rid, cid
+                        parent[rid] = cid
+                        area[cid] += area[rid]
+                        comp_runs[cid].extend(comp_runs[rid])
+                        comp_runs[rid] = []
+            if cid < 0:
+                cid = len(parent)
+                parent.append(cid)
+                area.append(0)
+                comp_runs.append([])
+            area[cid] += e - s
+            comp_runs[cid].append((r, s, e))
+            cur.append((s, e, cid))
+        prev = cur
+    roots = {find(i) for i in range(len(parent))}
+    amax = max(area[r] for r in roots)
+    min_area = max(4.0, 0.02 * amax)
+    out = np.zeros_like(ink)
+    for r in roots:
+        if area[r] >= min_area:
+            for row, s, e in comp_runs[r]:
+                out[row, s:e] = True
+    return out if out.any() else ink
+
+
+def _deskew(ink: np.ndarray, max_deg: float = 3.0) -> np.ndarray:
+    """Correct a small line skew (the photographed-sheet regime) by a
+    vertical column shear that maximizes the row-projection energy —
+    equivalent to rotation for the +-3 degree range and exact on row
+    alignment, which is what the baseline/cap estimates consume."""
+    h, w = ink.shape
+    if h < 4 or w < 8:
+        return ink
+    cols = np.arange(w) - (w - 1) / 2.0
+    rows_idx = np.nonzero(ink)
+    if len(rows_idx[0]) == 0:
+        return ink
+    best_s, best_shift = -1.0, None
+    for deg in np.arange(-max_deg, max_deg + 0.25, 0.5):
+        shift = np.round(cols * np.tan(np.deg2rad(deg))).astype(np.int64)
+        span = int(shift.max() - shift.min())
+        prof = np.zeros(h + span + 1, np.int64)
+        y = rows_idx[0] + (shift - shift.min())[rows_idx[1]]
+        np.add.at(prof, y, 1)
+        s = float((prof.astype(np.float64) ** 2).sum())
+        if s > best_s:
+            best_s, best_shift = s, (deg, shift)
+    deg, _shift = best_shift
+    if abs(deg) < 0.5:
+        return ink
+    # correct with a TRUE rotation (a bare column shear fixes the
+    # baseline but shears every glyph, trading 5<->S style confusions)
+    th = np.deg2rad(deg)
+    pad = int(np.ceil(abs(np.tan(th)) * max(h, w))) + 1
+    hh, ww = h + 2 * pad, w + 2 * pad
+    cy, cx = (hh - 1) / 2.0, (ww - 1) / 2.0
+    yy, xx = np.nonzero(ink)
+    # forward-map ink pixels through the inverse skew
+    xs = np.cos(th) * (xx + pad - cx) - np.sin(th) * (yy + pad - cy) + cx
+    ys = np.sin(th) * (xx + pad - cx) + np.cos(th) * (yy + pad - cy) + cy
+    out = np.zeros((hh, ww), bool)
+    xi = np.clip(np.round(xs).astype(np.int64), 0, ww - 1)
+    yi = np.clip(np.round(ys).astype(np.int64), 0, hh - 1)
+    out[yi, xi] = True
+    # forward splat leaves pinholes; close them with a 1px dilate-AND
+    filled = out.copy()
+    filled[1:] |= out[:-1]
+    filled[:-1] |= out[1:]
+    filled[:, 1:] |= out[:, :-1]
+    filled[:, :-1] |= out[:, 1:]
+    hole = ~out & filled
+    # a hole pixel surrounded left+right or up+down by ink is interior
+    interior = np.zeros_like(out)
+    interior[:, 1:-1] = out[:, :-2] & out[:, 2:]
+    interior[1:-1] |= out[:-2] & out[2:]
+    out |= hole & interior
+    r = np.nonzero(out.any(axis=1))[0]
+    c = np.nonzero(out.any(axis=0))[0]
+    return out[r[0]:r[-1] + 1, c[0]:c[-1] + 1]
+
+
 class WordDetector(PixelDetector):
     """Detection actor for glyph-shaped ink: the word-granularity kernel
     (``rectdetect.detect_rects_words``) replaces the exact-rectangle
@@ -127,9 +260,27 @@ class TemplateRecognizer(StubRecognizer):
     # --- recognition ---------------------------------------------------
 
     def _read(self, crop: np.ndarray) -> tuple[str, float]:
-        ink = crop < self.INK_THRESHOLD
+        """Best reading across binarization levels: the Otsu cut first;
+        if the match is borderline (blurred downsampled strokes close
+        glyph counters — 8 reads as B), retry at a tighter and a looser
+        cut and keep the most confident reading."""
+        base = min(self.INK_THRESHOLD, _otsu(crop))
+        text, conf = self._read_at(crop, base)
+        if conf < 0.85:
+            for scale in (0.8, 1.2):
+                t2, c2 = self._read_at(crop, int(base * scale))
+                if c2 > conf:
+                    text, conf = t2, c2
+        return text, conf
+
+    def _read_at(self, crop: np.ndarray,
+                 threshold: int) -> tuple[str, float]:
+        ink = crop < threshold
+        if not ink.any():
+            ink = crop < self.INK_THRESHOLD  # threshold overshot on flats
         if not ink.any():
             return "", 0.0
+        ink = _deskew(_despeckle(ink))
         rows = np.nonzero(ink.any(axis=1))[0]
         cols = np.nonzero(ink.any(axis=0))[0]
         ink = ink[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1]

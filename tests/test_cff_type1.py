@@ -325,3 +325,43 @@ def test_pdf_fontfile3_renders_glyphs(tmp_path):
     # interior filled (outline fill, not box edges only)
     cy, cx = int(ys.mean()), int(xs.mean())
     assert ink[cy, cx]
+
+
+# ------------------------------------------------ CFF end-to-end OCR
+
+
+def _dejavu_as_cff():
+    """DejaVu's tag alphabet re-encoded as Type2 charstrings: identical
+    outlines through the FontFile3 path, so template OCR must recover
+    tags exactly (VERDICT r3 'Done' criterion for the CFF item)."""
+    from p_id_text_extraction_ray.media.cff import _UNI_TO_NAME
+    from cffbuild import build_cff, polyline_charstring
+    ttf = TrueTypeFont(open(DEJAVU, "rb").read())
+    scale = 1000.0 / ttf.units_per_em
+    glyphs = [(".notdef", NOTDEF)]
+    widths = []
+    chars = [chr(c) for c in range(32, 127)]
+    for ch in chars:
+        gid = ttf.glyph_id(ch)
+        adv = ttf.advance(gid) * scale
+        widths.append(int(round(adv)))
+        name = _UNI_TO_NAME.get(ord(ch))
+        cs = polyline_charstring(
+            [(np.asarray(c) * scale).tolist()
+             for c in ttf.glyph_contours(gid)], adv)
+        glyphs.append((name, cs))
+    return build_cff(glyphs), widths
+
+
+def test_pid_ocr_exact_on_cff_font_pdf():
+    from p_id_text_extraction_ray.fixtures.pdfgen import make_pdf
+    from p_id_text_extraction_ray.stages.ocr import TemplateRecognizer
+    cff, widths = _dejavu_as_cff()
+    rec = TemplateRecognizer()
+    for tag in ["PV-2205", "FT-101", "LIC-5488"]:
+        pdf = make_pdf([f"BT /F1 24 Tf 20 100 Td ({tag}) Tj ET\n".encode()],
+                       cff=cff, cff_widths=widths)
+        page = render_pdf_pages(pdf, dpi=150)[0]
+        text, conf = rec._read(page)
+        assert text == tag, (tag, text)
+        assert conf > 0.7

@@ -120,3 +120,78 @@ def test_template_ocr_survives_jpeg_roundtrip(recognizer):
         text, conf = recognizer._read(lossy)
         assert text == tag, (tag, text)
         assert conf > 0.6
+
+
+# ---------------------------------------------- degraded-render matrix
+
+
+def _box3(img):
+    f = img.astype(np.float32)
+    p = np.pad(f, 1, mode="edge")
+    return (sum(p[dy:dy + f.shape[0], dx:dx + f.shape[1]]
+                for dy in range(3) for dx in range(3)) / 9).astype(np.uint8)
+
+
+def _rot(img, deg):
+    th = np.deg2rad(deg)
+    h, w = img.shape
+    cy, cx = (h - 1) / 2, (w - 1) / 2
+    yy, xx = np.mgrid[0:h, 0:w]
+    xs = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+    ys = -np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    out = img[np.clip(ys.round().astype(int), 0, h - 1),
+              np.clip(xs.round().astype(int), 0, w - 1)]
+    out[(xs < 0) | (xs > w - 1) | (ys < 0) | (ys > h - 1)] = 255
+    return out
+
+
+def _down(img, f):
+    h, w = img.shape
+    return img[(np.arange(int(h / f)) * f).astype(int).clip(0, h - 1)][
+        :, (np.arange(int(w / f)) * f).astype(int).clip(0, w - 1)]
+
+
+def _noise(img, amt, seed):
+    rng = np.random.default_rng(seed)
+    return np.clip(img.astype(np.float32)
+                   + rng.normal(0, amt, img.shape), 0, 255).astype(np.uint8)
+
+
+_DEGRADE = {
+    "blur": _box3,
+    "blur2x": lambda im: _box3(_box3(im)),
+    "rot+2": lambda im: _rot(im, 2),
+    "rot-2": lambda im: _rot(im, -2),
+    "rot+2blur": lambda im: _box3(_rot(im, 2)),
+    "down1.5": lambda im: _down(im, 1.5),
+    "down2": lambda im: _down(im, 2),
+    "down2blur": lambda im: _box3(_down(im, 2)),
+    "noise20": lambda im: _noise(im, 20, 1),
+    "noise40": lambda im: _noise(im, 40, 2),
+    "blur+noise20": lambda im: _noise(_box3(im), 20, 3),
+    "rot-2+noise30": lambda im: _noise(_rot(im, -2), 30, 4),
+}
+
+
+def test_degraded_render_matrix_recovery(recognizer):
+    """The photographed/scanned-sheet regime the reference's CRAFT
+    handles (VERDICT r3 item 5): anti-aliased, slightly rotated,
+    downscaled and noisy renders. Gate: >= 95% exact-tag recovery
+    over the full matrix (Otsu binarization + component despeckle +
+    shear-search deskew + multi-threshold retry)."""
+    tags = ["PV-2205", "FT-101", "LIC-5488", "TK-880", "HV-3021"]
+    pages = {}
+    for tag in tags:
+        pdf = make_pdf([f"BT /F1 24 Tf 20 100 Td ({tag}) Tj ET\n".encode()])
+        pages[tag] = render_pdf_pages(pdf, dpi=150)[0]
+    ok = total = 0
+    fails = []
+    for name, fn in _DEGRADE.items():
+        for tag in tags:
+            text, _conf = recognizer._read(fn(pages[tag]))
+            total += 1
+            if text == tag:
+                ok += 1
+            else:
+                fails.append((name, tag, text))
+    assert ok / total >= 0.95, (ok, total, fails)
