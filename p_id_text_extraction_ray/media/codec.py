@@ -253,6 +253,21 @@ def decode_image(data: bytes) -> np.ndarray:
         "strip TIFF supported)")
 
 
+def decode_image_rgb(data: bytes) -> np.ndarray:
+    """Container bytes -> uint8 RGB (h, w, 3) — the color-tile path a
+    color-dependent detector consumes (the reference's EasyOCR takes
+    color via PIL). JPEG decodes its chroma planes
+    (``jpeg.decode_jpeg(rgb=True)``); grayscale-only containers
+    (PIDR, PNG, TIFF here) replicate their plane."""
+    if data[:3] == JPEG_MAGIC:
+        from .jpeg import decode_jpeg
+        return decode_jpeg(data, rgb=True)
+    g = decode_image(data)
+    if g.ndim == 3:
+        return g
+    return np.stack([g, g, g], axis=-1)
+
+
 def string_box_size(text: str, rot: int) -> tuple[int, int]:
     """(w, h) in px of a rendered string. Horizontal: (len*CELL_W, CELL_H);
     vertical is the rotation of that strip."""

@@ -237,16 +237,23 @@ def _parse_sos(body: bytes, frame: dict):
     return scan, ss, se, ah_al >> 4, ah_al & 15
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """JPEG bytes -> uint8 luminance plane (h, w). Baseline/extended
-    sequential (SOF0/SOF1) and progressive (SOF2) Huffman streams.
+def decode_jpeg(data: bytes, rgb: bool = False) -> np.ndarray:
+    """JPEG bytes -> uint8 luminance plane (h, w), or (h, w, 3) RGB
+    when ``rgb=True``. Baseline/extended sequential (SOF0/SOF1) and
+    progressive (SOF2) Huffman streams.
 
-    For 3-component YCbCr the Y plane IS the luminance the detection
-    path wants (the reference detects on PIL-decoded grayscale,
-    ``sahi_slicer.py:13-15``); in sequential scans chroma blocks are
-    entropy-decoded to stay bit-synced but never dequantized/IDCT'd,
-    and in progressive streams chroma-only AC scans are skipped to the
-    next marker without any decoding at all.
+    Default (luminance): for 3-component YCbCr the Y plane IS the
+    luminance the detection path wants (the reference detects on
+    PIL-decoded grayscale, ``sahi_slicer.py:13-15``); in sequential
+    scans chroma blocks are entropy-decoded to stay bit-synced but
+    never dequantized/IDCT'd, and in progressive streams chroma-only
+    AC scans are skipped to the next marker without any decoding.
+
+    ``rgb=True`` (the color-tile gap vs the reference's PIL
+    ingestion): chroma coefficients are kept, dequantized and IDCT'd
+    like luma, upsampled to full resolution by sample replication,
+    and converted BT.601 full-range YCbCr -> RGB (JFIF). A grayscale
+    stream returns its plane replicated to 3 channels.
     """
     if data[:2] != b"\xff\xd8":
         raise JpegError("not a JPEG (missing SOI)")
@@ -294,16 +301,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise JpegError("SOS before SOF")
             if frame["progressive"]:
                 return _decode_progressive(data, pos, frame, qtables,
-                                           htables, restart_interval)
+                                           htables, restart_interval,
+                                           rgb=rgb)
             scan, _ss, _se, _ah, _al = _parse_sos(body, frame)
             return _decode_scan(data, pos + 2 + seglen, frame, scan,
-                                qtables, htables, restart_interval)
+                                qtables, htables, restart_interval,
+                                rgb=rgb)
         # APPn / COM / others: skip
         pos += 2 + seglen
     raise JpegError("no SOS marker found")
 
 
-def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
+def _decode_scan(data, pos, frame, scan, qtables, htables,
+                 restart_interval, rgb: bool = False):
     w, h = frame["w"], frame["h"]
     hmax = max(c["h"] for c in frame["comps"])
     vmax = max(c["v"] for c in frame["comps"])
@@ -312,6 +322,10 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
     # luminance = first scan component (grayscale: the only one)
     luma = scan[0][0]
     if len(scan) == 1:
+        if rgb and len(frame["comps"]) > 1:
+            raise JpegError(
+                "rgb decode of non-interleaved sequential color "
+                "unsupported (interleaved baseline and progressive are)")
         # single-component scan: NON-interleaved per T.81 A.2 — the MCU
         # is ONE data unit and the grid is the component's own block
         # grid ceil(comp_dim/8), NOT the hmax/vmax-aligned MCU grid.
@@ -321,14 +335,18 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
         comp_h = -(-h * luma["v"] // vmax)
         mcux = -(-comp_w // 8)
         mcuy = -(-comp_h // 8)
-        lh = lv = 1
+        geo = {id(luma): (1, 1, mcux)}       # (ch, cv, blocks-per-row)
     else:
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        lh, lv = luma["h"], luma["v"]
-    bw, bh = mcux * lh, mcuy * lv          # luma blocks per row / column
-    # entropy-decode into zig-zag coefficient rows; only luma is kept
-    lcoef = np.zeros((bh * bw, 64), dtype=np.int32)
+        geo = {id(c): (c["h"], c["v"], mcux * c["h"])
+               for c, _, _ in scan}
+    # entropy-decode into zig-zag coefficient rows, per kept component
+    coefs = {}
+    for c, _, _ in scan:
+        if rgb or c is luma:
+            ch, cv, bw_c = geo[id(c)]
+            coefs[id(c)] = np.zeros((mcuy * cv * bw_c, 64), np.int32)
 
     pred = {id(c): 0 for c, _, _ in scan}
     mcu_count = 0
@@ -343,16 +361,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
             for c, td, ta in scan:
                 dc_tbl = htables[(0, td)]
                 ac_tbl = htables[(1, ta)]
-                keep = c is luma
-                ch, cv = (1, 1) if len(scan) == 1 else (c["h"], c["v"])
+                ch, cv, bw_c = geo[id(c)]
+                coef = coefs.get(id(c))
                 for by in range(cv):
                     for bx in range(ch):
                         t = reader.decode_huffman(dc_tbl)
                         diff = _extend(reader.receive(t), t) if t else 0
                         pred[id(c)] += diff
-                        if keep:
-                            row = (my * lv + by) * bw + (mx * lh + bx)
-                            lcoef[row, 0] = pred[id(c)]
+                        if coef is not None:
+                            row = (my * cv + by) * bw_c + (mx * ch + bx)
+                            coef[row, 0] = pred[id(c)]
                         k = 1
                         while k < 64:
                             rs = reader.decode_huffman(ac_tbl)
@@ -366,11 +384,16 @@ def _decode_scan(data, pos, frame, scan, qtables, htables, restart_interval):
                             if k > 63:
                                 raise JpegError("AC run past block end")
                             v = _extend(reader.receive(s), s)
-                            if keep:
-                                lcoef[row, k] = v
+                            if coef is not None:
+                                coef[row, k] = v
                             k += 1
 
-    return _finish_plane(lcoef, qtables[luma["tq"]], bw, bh, w, h)
+    if not rgb:
+        ch, cv, bw_c = geo[id(luma)]
+        return _finish_plane(coefs[id(luma)], qtables[luma["tq"]],
+                             bw_c, mcuy * cv, w, h)
+    return _finish_rgb(frame, coefs, qtables, mcuy, hmax, vmax,
+                       single=len(scan) == 1, mcux=mcux)
 
 
 def _finish_plane(lcoef: np.ndarray, q: np.ndarray, bw: int, bh: int,
@@ -383,6 +406,46 @@ def _finish_plane(lcoef: np.ndarray, q: np.ndarray, bw: int, bh: int,
     plane = (pix.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
              .reshape(bh * 8, bw * 8))
     return np.clip(np.round(plane), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def _finish_rgb(frame, coefs, qtables, mcuy, hmax, vmax,
+                single: bool = False, mcux: int = 0) -> np.ndarray:
+    """Per-component dequant+IDCT, chroma upsample by sample
+    replication, BT.601 full-range YCbCr -> RGB (JFIF convention,
+    inverse of the encoder's forward matrix)."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    planes = []
+    for c in comps:
+        if single:
+            bw_c, bh_c = mcux, mcuy
+        else:
+            bw_c, bh_c = -(-w // (8 * hmax)) * c["h"], mcuy * c["v"]
+        cw = -(-w * c["h"] // hmax)          # component pixel dims
+        ch = -(-h * c["v"] // vmax)
+        plane = _finish_plane(coefs[id(c)], qtables[c["tq"]],
+                              bw_c, bh_c, cw, ch)
+        if (cw, ch) != (w, h):
+            fy, fx = vmax // c["v"], hmax // c["h"]
+            if fy * c["v"] == vmax and fx * c["h"] == hmax:
+                plane = np.repeat(np.repeat(plane, fy, 0), fx, 1)
+            else:                            # non-integer ratio: index map
+                yi = (np.arange(h) * ch // h).clip(0, ch - 1)
+                xi = (np.arange(w) * cw // w).clip(0, cw - 1)
+                plane = plane[yi][:, xi]
+            plane = plane[:h, :w]
+        planes.append(plane.astype(np.float64))
+    if len(planes) == 1:
+        g = planes[0].astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    if len(planes) != 3:
+        raise JpegError(f"rgb decode needs 1 or 3 components, "
+                        f"got {len(planes)}")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    out = np.stack([y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb], axis=-1)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
 
 
 def _skip_entropy(data: bytes, pos: int) -> int:
@@ -398,37 +461,49 @@ def _skip_entropy(data: bytes, pos: int) -> int:
 
 
 def _decode_progressive(data, pos, frame, qtables, htables,
-                        restart_interval):
-    """Progressive (SOF2) decode of the LUMINANCE component only.
+                        restart_interval, rgb: bool = False):
+    """Progressive (SOF2) decode — luminance only by default, all
+    components when ``rgb=True``.
 
     T.81 G.2 semantics: DC scans (possibly interleaved) carry
     successive-approximation DC bits; AC scans are always single-
-    component spectral bands. Scans that do not involve the luma
-    component are skipped to the next marker without entropy decoding —
-    their bits cannot affect luma coefficients. ``pos`` points AT the
-    first SOS marker; this loop owns all markers until EOI.
+    component spectral bands. In luminance mode, scans that do not
+    involve the luma component are skipped to the next marker without
+    entropy decoding — their bits cannot affect luma coefficients.
+    ``pos`` points AT the first SOS marker; this loop owns all markers
+    until EOI.
     """
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     luma = comps[0]
-    if len(comps) == 1:
+    single = len(comps) == 1
+    # per-component geometry: padded interleaved block grid (bw, bh)
+    # and the component's own non-interleaved grid (cw, chh) — the
+    # latter a prefix of the former
+    if single:
         # single-component frame: the declared sampling factor does not
         # change the pixel-to-block mapping (same rule as _decode_scan)
-        lh = lv = 1
         mcux, mcuy = -(-w // 8), -(-h // 8)
-        cw, chh = mcux, mcuy
     else:
-        lh, lv = luma["h"], luma["v"]
         mcux = -(-w // (8 * hmax))
         mcuy = -(-h // (8 * vmax))
-        # the component's own (non-interleaved) grid — a prefix of the
-        # padded interleaved grid
-        cw = -((-(-(-w * lh // hmax))) // 8)
-        chh = -((-(-(-h * lv // vmax))) // 8)
-    bw, bh = mcux * lh, mcuy * lv                # padded luma block grid
-    lcoef = np.zeros((bh * bw, 64), dtype=np.int32)
+    st = {}                                  # id(c) -> mutable geo/coef
+    for c in comps:
+        if single:
+            ch_, cv_ = 1, 1
+            bw_c, bh_c = mcux, mcuy
+            cw_c, chh_c = mcux, mcuy
+        else:
+            ch_, cv_ = c["h"], c["v"]
+            bw_c, bh_c = mcux * ch_, mcuy * cv_
+            cw_c = -((-(-(-w * ch_ // hmax))) // 8)
+            chh_c = -((-(-(-h * cv_ // vmax))) // 8)
+        coef = (np.zeros((bh_c * bw_c, 64), np.int32)
+                if (rgb or c is luma) else None)
+        st[id(c)] = {"coef": coef, "bw": bw_c, "cw": cw_c, "chh": chh_c,
+                     "ch": ch_, "cv": cv_}
 
     n = len(data)
     dri = restart_interval
@@ -452,26 +527,35 @@ def _decode_progressive(data, pos, frame, qtables, htables,
         elif marker == 0xDA:
             scan, ss, se, ah, al = _parse_sos(body, frame)
             start = pos + 2 + seglen
-            if not any(c is luma for c, _, _ in scan):
+            if not rgb and not any(c is luma for c, _, _ in scan):
                 pos = _skip_entropy(data, start)             # chroma-only
                 continue
-            pos = _progressive_scan(
-                data, start, scan, luma, ss, se, ah, al, htables, dri,
-                lcoef, bw, cw, chh, lh, lv, mcux, mcuy)
+            pos = _progressive_scan(data, start, scan, ss, se, ah, al,
+                                    htables, dri, st, mcux, mcuy)
             continue
         pos += 2 + seglen
-    return _finish_plane(lcoef, qtables[luma["tq"]], bw, bh, w, h)
+    if not rgb:
+        g = st[id(luma)]
+        return _finish_plane(g["coef"], qtables[luma["tq"]],
+                             g["bw"], g["coef"].shape[0] // g["bw"],
+                             w, h)
+    coefs = {k: v["coef"] for k, v in st.items()}
+    return _finish_rgb(frame, coefs, qtables, mcuy, hmax, vmax,
+                       single=single, mcux=mcux)
 
 
-def _progressive_scan(data, start, scan, luma, ss, se, ah, al, htables,
-                      dri, lcoef, bw, cw, chh, lh, lv, mcux, mcuy):
-    """Decode one progressive scan into ``lcoef``; returns the stream
-    position of the next marker."""
+def _progressive_scan(data, start, scan, ss, se, ah, al, htables,
+                      dri, st, mcux, mcuy):
+    """Decode one progressive scan into each component's coefficient
+    array in ``st`` (components with ``coef=None`` are entropy-decoded
+    for bit-sync only); returns the stream position of the next
+    marker."""
     reader = _BitReader(data, start)
     if ss == 0:                                              # DC scan
         pred = {id(c): 0 for c, _, _ in scan}
         interleaved = len(scan) > 1
-        nx, ny = (mcux, mcuy) if interleaved else (cw, chh)
+        g0 = st[id(scan[0][0])]
+        nx, ny = (mcux, mcuy) if interleaved else (g0["cw"], g0["chh"])
         mcu_count = 0
         for my in range(ny):
             for mx in range(nx):
@@ -481,27 +565,34 @@ def _progressive_scan(data, start, scan, luma, ss, se, ah, al, htables,
                         pred[id(c)] = 0
                 mcu_count += 1
                 for c, td, _ta in scan:
-                    keep = c is luma
-                    ch_, cv_ = (c["h"], c["v"]) if interleaved else (1, 1)
+                    g = st[id(c)]
+                    coef = g["coef"]
+                    ch_, cv_ = (g["ch"], g["cv"]) if interleaved \
+                        else (1, 1)
                     for by in range(cv_):
                         for bx in range(ch_):
                             if interleaved:
-                                row = (my * lv + by) * bw + (mx * lh + bx)
+                                row = ((my * g["cv"] + by) * g["bw"]
+                                       + (mx * g["ch"] + bx))
                             else:
-                                row = my * bw + mx
+                                row = my * g["bw"] + mx
                             if ah == 0:                      # first DC scan
                                 t = reader.decode_huffman(htables[(0, td)])
                                 diff = _extend(reader.receive(t), t) if t else 0
                                 pred[id(c)] += diff
-                                if keep:
-                                    lcoef[row, 0] = pred[id(c)] << al
+                                if coef is not None:
+                                    coef[row, 0] = pred[id(c)] << al
                             else:                            # DC refinement
                                 bit = reader.read_bit()
-                                if keep and bit:
-                                    lcoef[row, 0] |= 1 << al
+                                if coef is not None and bit:
+                                    coef[row, 0] |= 1 << al
         return _skip_entropy(data, reader.pos)
 
     # AC scan: always single-component (T.81 G.1.1.1.1)
+    g = st[id(scan[0][0])]
+    acoef, bw, cw, chh = g["coef"], g["bw"], g["cw"], g["chh"]
+    if acoef is None:                        # luma-mode chroma AC scan
+        return _skip_entropy(data, start)    # (caller filters; safety)
     ac_tbl = htables[(1, scan[0][2])]
     eobrun = 0
     p1, m1 = 1 << al, -1 << al
@@ -513,7 +604,7 @@ def _progressive_scan(data, start, scan, luma, ss, se, ah, al, htables,
                 eobrun = 0
             mcu_count += 1
             row = my * bw + mx
-            coef = lcoef[row]
+            coef = acoef[row]
             if ah == 0:                                      # first AC scan
                 if eobrun:
                     eobrun -= 1

@@ -13,6 +13,8 @@ Validation is triangulated, since neither PIL nor libjpeg is available:
   equality is impossible under lossy ringing at the glyph edges).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -516,3 +518,99 @@ def test_e2e_tile_detect_on_jpeg(ray_session, tmp_path):
         for box in g[["x_min", "y_min", "x_max", "y_max"]].to_numpy():
             best = max(_iou(box, b) for b in jb)
             assert best >= 0.6, f"{ref}: box {box} best IoU {best:.2f}"
+
+
+# ------------------------------------------------------------ RGB decode
+
+
+RUST_ASSETS = ("/root/.rustup/toolchains/stable-x86_64-unknown-linux-gnu"
+               "/share/doc/rust/html/embedded-book/assets")
+
+
+def _color_gradient(h=120, w=200):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 255 / w), (yy * 255 / h),
+                    ((xx + yy) * 255 / (w + h))], axis=-1).astype(np.uint8)
+    img[30:60, 40:80] = [255, 0, 0]
+    img[70:100, 120:180] = [0, 128, 255]
+    return img
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+def test_rgb_roundtrip_vs_encoder(sub):
+    img = _color_gradient()
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling=sub),
+                      rgb=True)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (0.6 if sub == "444" else 1.2), err
+
+
+def test_rgb_of_grayscale_stream_replicates_plane():
+    g = (np.mgrid[0:64, 0:80][1] * 3).astype(np.uint8)
+    data = encode_jpeg(g, quality=95)
+    out = decode_jpeg(data, rgb=True)
+    assert out.shape == (64, 80, 3)
+    assert (out[..., 0] == out[..., 1]).all()
+    assert (out[..., 0] == decode_jpeg(data)).all()
+
+
+def test_rgb_luma_consistent_with_luminance_path():
+    """decode_jpeg(rgb=True) and the default luminance decode agree on
+    BT.601 luma to rounding error — chroma decode must not perturb Y."""
+    data = encode_jpeg(_color_gradient(), quality=90, subsampling="420")
+    rgb = decode_jpeg(data, rgb=True).astype(np.float64)
+    y = decode_jpeg(data).astype(np.float64)
+    luma = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
+    assert np.abs(luma - y).mean() < 0.7
+
+
+@pytest.mark.parametrize("name,progressive", [
+    ("verify.jpeg", False),   # baseline color, external encoder
+    ("f3.jpg", True),         # progressive color, external encoder
+])
+def test_rgb_decode_real_external_color_files(name, progressive):
+    path = os.path.join(RUST_ASSETS, name)
+    if not os.path.exists(path):
+        pytest.skip("external color JPEG not present")
+    data = open(path, "rb").read()
+    rgb = decode_jpeg(data, rgb=True)
+    y = decode_jpeg(data)
+    assert rgb.shape == (*y.shape, 3)
+    luma = (0.299 * rgb[..., 0].astype(np.float64)
+            + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2])
+    assert np.abs(luma - y).mean() < 0.5      # chroma didn't corrupt Y
+    # real photographic color content (not a gray replication)
+    assert np.abs(rgb[..., 0].astype(int)
+                  - rgb[..., 2].astype(int)).mean() > 5
+
+
+def test_color_fixture_through_tile_and_detect():
+    """decode_image_rgb feeds the tile+detect path: tiles slice the
+    (h, w, 3) array, and detection on its luminance equals detection
+    on the default grayscale decode of the same stream."""
+    from p_id_text_extraction_ray.functions.rectdetect import (
+        detect_rects_words)
+
+    g = np.full((160, 240), 255, np.uint8)
+    g[40:60, 30:110] = 0                      # a word-shaped bar
+    g[100:118, 140:200] = 0
+    rgbsrc = np.stack([g, np.full_like(g, 200), np.full_like(g, 90)],
+                      axis=-1)                # colored page, dark marks
+    rgbsrc[g == 0] = [20, 10, 40]
+    data = encode_jpeg(rgbsrc, quality=97, subsampling="444")
+
+    rgb = codec.decode_image_rgb(data)
+    assert rgb.shape == (160, 240, 3)
+    tile = rgb[0:80, 0:120]                   # ndarray tiling slices fine
+    assert tile.shape == (80, 120, 3)
+
+    luma = np.clip(np.round(0.299 * rgb[..., 0].astype(np.float64)
+                            + 0.587 * rgb[..., 1]
+                            + 0.114 * rgb[..., 2]), 0, 255).astype(np.uint8)
+    gray = decode_jpeg(data)
+    boxes_rgb = detect_rects_words(luma, strong_max=128, weak_max=160)
+    boxes_gray = detect_rects_words(gray, strong_max=128, weak_max=160)
+    assert len(boxes_rgb) == len(boxes_gray) == 2
+    for a, b in zip(boxes_rgb.tolist(), boxes_gray.tolist()):
+        assert all(abs(x - y) <= 1 for x, y in zip(a, b))
