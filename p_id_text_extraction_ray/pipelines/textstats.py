@@ -655,20 +655,28 @@ FROM n GROUP BY lang
 UNIGRAM_BROADCAST_TERM_CAP = 250_000
 
 
-def doc_unigram_logprob(sf_dir: str):
+def doc_unigram_logprob(sf_dir: str, _with_lang: bool = False):
     """(doc_id, n_tokens, avg_logprob, perplexity) per non-empty doc:
     score under the corpus' own unigram LM — the CCNet-style (Wenzek et
     al. '20) LM quality filter, here with the corpus as its own model
     (an external LM's count table slots into the same join).
 
-    Distributed shape mirrors ``source_kl_divergence``: per-(doc, term)
-    tf partials; global term counts via a second bucketed sum over the
-    SAME materialized tf table; log-probabilities join back by term
-    (the term space is unbounded — never a driver dict); each doc's
-    rows land in one doc-bucketed group. BIT-EXACT vs the oracle: both
-    sides sum the per-term contributions tf·ln(c/T) in ascending-term
-    order (DuckDB ``sum(x ORDER BY t)`` and ``np.add.accumulate`` are
-    both left-associative — verified) with ln via libm (``math.log``;
+    Distributed shape: pass 1 builds the LM — per-BATCH partial term
+    counts (no doc dimension: strictly fewer shuffle rows than the old
+    per-(doc, term) table) summed by one bucketed shuffle. A bounded
+    vocabulary (every tokenized corpus; CCNet itself scores under a
+    FIXED external KenLM, which is this broadcast by construction)
+    then broadcasts the count dict and pass 2 scores every doc
+    ROW-LOCALLY in a single map over the raw docs — no (doc, term)
+    materialization, no term join, no doc-bucket shuffle (the r3
+    version shipped the corpus-scale tf table through all three). An
+    unbounded term space (corpus-as-own-model over 100-TB raw web)
+    falls back to the r3 partitioned shape: tf table + hash join +
+    doc-co-partitioned scoring. Both paths attach IDENTICAL integer
+    counts, so scores are bit-equal across paths and vs the oracle:
+    both sum tf·ln(c/T) over distinct terms in ascending-term order
+    (DuckDB ``sum(x ORDER BY t)`` and ``np.add.accumulate`` are both
+    left-associative — verified) with ln via libm (``math.log``;
     ``np.log``'s SIMD path differs by 1 ulp), so the 6-dp rounding is
     applied to identical doubles, never near-boundary coin flips.
     """
@@ -679,10 +687,86 @@ def doc_unigram_logprob(sf_dir: str):
     from .joins import _bucket_of, hash_join, DEFAULT_SHUFFLE_PARTITIONS
     from ._util import bucketed_group_sum
 
+    # _with_lang (internal, ccnet_perplexity_buckets): the row-local
+    # broadcast path carries lang through for free, sparing the caller
+    # a doc_id join; the fallback path cannot (its scores travel
+    # through a term-keyed shuffle), so with the flag set the return
+    # is (dataset, lang_carried: bool). The LM-count pass always reads
+    # the minimal columns.
     docs = _docs(sf_dir)
+    score_in = _docs(sf_dir, ("doc_id", "text", "lang")) if _with_lang \
+        else docs
 
+    def count_rows(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        cnt = Counter()
+        for text in df["text"]:
+            cnt.update(text.split())
+        return pd.DataFrame({"t": pd.Series(list(cnt.keys()), dtype=object),
+                             "c": np.fromiter(cnt.values(), np.int64,
+                                              len(cnt))})
+
+    g = bucketed_group_sum(
+        docs.map_batches(count_rows, batch_format="pandas"),
+        "t", ["c"]).materialize()
+    gn = g.map_batches(
+        lambda df: pd.DataFrame({"n": [df["c"].sum()]}),
+        batch_format="pandas").to_pandas()
+    # empty corpus: the partial-sum frame has no columns at all
+    grand = int(gn["n"].sum()) if "n" in gn.columns else 0
+
+    out_schema = {"doc_id": np.int64, "n_tokens": np.int64,
+                  "avg_logprob": np.float64, "perplexity": np.float64}
+
+    n_terms = g.count()
+    if n_terms <= UNIGRAM_BROADCAST_TERM_CAP:
+        gdf = g.to_pandas()
+        # empty corpus: the count frame has no columns at all
+        cmap = (dict(zip(gdf["t"], gdf["c"].astype(np.int64)))
+                if "t" in gdf.columns else {})
+
+        def score_local(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            lp_of: dict = {}
+            langs = df["lang"] if _with_lang else None
+            out_id, out_n, out_avg, out_ppl, out_lang = [], [], [], [], []
+            for j, (doc_id, text) in enumerate(
+                    zip(df["doc_id"].to_numpy(), df["text"])):
+                cnt = Counter(text.split())
+                if not cnt:
+                    continue
+                # left-assoc sum over distinct terms ascending ==
+                # SQL sum(x ORDER BY t)
+                lnc = np.empty(len(cnt), np.float64)
+                n = 0
+                for i, t in enumerate(sorted(cnt)):
+                    tf = cnt[t]
+                    c = cmap[t]
+                    lp = lp_of.get(c)
+                    if lp is None:
+                        lp = lp_of[c] = math.log((c * 1.0) / grand)
+                    lnc[i] = tf * lp
+                    n += tf
+                s = np.add.accumulate(lnc)[-1]
+                avg = s / float(n)
+                out_id.append(doc_id)
+                out_n.append(n)
+                out_avg.append(round(avg, 6))
+                out_ppl.append(round(math.exp(-avg), 6))
+                if langs is not None:
+                    out_lang.append(langs.iat[j])
+            out = pd.DataFrame({k: np.array(v, dtype=d) for (k, d), v in
+                                zip(out_schema.items(),
+                                    (out_id, out_n, out_avg, out_ppl))})
+            if langs is not None:
+                out["lang"] = pd.Series(out_lang, dtype=object)
+            return out
+
+        ds = score_in.map_batches(score_local, batch_format="pandas")
+        return (ds, True) if _with_lang else ds
+
+    # ---- unbounded-vocab fallback: the r3 partitioned-join shape
     def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
         from collections import Counter
         ids, ts, cs = [], [], []
         for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
@@ -696,34 +780,8 @@ def doc_unigram_logprob(sf_dir: str):
 
     tf = bucketed_group_sum(
         docs.map_batches(tf_rows, batch_format="pandas"),
-        ["doc_id", "t"], ["tf"]).materialize()
-
-    g = bucketed_group_sum(
-        tf.map_batches(lambda df: df[["t", "tf"]].rename(columns={"tf": "c"}),
-                       batch_format="pandas"), "t", ["c"]).materialize()
-    gn = g.map_batches(
-        lambda df: pd.DataFrame({"n": [df["c"].sum()]}),
-        batch_format="pandas").to_pandas()
-    # empty corpus: the partial-sum frame has no columns at all
-    grand = int(gn["n"].sum()) if "n" in gn.columns else 0
-
-    # Attach global counts to the (doc, term) rows. Adaptive: a small
-    # vocabulary (most corpora after tokenization; bounded here) is a
-    # classic broadcast side — ship the count dict into the map and skip
-    # the term-join shuffle entirely; an unbounded term space (the 100-TB
-    # raw-web case) falls back to the partitioned hash join. Both paths
-    # attach IDENTICAL integer counts, so scores stay bit-exact.
-    n_terms = g.count()
-    if n_terms <= UNIGRAM_BROADCAST_TERM_CAP:
-        gdf = g.to_pandas()
-        # empty corpus: the count frame has no columns at all
-        cmap = (dict(zip(gdf["t"], gdf["c"].astype(np.int64)))
-                if "t" in gdf.columns else {})
-        joined = tf.map_batches(
-            lambda df: df.assign(c=df["t"].map(cmap).astype(np.int64)),
-            batch_format="pandas")
-    else:
-        joined = hash_join(tf, g, on="t")
+        ["doc_id", "t"], ["tf"])
+    joined = hash_join(tf, g, on="t")
 
     def score_docs(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["doc_id", "t"], kind="mergesort")
@@ -750,12 +808,13 @@ def doc_unigram_logprob(sf_dir: str):
                              "avg_logprob": np.array(out_avg),
                              "perplexity": np.array(out_ppl)})
 
-    return (joined.map_batches(
+    ds = (joined.map_batches(
         lambda df: df.assign(__bucket=_bucket_of(df["doc_id"], 64)),
         batch_format="pandas")
         .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
         .map_groups(lambda g_: score_docs(g_.drop(columns="__bucket")),
                     batch_format="pandas"))
+    return (ds, False) if _with_lang else ds
 
 
 DOC_UNIGRAM_LOGPROB_SQL = r"""
@@ -1050,9 +1109,7 @@ def ccnet_perplexity_buckets(sf_dir: str):
 
     from ._util import bucketed_group_sum
 
-    scores = doc_unigram_logprob(sf_dir).map_batches(
-        lambda df: df[["doc_id", "avg_logprob"]], batch_format="pandas")
-    langs = _docs(sf_dir, ("doc_id", "lang"))
+    scored, lang_carried = doc_unigram_logprob(sf_dir, _with_lang=True)
 
     def quantize(df: pd.DataFrame) -> pd.DataFrame:
         q = np.floor(df["avg_logprob"].to_numpy(np.float64) * 1000.0) / 1000.0
@@ -1060,8 +1117,15 @@ def ccnet_perplexity_buckets(sf_dir: str):
                              "lang": df["lang"],
                              "score_q": q})
 
-    sl = hash_join(scores, langs, on="doc_id") \
-        .map_batches(quantize, batch_format="pandas").materialize()
+    if lang_carried:                         # broadcast path: no join
+        sl = scored.map_batches(quantize, batch_format="pandas") \
+            .materialize()
+    else:                                    # fallback path: attach lang
+        scores = scored.map_batches(
+            lambda df: df[["doc_id", "avg_logprob"]], batch_format="pandas")
+        langs = _docs(sf_dir, ("doc_id", "lang"))
+        sl = hash_join(scores, langs, on="doc_id") \
+            .map_batches(quantize, batch_format="pandas").materialize()
 
     hist = bucketed_group_sum(
         sl.map_batches(lambda df: df.assign(c=np.int64(1))
