@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": D.dedup_incremental,
         "doc_novelty_score": D.doc_novelty_score,
         "decontaminate_train": C.decontaminate_train,
+        "ngram_contamination_rate": C.ngram_contamination_rate,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
         "cap_per_source": C.cap_per_source,
@@ -90,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_tokens": G.pagerank_tokens,
         "ccnet_perplexity_buckets": T.ccnet_perplexity_buckets,
         "doc_unigram_logprob": T.doc_unigram_logprob,
+        "doc_bigram_logprob": T.doc_bigram_logprob,
         "bpe_token_counts": T.bpe_token_counts,
         "doc_char_entropy": T.doc_char_entropy,
         "doc_repetition_stats": T.doc_repetition_stats,
@@ -181,6 +183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_pca_project": S.embedding_pca_project,
         "embedding_quantize_int8": S.embedding_quantize_int8,
         "embedding_kmeans_clusters": S.embedding_kmeans_clusters,
+        "semdedup_prune": S.semdedup_prune,
         "doc_fingerprints": T.doc_fingerprints,
         "doc_length_quantiles": T.doc_length_quantiles,
         "text_clean": T.text_clean,
@@ -292,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_char_entropy": T.DOC_CHAR_ENTROPY_SQL,
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "decontaminate_train": C.DECONTAMINATE_SQL,
+        "ngram_contamination_rate": C.NGRAM_CONTAMINATION_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "cap_per_source": C.CAP_PER_SOURCE_SQL,
@@ -316,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "events_running_records": SC.EVENTS_RUNNING_RECORDS_SQL,
         "weighted_sample_docs": SP.WEIGHTED_SAMPLE_SQL,
         "doc_unigram_logprob": T.DOC_UNIGRAM_LOGPROB_SQL,
+        "doc_bigram_logprob": T.DOC_BIGRAM_LOGPROB_SQL,
         "events_error_followups": TM.EVENTS_ERROR_FOLLOWUPS_SQL,
         "event_transition_matrix": TM.EVENT_TRANSITION_MATRIX_SQL,
         "user_decayed_value": TM.USER_DECAYED_VALUE_SQL,

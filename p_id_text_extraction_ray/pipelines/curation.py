@@ -104,6 +104,84 @@ GROUP BY grams.doc_id
 """
 
 
+def ngram_contamination_rate(sf_dir: str):
+    """(doc_id, n_grams, n_contaminated, contamination_rate) for every
+    HOLDOUT doc with >= 1 word 8-gram: the fraction of the eval doc's
+    distinct grams that also occur anywhere in the TRAIN split — the
+    eval-side contamination measurement (``decontaminate_train`` is
+    the train-side flag, this is the auditor's number for how burnt an
+    eval set already is).
+
+    Scale shape: one gram pass (hashed distinct grams per doc, like
+    decontaminate), a gram-bucketed semi join of the holdout grams
+    against the train gram set, per-doc counts via bucketed sums, and
+    one doc-keyed LEFT join so zero-contamination docs keep a row.
+    Everything shuffles hashed 8-byte grams, never text; same hash
+    collision stance as ``decontaminate_train``."""
+    from ._util import bucketed_group_sum
+    from .joins import hash_join, semi_join
+
+    grams = _docs(sf_dir).map_batches(_gram_rows, batch_format="pandas")
+    hold = grams.map_batches(
+        lambda df: df[df["doc_id"] % HOLDOUT_MOD == 0],
+        batch_format="pandas").materialize()
+    train = grams.map_batches(
+        lambda df: df.loc[df["doc_id"] % HOLDOUT_MOD != 0, ["gram"]],
+        batch_format="pandas")
+
+    totals = bucketed_group_sum(
+        hold.map_batches(lambda df: pd.DataFrame(
+            {"doc_id": df["doc_id"].values,
+             "n_grams": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        "doc_id", ["n_grams"])
+    cont = bucketed_group_sum(
+        semi_join(hold, train, on="gram").map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].values,
+                 "n_contaminated": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        "doc_id", ["n_contaminated"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        c = df["n_contaminated"].fillna(0).astype(np.int64)
+        n = df["n_grams"].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_grams": n,
+            "n_contaminated": c,
+            "contamination_rate": np.round(
+                c.to_numpy(np.float64) / n.to_numpy(np.float64), 6)})
+
+    return hash_join(totals, cont, on="doc_id", how="left",
+                     right_cols_hint=["n_contaminated"]) \
+        .map_batches(finish, batch_format="pandas")
+
+
+NGRAM_CONTAMINATION_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+ok AS (SELECT doc_id, w FROM tok WHERE len(w) >= {DECON_K}),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {DECON_K - 1})) AS i
+        FROM ok),
+grams AS (SELECT DISTINCT doc_id,
+                 array_to_string(w[i:i+{DECON_K - 1}], ' ') AS g
+          FROM idx),
+train AS (SELECT DISTINCT g FROM grams WHERE doc_id % {HOLDOUT_MOD} <> 0),
+hold AS (SELECT doc_id, g FROM grams WHERE doc_id % {HOLDOUT_MOD} = 0),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+        FROM hold GROUP BY doc_id),
+cont AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS c
+         FROM hold h JOIN train t USING (g) GROUP BY h.doc_id)
+SELECT tot.doc_id, n_grams,
+       CAST(COALESCE(c, 0) AS BIGINT) AS n_contaminated,
+       round(COALESCE(c, 0) * 1.0 / n_grams, 6) AS contamination_rate
+FROM tot LEFT JOIN cont USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def pack_sequences(sf_dir: str):
     """(bucket, bin_id, doc_id, n_tok) pack layout: within each doc-hash
     bucket, docs concatenate in doc_id order and a doc's bin is the

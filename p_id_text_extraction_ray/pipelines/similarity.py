@@ -556,6 +556,75 @@ def embedding_kmeans_clusters(sf_dir: str):
     return agg.map_batches(finish, batch_format="pandas")
 
 
+# -------------------------------------------------- semantic dedup
+
+SEMDEDUP_EPS = 0.05      # prune when cosine > 1 - eps to a kept vector
+
+
+def semdedup_prune(sf_dir: str):
+    """(vec_id, cluster, centroid_sim, keep) — SemDeDup (Abbas et al.
+    '23, arXiv:2303.09540): cluster the embedding space, then within
+    each cluster drop every vector whose cosine to an already-kept
+    vector exceeds ``1 - SEMDEDUP_EPS``, keeping the candidate FARTHEST
+    from the centroid in each near-duplicate group (the paper's
+    keep-outliers choice, which preserves diversity).
+
+    Scale shape: centroids train once on the bounded distributed
+    sample (``_ivf_centroids``) and broadcast; assignment is one
+    matmul per batch; the only shuffle co-partitions rows BY CLUSTER
+    (each vector's embedding crosses the wire exactly once). The
+    in-cluster pass is the paper's O(cluster²) pairwise check —
+    bounded by cluster size, so the number of centroids is the skew
+    knob (scale IVF_CELLS with corpus size to keep clusters ~constant).
+    Deterministic: candidates scan in (centroid_sim ascending, vec_id)
+    order, so output is partition-invariant (pytest-checked).
+    Rows-only: kmeans is iterative, not SQL-expressible."""
+    import pandas as pd
+
+    from .joins import DEFAULT_SHUFFLE_PARTITIONS
+
+    C = _ivf_centroids(sf_dir)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        m = m / n[:, None]
+        sims = m @ C.T
+        cell = sims.argmax(axis=1).astype(np.int64)
+        return pd.DataFrame({
+            "cluster": cell,
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "centroid_sim": sims[np.arange(len(m)), cell],
+            "nvec": list(m)})
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["centroid_sim", "vec_id"],
+                          kind="mergesort")     # outliers first
+        m = np.stack(g["nvec"].to_numpy())
+        keep_rows = []
+        keep = np.zeros(len(g), dtype=bool)
+        thr = 1.0 - SEMDEDUP_EPS
+        for i in range(len(g)):
+            v = m[i]
+            if keep_rows and (m[keep_rows] @ v).max() > thr:
+                continue
+            keep[i] = True
+            keep_rows.append(i)
+        return pd.DataFrame({
+            "vec_id": g["vec_id"].to_numpy(np.int64),
+            "cluster": g["cluster"].to_numpy(np.int64),
+            "centroid_sim": np.round(
+                g["centroid_sim"].to_numpy(np.float64), 6),
+            "keep": keep})
+
+    return (_emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                      ["vec_id", "embedding"])
+            .map_batches(assign, batch_format="pandas")
+            .groupby("cluster", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+            .map_groups(prune, batch_format="pandas"))
+
+
 # ------------------------------------------------------ distributed PCA
 
 PCA_K = 8  # projected dimensionality

@@ -835,6 +835,182 @@ ORDER BY doc_id
 """
 
 
+# --------------------------- bigram LM quality score
+
+# Bigram vocabulary size below which the (bigram -> count) and
+# (left-token -> count) tables broadcast into the scoring map.
+BIGRAM_BROADCAST_CAP = 250_000
+
+
+def doc_bigram_logprob(sf_dir: str):
+    """(doc_id, n_bigrams, avg_logprob, perplexity) per doc with >= 2
+    tokens: score under the corpus' own bigram MLE LM,
+    p(w2 | w1) = c(w1 w2) / c(w1 ·) — one order up from
+    ``doc_unigram_logprob`` and the closer stand-in for the n-gram
+    KenLM the CCNet filter scores with (Wenzek et al. '20; an external
+    model's count tables slot into the same broadcast).
+
+    Distributed shape mirrors the unigram op: per-batch partial bigram
+    counts through one bucketed sum; left-token totals derive from the
+    (small) bigram table, not a second corpus pass. A bounded bigram
+    vocabulary broadcasts both maps and scores docs ROW-LOCALLY in one
+    map over the raw input; an unbounded one falls back to the
+    partitioned shape — per-(doc, bigram) tf rows joined to the count
+    tables by bigram then left token (two bucketed hash joins), scored
+    in doc-co-partitioned groups. Bit-exact vs the oracle: both sides
+    fold tf·ln(c/cw) over distinct bigrams in ascending order
+    (left-associative) with libm ln, then round to 6 dp. Bigram keys
+    are ``w1 + ' ' + w2`` — unambiguous because tokens are ``\\S+``.
+    """
+    import math
+
+    import numpy as np
+
+    from .joins import _bucket_of, hash_join, DEFAULT_SHUFFLE_PARTITIONS
+    from ._util import bucketed_group_sum
+
+    docs = _docs(sf_dir)
+
+    def bigram_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        cnt = Counter()
+        for text in df["text"]:
+            w = text.split()
+            cnt.update(a + " " + b for a, b in zip(w, w[1:]))
+        return pd.DataFrame({"g": pd.Series(list(cnt.keys()), dtype=object),
+                             "c": np.fromiter(cnt.values(), np.int64,
+                                              len(cnt))})
+
+    g = bucketed_group_sum(
+        docs.map_batches(bigram_counts, batch_format="pandas"),
+        "g", ["c"]).materialize()
+
+    def left_rows(df: pd.DataFrame) -> pd.DataFrame:
+        w1 = df["g"].str.split(" ", n=1).str[0]
+        return pd.DataFrame({"w1": w1, "cw": df["c"].to_numpy(np.int64)})
+
+    lc = bucketed_group_sum(
+        g.map_batches(left_rows, batch_format="pandas"),
+        "w1", ["cw"]).materialize()
+
+    out_schema = {"doc_id": np.int64, "n_bigrams": np.int64,
+                  "avg_logprob": np.float64, "perplexity": np.float64}
+
+    if g.count() <= BIGRAM_BROADCAST_CAP:
+        gdf = g.to_pandas()
+        ldf = lc.to_pandas()
+        cmap = (dict(zip(gdf["g"], gdf["c"].astype(np.int64)))
+                if "g" in gdf.columns else {})
+        lmap = (dict(zip(ldf["w1"], ldf["cw"].astype(np.int64)))
+                if "w1" in ldf.columns else {})
+
+        def score_local(df: pd.DataFrame) -> pd.DataFrame:
+            from collections import Counter
+            lp_of: dict = {}
+            out = {k: [] for k in out_schema}
+            for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+                w = text.split()
+                cnt = Counter(a + " " + b for a, b in zip(w, w[1:]))
+                if not cnt:
+                    continue
+                lnc = np.empty(len(cnt), np.float64)
+                n = 0
+                for i, bg in enumerate(sorted(cnt)):
+                    tf = cnt[bg]
+                    key = (cmap[bg], lmap[bg.split(" ", 1)[0]])
+                    lp = lp_of.get(key)
+                    if lp is None:
+                        lp = lp_of[key] = math.log((key[0] * 1.0) / key[1])
+                    lnc[i] = tf * lp
+                    n += tf
+                avg = np.add.accumulate(lnc)[-1] / float(n)
+                out["doc_id"].append(doc_id)
+                out["n_bigrams"].append(n)
+                out["avg_logprob"].append(round(avg, 6))
+                out["perplexity"].append(round(math.exp(-avg), 6))
+            return pd.DataFrame({k: np.array(v, dtype=d)
+                                 for (k, d), v in zip(out_schema.items(),
+                                                      out.values())})
+
+        return docs.map_batches(score_local, batch_format="pandas")
+
+    # ---- unbounded-vocab fallback: partitioned two-join shape
+    def tf_rows(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        ids, gs, cs = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            w = text.split()
+            cnt = Counter(a + " " + b for a, b in zip(w, w[1:]))
+            ids.extend([doc_id] * len(cnt))
+            gs.extend(cnt.keys())
+            cs.extend(cnt.values())
+        return pd.DataFrame({"doc_id": np.array(ids, dtype=np.int64),
+                             "g": pd.Series(gs, dtype=object),
+                             "tf": np.array(cs, dtype=np.int64)})
+
+    tf = bucketed_group_sum(
+        docs.map_batches(tf_rows, batch_format="pandas"),
+        ["doc_id", "g"], ["tf"])
+    j1 = hash_join(tf, g, on="g").map_batches(
+        lambda df: df.assign(w1=df["g"].str.split(" ", n=1).str[0]),
+        batch_format="pandas")
+    joined = hash_join(j1, lc, on="w1")
+
+    def score_docs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "g"], kind="mergesort")
+        pairs = list(zip(df["c"].to_numpy(np.int64),
+                         df["cw"].to_numpy(np.int64)))
+        lp_of = {k: math.log((k[0] * 1.0) / k[1]) for k in set(pairs)}
+        lnc = (df["tf"].to_numpy(np.float64)
+               * np.array([lp_of[k] for k in pairs], np.float64))
+        dids = df["doc_id"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, dids[1:] != dids[:-1]])
+        ends = np.r_[starts[1:], len(dids)]
+        out = {k: [] for k in out_schema}
+        tfa = df["tf"].to_numpy()
+        for s0, s1 in zip(starts, ends):
+            s = np.add.accumulate(lnc[s0:s1])[-1]
+            n = int(tfa[s0:s1].sum())
+            avg = s / float(n)
+            out["doc_id"].append(dids[s0])
+            out["n_bigrams"].append(n)
+            out["avg_logprob"].append(round(avg, 6))
+            out["perplexity"].append(round(math.exp(-avg), 6))
+        return pd.DataFrame({k: np.array(v, dtype=d)
+                             for (k, d), v in zip(out_schema.items(),
+                                                  out.values())})
+
+    return (joined.map_batches(
+        lambda df: df.assign(__bucket=_bucket_of(df["doc_id"], 64)),
+        batch_format="pandas")
+        .groupby("__bucket", num_partitions=DEFAULT_SHUFFLE_PARTITIONS)
+        .map_groups(lambda g_: score_docs(g_.drop(columns="__bucket")),
+                    batch_format="pandas"))
+
+
+DOC_BIGRAM_LOGPROB_SQL = r"""
+WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+           FROM documents),
+bgz AS (SELECT doc_id, unnest(list_zip(w[1:len(w)-1], w[2:len(w)])) AS z
+        FROM d WHERE len(w) >= 2),
+b AS (SELECT doc_id, z[1] || ' ' || z[2] AS g FROM bgz),
+db AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS tf
+       FROM b GROUP BY doc_id, g),
+gc AS (SELECT g, CAST(sum(tf) AS BIGINT) AS c FROM db GROUP BY g),
+lc AS (SELECT split_part(g, ' ', 1) AS w1, CAST(sum(c) AS BIGINT) AS cw
+       FROM gc GROUP BY w1)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+       round(sum(tf * ln((c * 1.0) / cw) ORDER BY g)
+             / CAST(sum(tf) AS DOUBLE), 6) AS avg_logprob,
+       round(exp(-(sum(tf * ln((c * 1.0) / cw) ORDER BY g)
+                   / CAST(sum(tf) AS DOUBLE))), 6) AS perplexity
+FROM db JOIN gc USING (g)
+JOIN lc ON lc.w1 = split_part(db.g, ' ', 1)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 # --------------------------- compression-ratio quality signal
 
 COMPRESS_REPETITIVE_MAX = 0.35   # flag docs compressing below this ratio

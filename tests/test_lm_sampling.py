@@ -108,3 +108,37 @@ def test_unigram_join_fallback_matches_broadcast(ray_session, monkeypatch):
         fast.sort_values("doc_id").reset_index(drop=True),
         slow.sort_values("doc_id").reset_index(drop=True),
         check_exact=True)
+
+
+def test_bigram_join_fallback_matches_broadcast(ray_session, monkeypatch):
+    """Bigram LM: the broadcast fast path and the two-join partitioned
+    fallback attach identical counts and fold identically."""
+    from p_id_text_extraction_ray.pipelines import textstats as T
+    fast = T.doc_bigram_logprob("/root/testdata/sf0.001").to_pandas()
+    monkeypatch.setattr(T, "BIGRAM_BROADCAST_CAP", 0)
+    slow = T.doc_bigram_logprob("/root/testdata/sf0.001").to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        fast.sort_values("doc_id").reset_index(drop=True),
+        slow.sort_values("doc_id").reset_index(drop=True),
+        check_exact=True)
+
+
+def test_bigram_single_token_docs_excluded(ray_session, tmp_path):
+    """Docs with < 2 tokens have no bigrams and must not emit a row."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.pipelines import textstats as T
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(["only", "two tokens", ""]),
+                  "lang": pa.array(["en"] * 3),
+                  "source": pa.array(["s"] * 3),
+                  "n_chars": pa.array([4, 10, 0], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = T.doc_bigram_logprob(str(tmp_path)).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["n_bigrams"].tolist() == [1]
+    # single distinct bigram: p = c/cw = 1/1 -> ln 1 = 0
+    assert out["avg_logprob"].tolist() == [0.0]
+    assert out["perplexity"].tolist() == [1.0]
