@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty_score": D.doc_novelty_score,
         "decontaminate_train": C.decontaminate_train,
         "ngram_contamination_rate": C.ngram_contamination_rate,
+        "bpe_train_merges": C.bpe_train_merges,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
         "cap_per_source": C.cap_per_source,

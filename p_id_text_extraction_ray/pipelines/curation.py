@@ -521,6 +521,109 @@ ORDER BY source
 CAP_PER_SOURCE_K = 10
 
 
+BPE_TRAIN_MERGES = 12      # merge rounds for the bench/test corpus
+
+
+def bpe_train_merges(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES):
+    """(rank, left, right, merged, pair_count) — the first ``n_merges``
+    byte-pair-encoding merges trained on the corpus (Sennrich et al.
+    '16): the tokenizer-training pass of a data pipeline, not just the
+    token counting ``bpe_token_counts`` does.
+
+    Scale shape: the corpus is touched ONCE (per-batch word Counters
+    -> one bucketed sum) and every merge round then operates on the
+    DISTINCT-WORD table only (vocab-scale, exactly like fastBPE/HF
+    trainers): one shuffle summing adjacent-pair counts weighted by
+    word frequency, a driver argmax over the pair table (bounded), and
+    a broadcast rewrite of the symbol sequences. No merge crosses a
+    word boundary. Deterministic: ties break on the lexicographically
+    smallest (left, right) pair, so the merge sequence is a pure
+    function of the corpus (partition-invariance pytest-checked).
+    Rows-only: the iterative argmax chain is not SQL-expressible."""
+    from ._util import bucketed_group_sum
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        cnt = Counter()
+        for text in df["text"]:
+            cnt.update(text.split())
+        return pd.DataFrame({"w": pd.Series(list(cnt.keys()), dtype=object),
+                             "c": np.fromiter(cnt.values(), np.int64,
+                                              len(cnt))})
+
+    words = bucketed_group_sum(
+        _docs(sf_dir).map_batches(word_counts, batch_format="pandas"),
+        "w", ["c"])
+    state = words.map_batches(
+        lambda df: pd.DataFrame({"syms": [list(w) for w in df["w"]]
+                                 if len(df) else pd.Series([], dtype=object),
+                                 "c": df["c"].to_numpy(np.int64)
+                                 if len(df) else
+                                 pd.Series([], dtype="int64")}),
+        batch_format="pandas").materialize()
+
+    def pair_partials(df: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        cnt = Counter()
+        for syms, c in zip(df["syms"], df["c"]):
+            for a, b in zip(syms, syms[1:]):
+                cnt[(a, b)] += int(c)
+        if not cnt:
+            return pd.DataFrame({"a": pd.Series([], dtype=object),
+                                 "b": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        ks = list(cnt.keys())
+        return pd.DataFrame({"a": pd.Series([k[0] for k in ks], dtype=object),
+                             "b": pd.Series([k[1] for k in ks], dtype=object),
+                             "n": np.fromiter(cnt.values(), np.int64,
+                                              len(cnt))})
+
+    out = {"rank": [], "left": [], "right": [], "merged": [],
+           "pair_count": []}
+    for rank in range(n_merges):
+        pairs = bucketed_group_sum(
+            state.map_batches(pair_partials, batch_format="pandas"),
+            ["a", "b"], ["n"]).to_pandas()
+        if "n" not in pairs.columns or not len(pairs):
+            break
+        # max count; ties -> lexicographically smallest (a, b)
+        pairs = pairs.sort_values(["a", "b"], kind="mergesort")
+        best = pairs.iloc[int(pairs["n"].to_numpy().argmax())]
+        a, b, n = str(best["a"]), str(best["b"]), int(best["n"])
+        out["rank"].append(rank)
+        out["left"].append(a)
+        out["right"].append(b)
+        out["merged"].append(a + b)
+        out["pair_count"].append(n)
+
+        def apply_merge(df: pd.DataFrame, a=a, b=b) -> pd.DataFrame:
+            merged = []
+            for syms in df["syms"]:
+                i = 0
+                nsyms = []
+                m = len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        nsyms.append(a + b)
+                        i += 2
+                    else:
+                        nsyms.append(syms[i])
+                        i += 1
+                merged.append(nsyms)
+            return pd.DataFrame({"syms": pd.Series(merged, dtype=object),
+                                 "c": df["c"].to_numpy(np.int64)})
+
+        state = state.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+
+    import pyarrow as pa
+    return pa.table({"rank": pa.array(out["rank"], pa.int64()),
+                     "left": pa.array(out["left"], pa.string()),
+                     "right": pa.array(out["right"], pa.string()),
+                     "merged": pa.array(out["merged"], pa.string()),
+                     "pair_count": pa.array(out["pair_count"], pa.int64())})
+
+
 def cap_per_source(sf_dir: str):
     """Cap every source at its K longest documents — the per-source
     quota a corpus-mixing pipeline applies so one crawl domain cannot

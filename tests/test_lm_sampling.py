@@ -142,3 +142,61 @@ def test_bigram_single_token_docs_excluded(ray_session, tmp_path):
     # single distinct bigram: p = c/cw = 1/1 -> ln 1 = 0
     assert out["avg_logprob"].tolist() == [0.0]
     assert out["perplexity"].tolist() == [1.0]
+
+
+def _ref_bpe(word_counts: dict, n: int):
+    """Reference BPE trainer (loop form) for parity."""
+    state = {tuple(w): c for w, c in word_counts.items()}
+    merges = []
+    for _ in range(n):
+        pc = {}
+        for syms, c in state.items():
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        merges.append((best[0], best[1], pc[best]))
+        new = {}
+        for syms, c in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] = new.get(tuple(out), 0) + c
+        state = new
+    return merges
+
+
+def test_bpe_train_merges_matches_reference_loop(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from p_id_text_extraction_ray.pipelines.curation import bpe_train_merges
+    texts = ["low lower lowest", "newest widest lowest low",
+             "low low newer wider", "es es es t t"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    wc = Counter(w for x in texts for w in x.split())
+    expect = _ref_bpe(wc, 8)
+    got = bpe_train_merges(str(tmp_path), n_merges=8).to_pandas()
+    assert [(r.left, r.right, r.pair_count)
+            for r in got.itertuples()] == expect
+    assert (got["merged"] == got["left"] + got["right"]).all()
+    assert got["rank"].tolist() == list(range(len(expect)))
+
+
+def test_bpe_train_deterministic_across_runs(ray_session):
+    from p_id_text_extraction_ray.pipelines.curation import bpe_train_merges
+    a = bpe_train_merges("/root/testdata/sf0.001", n_merges=4).to_pandas()
+    b = bpe_train_merges("/root/testdata/sf0.001", n_merges=4).to_pandas()
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    assert len(a) == 4
