@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_train": C.decontaminate_train,
         "ngram_contamination_rate": C.ngram_contamination_rate,
         "bpe_train_merges": C.bpe_train_merges,
+        "bpe_encode_stats": C.bpe_encode_stats,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
         "cap_per_source": C.cap_per_source,

@@ -143,7 +143,10 @@ def run_bench() -> dict:
                      "vocab_growth_curve", "resample_to_lang_mix",
                      "dsir_importance_weights", "media_near_dup_pairs",
                      "curate_web_pipeline", "doc_novelty_score",
-                     "doc_char_entropy", "token_triangle_count"):
+                     "doc_char_entropy", "token_triangle_count",
+                     "doc_bigram_logprob", "ngram_contamination_rate",
+                     "semdedup_prune", "bpe_train_merges",
+                     "bpe_encode_stats"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

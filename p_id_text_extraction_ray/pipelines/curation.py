@@ -522,9 +522,15 @@ CAP_PER_SOURCE_K = 10
 
 
 BPE_TRAIN_MERGES = 12      # merge rounds for the bench/test corpus
+BPE_LOCAL_VOCAB_CAP = 200_000   # distinct words; below this the merge
+# rounds run driver-local on the (already distributed-summed) word
+# table — vocab-scale state, same loop fastBPE runs in memory.  A
+# noisy 100-TB crawl with billions of distinct "words" exceeds the cap
+# and takes the distributed rounds; path equality is pytest-pinned.
 
 
-def bpe_train_merges(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES):
+def bpe_train_merges(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES,
+                     local_vocab_cap: int = BPE_LOCAL_VOCAB_CAP):
     """(rank, left, right, merged, pair_count) — the first ``n_merges``
     byte-pair-encoding merges trained on the corpus (Sennrich et al.
     '16): the tokenizer-training pass of a data pipeline, not just the
@@ -554,6 +560,52 @@ def bpe_train_merges(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES):
     words = bucketed_group_sum(
         _docs(sf_dir).map_batches(word_counts, batch_format="pandas"),
         "w", ["c"])
+
+    if words.count() <= local_vocab_cap:
+        # Bounded vocab: the corpus-scale sum above already reduced to
+        # a vocab-scale table; run the merge rounds driver-local (one
+        # dict, no per-round Ray materialize).  Identical tie-break.
+        wl = words.to_pandas()
+        state_d: dict[tuple, int] = {}
+        for w, c in zip(wl.get("w", ()), wl.get("c", ())):
+            state_d[tuple(w)] = state_d.get(tuple(w), 0) + int(c)
+        out = {"rank": [], "left": [], "right": [], "merged": [],
+               "pair_count": []}
+        for rank in range(n_merges):
+            pc: dict[tuple, int] = {}
+            for syms, c in state_d.items():
+                for p in zip(syms, syms[1:]):
+                    pc[p] = pc.get(p, 0) + c
+            if not pc:
+                break
+            best = min(pc, key=lambda p: (-pc[p], p))
+            a, b = best
+            out["rank"].append(rank)
+            out["left"].append(a)
+            out["right"].append(b)
+            out["merged"].append(a + b)
+            out["pair_count"].append(pc[best])
+            new_d: dict[tuple, int] = {}
+            for syms, c in state_d.items():
+                ns, i, m = [], 0, len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        ns.append(a + b)
+                        i += 2
+                    else:
+                        ns.append(syms[i])
+                        i += 1
+                k = tuple(ns)
+                new_d[k] = new_d.get(k, 0) + c
+            state_d = new_d
+        import pyarrow as pa
+        return pa.table({"rank": pa.array(out["rank"], pa.int64()),
+                         "left": pa.array(out["left"], pa.string()),
+                         "right": pa.array(out["right"], pa.string()),
+                         "merged": pa.array(out["merged"], pa.string()),
+                         "pair_count": pa.array(out["pair_count"],
+                                                pa.int64())})
+
     state = words.map_batches(
         lambda df: pd.DataFrame({"syms": [list(w) for w in df["w"]]
                                  if len(df) else pd.Series([], dtype=object),
@@ -622,6 +674,72 @@ def bpe_train_merges(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES):
                      "right": pa.array(out["right"], pa.string()),
                      "merged": pa.array(out["merged"], pa.string()),
                      "pair_count": pa.array(out["pair_count"], pa.int64())})
+
+
+def bpe_encode_stats(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES):
+    """(doc_id, n_words, n_tokens, n_chars, chars_per_token) — the
+    corpus re-tokenized with the merge table ``bpe_train_merges``
+    learns: the tokenizer-APPLICATION pass that follows training, the
+    number every data pipeline reports as its compression ratio.
+
+    Scale shape: the learned merge table is tiny (``n_merges`` rows)
+    and rides into a warm actor pool as a constructor arg — never
+    re-shipped per batch; encoding is row-local (zero shuffles beyond
+    the trainer's own) with a per-actor word→token-count cache, so a
+    zipf corpus degenerates to dict lookups after the first batches.
+    Merges apply in rank order within word boundaries (fastBPE
+    application order), which reproduces the trainer's segmentation
+    exactly — pinned by a loop-parity pytest. Rows-only: iterative
+    merge rewriting is not SQL-expressible."""
+    merges = bpe_train_merges(sf_dir, n_merges).to_pandas()
+    ranked = [(str(a), str(b))
+              for a, b in zip(merges["left"], merges["right"])]
+
+    class EncodeStage:
+        def __init__(self, ranked_merges):
+            self.merges = ranked_merges
+            self.cache: dict[str, int] = {}
+
+        def _ntok(self, w: str) -> int:
+            hit = self.cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            for a, b in self.merges:
+                i, out, m = 0, [], len(syms)
+                while i < m:
+                    if i + 1 < m and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+                if len(syms) == 1:
+                    break
+            self.cache[w] = n = len(syms)
+            return n
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            n_words = np.zeros(len(df), np.int64)
+            n_tokens = np.zeros(len(df), np.int64)
+            n_chars = np.zeros(len(df), np.int64)
+            for i, text in enumerate(df["text"]):
+                ws = text.split()
+                n_words[i] = len(ws)
+                n_tokens[i] = sum(self._ntok(w) for w in ws)
+                n_chars[i] = sum(len(w) for w in ws)
+            return pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64),
+                "n_words": n_words, "n_tokens": n_tokens,
+                "n_chars": n_chars,
+                "chars_per_token": np.divide(
+                    n_chars, n_tokens, out=np.zeros(len(df), np.float64),
+                    where=n_tokens > 0)})
+
+    return _docs(sf_dir).map_batches(
+        EncodeStage, fn_constructor_args=(ranked,),
+        concurrency=(1, 8), batch_format="pandas")
 
 
 def cap_per_source(sf_dir: str):

@@ -200,3 +200,66 @@ def test_bpe_train_deterministic_across_runs(ray_session):
     b = bpe_train_merges("/root/testdata/sf0.001", n_merges=4).to_pandas()
     pd.testing.assert_frame_equal(a, b, check_exact=True)
     assert len(a) == 4
+
+
+def _ref_bpe_encode(word: str, merges) -> int:
+    syms = list(word)
+    for a, b, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_matches_reference_loop(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from collections import Counter
+    from p_id_text_extraction_ray.pipelines.curation import bpe_encode_stats
+    texts = ["low lower lowest", "newest widest lowest low",
+             "low low newer wider", "es es es t t"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    wc = Counter(w for x in texts for w in x.split())
+    merges = _ref_bpe(wc, 8)
+    got = (bpe_encode_stats(str(tmp_path), n_merges=8)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, text in enumerate(texts):
+        ws = text.split()
+        assert got.loc[i, "n_words"] == len(ws)
+        assert got.loc[i, "n_chars"] == sum(len(w) for w in ws)
+        expect_tok = sum(_ref_bpe_encode(w, merges) for w in ws)
+        assert got.loc[i, "n_tokens"] == expect_tok
+        assert got.loc[i, "chars_per_token"] == (
+            got.loc[i, "n_chars"] / expect_tok)
+    # the corpus's most frequent fully-merged word costs 1 token
+    assert got.loc[0, "n_tokens"] < got.loc[0, "n_chars"]
+
+
+def test_bpe_local_and_distributed_paths_agree(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.pipelines.curation import bpe_train_merges
+    texts = ["low lower lowest", "newest widest lowest low",
+             "low low newer wider", "es es es t t", "tee tree street"]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts),
+                  "lang": pa.array(["en"] * len(texts)),
+                  "source": pa.array(["s"] * len(texts)),
+                  "n_chars": pa.array([len(x) for x in texts], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    local = bpe_train_merges(str(tmp_path), n_merges=6).to_pandas()
+    dist = bpe_train_merges(str(tmp_path), n_merges=6,
+                            local_vocab_cap=0).to_pandas()
+    pd.testing.assert_frame_equal(local, dist, check_exact=True)
+    assert len(local) == 6
