@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination_rate": C.ngram_contamination_rate,
         "bpe_train_merges": C.bpe_train_merges,
         "bpe_encode_stats": C.bpe_encode_stats,
+        "train_split_stats": C.train_split_stats,
         "pack_sequences": C.pack_sequences,
         "curate_corpus": C.curate_corpus,
         "cap_per_source": C.cap_per_source,
@@ -301,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "cap_per_source": C.CAP_PER_SOURCE_SQL,
+        "train_split_stats": C.TRAIN_SPLIT_SQL,
         "dedup_paragraphs": C.DEDUP_PARAGRAPHS_SQL,
         "shuffle_corpus": C.SHUFFLE_CORPUS_SQL,
         "chunk_documents": CH.CHUNK_SQL,

@@ -742,6 +742,55 @@ def bpe_encode_stats(sf_dir: str, n_merges: int = BPE_TRAIN_MERGES):
         concurrency=(1, 8), batch_format="pandas")
 
 
+def train_split_stats(sf_dir: str):
+    """(lang, split, n_docs, n_chars_total) — deterministic stratified
+    train/val/test assignment by the first hex character of
+    md5(doc_id): '0'–'b' → train (12/16), 'c'–'d' → val (2/16),
+    'e'–'f' → test (2/16). The split snapshot a pipeline takes before
+    training: a pure function of doc_id (stable across reruns and
+    corpus appends — no RNG state to checkpoint), and the per-language
+    counts ARE the stratification audit a data card reports.
+
+    Scale shape: row-local hash+assign inside map_batches, then one
+    bucketed sum of constant-size partials on (lang, split) —
+    |langs|×3 rows out; the text column never leaves storage (pruned
+    read). md5 keeps the DuckDB oracle bit-exact."""
+    import hashlib
+    from ._util import bucketed_group_sum
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        hc = np.array([hashlib.md5(str(int(d)).encode()).hexdigest()[0]
+                       for d in df["doc_id"]], dtype="U1")
+        split = np.where(hc <= "b", "train",
+                         np.where(hc <= "d", "val", "test"))
+        return pd.DataFrame({"lang": df["lang"].astype(str),
+                             "split": split,
+                             "n_docs": np.ones(len(df), np.int64),
+                             "n_chars_total":
+                                 df["n_chars"].to_numpy(np.int64)})
+
+    out = bucketed_group_sum(
+        _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+            assign, batch_format="pandas"),
+        ["lang", "split"], ["n_docs", "n_chars_total"]).to_pandas()
+    return out[["lang", "split", "n_docs", "n_chars_total"]] \
+        .sort_values(["lang", "split"]).reset_index(drop=True)
+
+
+TRAIN_SPLIT_SQL = """
+WITH s AS (SELECT lang, n_chars,
+  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+         THEN 'train'
+       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'd'
+         THEN 'val'
+       ELSE 'test' END AS split
+  FROM documents)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+FROM s GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def cap_per_source(sf_dir: str):
     """Cap every source at its K longest documents — the per-source
     quota a corpus-mixing pipeline applies so one crawl domain cannot
