@@ -42,6 +42,7 @@ from p_id_text_extraction_ray.pipelines import textstats as T
 from p_id_text_extraction_ray.pipelines import audiovideo as AV
 from p_id_text_extraction_ray.pipelines import corpusstats as CS
 from p_id_text_extraction_ray.pipelines import webfilter as WF
+from p_id_text_extraction_ray.pipelines import qctrain as QC
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
                                                          pid_grouping_stats,
@@ -84,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_novelty_score": D.doc_novelty_score,
         "decontaminate_train": C.decontaminate_train,
         "ngram_contamination_rate": C.ngram_contamination_rate,
+        "dedup_substring": C.dedup_substring,
+        "quality_classifier_train": QC.quality_classifier_train,
         "bpe_train_merges": C.bpe_train_merges,
         "bpe_encode_stats": C.bpe_encode_stats,
         "train_split_stats": C.train_split_stats,
@@ -299,6 +302,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": T.TFIDF_TOP_TERMS_SQL,
         "decontaminate_train": C.DECONTAMINATE_SQL,
         "ngram_contamination_rate": C.NGRAM_CONTAMINATION_SQL,
+        "dedup_substring": C.DEDUP_SUBSTRING_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "cap_per_source": C.CAP_PER_SOURCE_SQL,

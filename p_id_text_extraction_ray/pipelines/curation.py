@@ -182,6 +182,121 @@ ORDER BY doc_id
 """
 
 
+def dedup_substring(sf_dir: str):
+    """(doc_id, n_grams, n_dup_positions, dup_rate) for every doc with
+    >= 1 word 8-gram: how many of the doc's gram start positions carry
+    a gram that also occurs in AT LEAST ONE OTHER document — the
+    cross-document repeated-substring audit (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    high dup_rate doc is mostly boilerplate shared with the rest of
+    the corpus even when no whole-doc dedup fires. Within-doc repeats
+    do not count; the gram must span >= 2 distinct documents.
+
+    Scale shape: one gram pass emitting (gram_hash, doc_id, n_pos)
+    with per-doc multiplicity; a gram-bucketed sum counts the distinct
+    docs per gram (one row per (gram, doc), so the count IS the doc
+    count); grams with >= 2 docs form the duplicated set; a
+    gram-bucketed semi join + doc-bucketed sum yields per-doc
+    duplicated-position counts; totals are row-local (len(words)-K+1,
+    no shuffle). Everything that shuffles is an 8-byte hash — text
+    never leaves the first pass. Same hash-collision stance as
+    ``decontaminate_train`` (64-bit, corpus-scale collision odds
+    documented there)."""
+    from ._util import bucketed_group_sum
+    from .joins import hash_join, semi_join
+
+    def gram_pos_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out_h, out_d, out_n = [], [], []
+        for doc_id, text in zip(df["doc_id"].to_numpy(), df["text"]):
+            words = text.lower().split()
+            if len(words) < DECON_K:
+                continue
+            h = np.fromiter(
+                (stable_hash64(" ".join(words[i:i + DECON_K]))
+                 for i in range(len(words) - DECON_K + 1)),
+                dtype=np.uint64, count=len(words) - DECON_K + 1)
+            uniq, cnt = np.unique(h, return_counts=True)
+            out_h.append(uniq)
+            out_d.append(np.full(len(uniq), doc_id, dtype=np.int64))
+            out_n.append(cnt.astype(np.int64))
+        if not out_h:
+            return pd.DataFrame({"gram": pd.Series([], dtype="int64"),
+                                 "doc_id": pd.Series([], dtype="int64"),
+                                 "n_pos": pd.Series([], dtype="int64")})
+        return pd.DataFrame({
+            "gram": np.concatenate(out_h).astype(np.int64),
+            "doc_id": np.concatenate(out_d),
+            "n_pos": np.concatenate(out_n)})
+
+    docgram = _docs(sf_dir).map_batches(
+        gram_pos_rows, batch_format="pandas").materialize()
+
+    dup = bucketed_group_sum(
+        docgram.map_batches(
+            lambda df: pd.DataFrame(
+                {"gram": df["gram"].values,
+                 "n_docs": np.ones(len(df), dtype=np.int64)}),
+            batch_format="pandas"),
+        "gram", ["n_docs"]).map_batches(
+            lambda df: df.loc[df["n_docs"] >= 2, ["gram"]],
+            batch_format="pandas")
+
+    dup_pos = bucketed_group_sum(
+        semi_join(docgram, dup, on="gram").map_batches(
+            lambda df: pd.DataFrame(
+                {"doc_id": df["doc_id"].values,
+                 "n_dup_positions": df["n_pos"].values}),
+            batch_format="pandas"),
+        "doc_id", ["n_dup_positions"])
+
+    def totals_rows(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["text"].str.lower().str.split().str.len() \
+            .to_numpy(dtype=np.int64) - (DECON_K - 1)
+        keep = n >= 1
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(dtype=np.int64)[keep],
+            "n_grams": n[keep]})
+
+    totals = _docs(sf_dir).map_batches(totals_rows, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["n_dup_positions"].fillna(0).astype(np.int64)
+        n = df["n_grams"].astype(np.int64)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "n_grams": n,
+            "n_dup_positions": d,
+            "dup_rate": np.round(
+                d.to_numpy(np.float64) / n.to_numpy(np.float64), 6)})
+
+    return hash_join(totals, dup_pos, on="doc_id", how="left",
+                     right_cols_hint=["n_dup_positions"]) \
+        .map_batches(finish, batch_format="pandas")
+
+
+DEDUP_SUBSTRING_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+ok AS (SELECT doc_id, w FROM tok WHERE len(w) >= {DECON_K}),
+idx AS (SELECT doc_id, w,
+               unnest(generate_series(1, len(w) - {DECON_K - 1})) AS i
+        FROM ok),
+docgram AS (SELECT doc_id, array_to_string(w[i:i+{DECON_K - 1}], ' ') AS g,
+                   CAST(count(*) AS BIGINT) AS n_pos
+            FROM idx GROUP BY doc_id, g),
+dup AS (SELECT g FROM docgram GROUP BY g HAVING count(*) >= 2),
+tot AS (SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS n_grams
+        FROM docgram GROUP BY doc_id),
+dd AS (SELECT doc_id, CAST(sum(n_pos) AS BIGINT) AS d
+       FROM docgram JOIN dup USING (g) GROUP BY doc_id)
+SELECT tot.doc_id, n_grams,
+       CAST(COALESCE(d, 0) AS BIGINT) AS n_dup_positions,
+       round(COALESCE(d, 0) * 1.0 / n_grams, 6) AS dup_rate
+FROM tot LEFT JOIN dd USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def pack_sequences(sf_dir: str):
     """(bucket, bin_id, doc_id, n_tok) pack layout: within each doc-hash
     bucket, docs concatenate in doc_id order and a doc's bin is the

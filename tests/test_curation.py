@@ -81,3 +81,31 @@ def test_kmeans_clusters_cover_all_vectors(ray_session):
     again = embedding_kmeans_clusters(SF).to_pandas()
     assert out.sort_values("cluster").reset_index(drop=True).equals(
         again.sort_values("cluster").reset_index(drop=True))
+
+
+def test_dedup_substring_planted(ray_session, tmp_path):
+    """A doc sharing one 8-gram with another doc counts exactly the
+    shared positions; a within-doc repeat does NOT count (the gram must
+    span two documents); disjoint docs score zero."""
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            shared + " kappa mu nu xi",              # gram at pos 0 shared
+            "pre1 pre2 " + shared,                    # gram at pos 2 shared
+            "self self " + "rho sigma tau upsilon phi chi psi om "
+            + "rho sigma tau upsilon phi chi psi om", # repeats only itself
+            "nine ten eleven twelve thirteen fourteen fifteen sixteen",
+        ],
+    })
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = C.dedup_substring(str(tmp_path)).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert out.loc[1, "n_grams"] == 5          # 12 words -> 5 windows
+    assert out.loc[1, "n_dup_positions"] == 1
+    assert out.loc[2, "n_grams"] == 3          # 10 words -> 3 windows
+    assert out.loc[2, "n_dup_positions"] == 1
+    # doc 3's duplicated gram appears twice but only within doc 3
+    assert out.loc[3, "n_dup_positions"] == 0
+    assert out.loc[4, "n_dup_positions"] == 0
+    assert out.loc[4, "dup_rate"] == 0.0
