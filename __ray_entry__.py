@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_contamination_rate": C.ngram_contamination_rate,
         "dedup_substring": C.dedup_substring,
         "quality_classifier_train": QC.quality_classifier_train,
+        "quality_classifier_filter": QC.quality_classifier_filter,
         "bpe_train_merges": C.bpe_train_merges,
         "bpe_encode_stats": C.bpe_encode_stats,
         "train_split_stats": C.train_split_stats,

@@ -184,6 +184,50 @@ def train_weights(sf_dir: str,
     return curve, np.concatenate([w, [b]])
 
 
+QC_FILTER_THRESHOLD = 0.5
+
+
+def quality_classifier_filter(sf_dir: str):
+    """(doc_id, score, keep) — the composed train→apply pass: fit the
+    classifier on the corpus, then score every document with the
+    fitted weights and gate at ``QC_FILTER_THRESHOLD`` (the
+    classifier-filter step a curation pipeline runs after training the
+    reference-vs-crawl model).
+
+    Scale shape: training as in ``train_weights`` (model-only
+    movement); scoring is ONE row-local map_batches pass with the
+    (QC_DIM+1)-float weight vector broadcast via ``ray.put`` — no
+    shuffle, the output streams. Iterative training is not
+    SQL-expressible, so the driver check is rows-only; the planted
+    separable-corpus pytest pins keep == (lang=='en') exactly.
+
+    On the synthetic sf corpora every language draws from the SAME
+    vocabulary, so lang is unlearnable from tokens and the fitted model
+    correctly degenerates to the base rate — all scores sit at the
+    en-share (~0.39) and the 0.5 gate keeps nothing. That is the right
+    answer for that data, not a defect; separation is exercised by the
+    planted corpus in ``tests/test_qctrain.py``."""
+    import ray
+
+    _, wb = train_weights(sf_dir)
+    wb_ref = ray.put(wb)
+
+    def score(df: pd.DataFrame, _ref=wb_ref) -> pd.DataFrame:
+        wb = ray.get(_ref)
+        w, b = wb[:-1], float(wb[-1])
+        f = featurize_frame(df)
+        z = np.fromiter(
+            (float(v.astype(np.float64) @ w[i.astype(np.int64)]) + b
+             for i, v in zip(f["idx"], f["val"])),
+            dtype=np.float64, count=len(f))
+        p = 1.0 / (1.0 + np.exp(-z))
+        return pd.DataFrame({"doc_id": f["doc_id"],
+                             "score": np.round(p, 9),
+                             "keep": p >= QC_FILTER_THRESHOLD})
+
+    return _docs(sf_dir).map_batches(score, batch_format="pandas")
+
+
 def local_reference_train(docs: pd.DataFrame,
                           epochs: int = QC_EPOCHS) -> tuple[pd.DataFrame,
                                                             np.ndarray]:

@@ -68,6 +68,11 @@ def test_training_learns_separable_corpus(ray_session, tmp_path):
     en_w = [w[QC.stable_hash64(t) % QC.QC_DIM] for t in en_vocab]
     de_w = [w[QC.stable_hash64(t) % QC.QC_DIM] for t in de_vocab]
     assert min(en_w) > max(de_w)
+    # the composed train->apply filter recovers the label exactly
+    out = QC.quality_classifier_filter(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (out["keep"] == (out["doc_id"] % 2 == 0)).all()
+    assert ((out["score"] >= 0) & (out["score"] <= 1)).all()
 
 
 def test_featurize_shapes():
