@@ -43,6 +43,7 @@ from p_id_text_extraction_ray.pipelines import audiovideo as AV
 from p_id_text_extraction_ray.pipelines import corpusstats as CS
 from p_id_text_extraction_ray.pipelines import webfilter as WF
 from p_id_text_extraction_ray.pipelines import qctrain as QC
+from p_id_text_extraction_ray.pipelines import rangeops as RO
 from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
                                                          pid_extract_pdf_points,
                                                          pid_grouping_stats,
@@ -88,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_substring": C.dedup_substring,
         "quality_classifier_train": QC.quality_classifier_train,
         "quality_classifier_filter": QC.quality_classifier_filter,
+        "orders_promo_windows": RO.orders_promo_windows,
+        "orders_skyline": RO.orders_skyline,
         "bpe_train_merges": C.bpe_train_merges,
         "bpe_encode_stats": C.bpe_encode_stats,
         "train_split_stats": C.train_split_stats,
@@ -304,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_train": C.DECONTAMINATE_SQL,
         "ngram_contamination_rate": C.NGRAM_CONTAMINATION_SQL,
         "dedup_substring": C.DEDUP_SUBSTRING_SQL,
+        "orders_promo_windows": RO.ORDERS_PROMO_WINDOWS_SQL,
+        "orders_skyline": RO.ORDERS_SKYLINE_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "cap_per_source": C.CAP_PER_SOURCE_SQL,

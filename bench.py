@@ -150,7 +150,8 @@ def run_bench() -> dict:
                      "doc_bigram_logprob", "ngram_contamination_rate",
                      "semdedup_prune", "bpe_train_merges",
                      "bpe_encode_stats", "train_split_stats",
-                     "dedup_substring", "quality_classifier_train"):
+                     "dedup_substring", "quality_classifier_train",
+                     "orders_promo_windows", "orders_skyline"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -358,3 +358,55 @@ def asof_join(left, right, key: str, ts: str = "ts",
 
     return tagged.groupby("__bucket", num_partitions=num_partitions) \
         .map_groups(merge_bucket, batch_format="pandas")
+
+
+def broadcast_interval_join(left, intervals: pd.DataFrame, value_col: str,
+                            lo_col: str = "lo", hi_col: str = "hi",
+                            chunk: int = 4096):
+    """Non-equi range join of a big left Dataset against a SMALL interval
+    table: inner join on ``lo <= value < hi``. Intervals may OVERLAP —
+    a left row joins EVERY interval containing its value, duplicating
+    the row once per match (this is what distinguishes a range join
+    from bin assignment, where intervals partition the domain).
+
+    Scale shape: the interval table is broadcast once via ``ray.put``
+    (one object-store copy per node, read zero-copy by every task) and
+    the join is one row-local ``map_batches`` — no shuffle; the expanded
+    output streams with backpressure. Containment is a vectorized
+    ``chunk × |intervals|`` mask, the right tool for the broadcastable
+    regime (≲10⁴ intervals). Beyond that, partition the DOMAIN instead:
+    range-bucket left rows by value, replicate each interval into every
+    bucket it overlaps, and run the same mask per bucket — documented
+    scale path, unnecessary for a dimension-table-sized interval side.
+    """
+    ival_cols = [c for c in intervals.columns if c not in (lo_col, hi_col)]
+    l_names = left.schema().names
+    overlap = set(l_names) & set(ival_cols)
+    if overlap:
+        raise ValueError(f"interval column collision: {sorted(overlap)}")
+    import ray
+    lo = intervals[lo_col].to_numpy()
+    hi = intervals[hi_col].to_numpy()
+    ival_ref = ray.put((lo, hi, intervals[ival_cols].reset_index(drop=True)))
+
+    def expand(df: pd.DataFrame, _ref=ival_ref) -> pd.DataFrame:
+        lo, hi, meta = ray.get(_ref)
+        vals = df[value_col].to_numpy()
+        li_parts, ii_parts = [], []
+        for s in range(0, len(vals), chunk):
+            v = vals[s:s + chunk, None]
+            ci, cj = np.nonzero((v >= lo[None, :]) & (v < hi[None, :]))
+            li_parts.append(ci + s)
+            ii_parts.append(cj)
+        if not li_parts:
+            li = np.zeros(0, dtype=np.int64)
+            ii = np.zeros(0, dtype=np.int64)
+        else:
+            li = np.concatenate(li_parts)
+            ii = np.concatenate(ii_parts)
+        out = df.iloc[li].reset_index(drop=True)
+        for c in meta.columns:
+            out[c] = meta[c].to_numpy()[ii]
+        return out
+
+    return left.map_batches(expand, batch_format="pandas")
