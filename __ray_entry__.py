@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier_filter": QC.quality_classifier_filter,
         "orders_promo_windows": RO.orders_promo_windows,
         "orders_skyline": RO.orders_skyline,
+        "ann_recall_eval": S.ann_recall_eval,
         "bpe_train_merges": C.bpe_train_merges,
         "bpe_encode_stats": C.bpe_encode_stats,
         "train_split_stats": C.train_split_stats,

@@ -151,7 +151,8 @@ def run_bench() -> dict:
                      "semdedup_prune", "bpe_train_merges",
                      "bpe_encode_stats", "train_split_stats",
                      "dedup_substring", "quality_classifier_train",
-                     "orders_promo_windows", "orders_skyline"):
+                     "orders_promo_windows", "orders_skyline",
+                     "ann_recall_eval"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -770,3 +770,38 @@ sims AS (
 SELECT query_id, rank, vec_id, round(sim, 6) AS cosine
 FROM sims WHERE rank <= {HARD_NEG_K}
 """
+
+
+def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
+    """(method, n_queries, recall_at_k) — recall@TOP_K of the two
+    approximate ANN paths (hyperplane-LSH multiprobe, IVF) against the
+    exact brute-force top-k: the quality gate an ANN deployment
+    measures before trading exactness for probe cost.
+
+    Scale shape: the three ANN pipelines themselves are the distributed
+    work (each already bucketed/streamed); every result set is
+    N_QUERIES × TOP_K rows, so the set intersections run on the driver
+    over constant-size frames. Not SQL-expressible (hash-bucket
+    probing), so the driver check is rows-only; the planted-neighbor
+    pytest lower-bounds both recalls and cross-checks the arithmetic
+    against an independent per-query set intersection.
+
+    Expect LOW approximate recall on the synthetic sf corpora: their
+    embeddings are unstructured random vectors, whose neighbors are
+    near-equidistant — the regime where bucketed ANN genuinely cannot
+    work and a recall gate tells you so (that is its job). On the
+    planted-neighbor fixture both paths measure ≥ 0.9."""
+    exact = ann_topk_bruteforce(sf_dir).to_pandas()
+    truth = set(zip(exact["query_id"].to_numpy(),
+                    exact["vec_id"].to_numpy()))
+    n_queries = int(exact["query_id"].nunique())
+    out = []
+    for method, fn in (("bruteforce", ann_topk_bruteforce),
+                       ("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        got = fn(sf_dir).to_pandas()
+        hits = sum((q, v) in truth
+                   for q, v in zip(got["query_id"].to_numpy(),
+                                   got["vec_id"].to_numpy()))
+        out.append({"method": method, "n_queries": n_queries,
+                    "recall_at_k": round(hits / max(1, len(truth)), 6)})
+    return pd.DataFrame(out)

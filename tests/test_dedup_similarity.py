@@ -194,3 +194,24 @@ def test_doc_novelty_planted(ray_session, tmp_path):
     assert out.loc[0, "novelty"] == 0.0 and out.loc[1, "novelty"] == 0.0
     assert out.loc[2, "novelty"] == 1.0
     assert out.loc[2, "n_shingles"] == 8 - 2  # 8 words -> 6 3-gram shingles
+
+
+def test_ann_recall_eval_query(ray_session, neighbor_dir):
+    """The recall-eval query reports bruteforce == 1.0 and lower-bounds
+    the approximate paths; values must equal an independent per-query
+    set-intersection re-derivation."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_ivf_topk, ann_lsh_topk, ann_recall_eval, ann_topk_bruteforce)
+    out = ann_recall_eval(neighbor_dir).set_index("method")
+    assert out.loc["bruteforce", "recall_at_k"] == 1.0
+    assert (out["n_queries"] == 4).all()
+    brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        got = fn(neighbor_dir).to_pandas()
+        hits = total = 0
+        for q in range(4):
+            bset = set(brute[brute["query_id"] == q]["vec_id"])
+            hits += len(bset & set(got[got["query_id"] == q]["vec_id"]))
+            total += len(bset)
+        assert out.loc[method, "recall_at_k"] == round(hits / total, 6)
+        assert out.loc[method, "recall_at_k"] >= 0.9
