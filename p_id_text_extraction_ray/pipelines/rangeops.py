@@ -34,7 +34,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ._util import cents, sized_read
+from ._util import cents, collect_with_schema, sized_read
 
 
 def _read(sf_dir: str, name: str, columns: list[str]):
@@ -100,7 +100,10 @@ def orders_promo_windows(sf_dir: str):
             pc.cast(t.column("tp_c"), pa.float64()), pa.scalar(100.0)))
         return t.drop_columns(["tp_c"])
 
-    return agg.map_batches(finish, batch_format="pyarrow")
+    return collect_with_schema(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        pa.schema([("promo", pa.string()), ("n_orders", pa.int64()),
+                   ("total_price", pa.float64())]))
 
 
 ORDERS_PROMO_WINDOWS_SQL = """
@@ -174,11 +177,13 @@ def orders_skyline(sf_dir: str) -> pd.DataFrame:
     """
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_totalprice"])
-    candidates = (orders
-                  .map_batches(_local_skyline, batch_format="pandas")
-                  .map_batches(_local_skyline, batch_format="pandas",
-                               batch_size=65536)
-                  .to_pandas())
+    candidates = collect_with_schema(
+        orders.map_batches(_local_skyline, batch_format="pandas")
+              .map_batches(_local_skyline, batch_format="pandas",
+                           batch_size=65536),
+        pa.schema([("o_orderkey", pa.int64()),
+                   ("o_orderdate", pa.timestamp("us")),
+                   ("o_totalprice", pa.float64())]))
     out = _local_skyline(candidates)
     return out.sort_values(["o_orderdate", "o_orderkey"],
                            kind="mergesort").reset_index(drop=True)

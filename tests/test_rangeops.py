@@ -95,8 +95,7 @@ def test_skyline_partition_invariance(ray_session, tmp_path):
 def test_promo_windows_overlap_counts(ray_session):
     # every promo-window hit also lands in clearance, so clearance's
     # n_orders equals the full table and exceeds any other window
-    out = RO.orders_promo_windows("/root/testdata/sf0.001").to_pandas() \
-        .set_index("promo")
+    out = RO.orders_promo_windows("/root/testdata/sf0.001").set_index("promo")
     assert out.loc["clearance", "n_orders"] == 1500
     assert (out.drop(index="clearance")["n_orders"]
             < out.loc["clearance", "n_orders"]).all()
@@ -104,3 +103,20 @@ def test_promo_windows_overlap_counts(ray_session):
     assert out.loc["spring95", "n_orders"] <= out.loc["launch95", "n_orders"]
     assert out.loc["summer97", "n_orders"] <= out.loc["y97_allyear",
                                                       "n_orders"]
+
+
+def test_rangeops_empty_orders(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([], type=pa.int64()),
+        "o_orderdate": pa.array([], type=pa.timestamp("us")),
+        "o_totalprice": pa.array([], type=pa.float64())}),
+        tmp_path / "orders.parquet")
+    sky = RO.orders_skyline(str(tmp_path))
+    assert len(sky) == 0
+    assert list(sky.columns) == ["o_orderkey", "o_orderdate",
+                                 "o_totalprice"]
+    promo = RO.orders_promo_windows(str(tmp_path))
+    assert len(promo) == 0
+    assert set(promo.columns) == {"promo", "n_orders", "total_price"}
