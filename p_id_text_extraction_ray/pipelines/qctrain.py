@@ -154,6 +154,13 @@ def train_weights(sf_dir: str,
 
     feats = _docs(sf_dir).map_batches(
         featurize_frame, batch_format="pandas").materialize()
+    if feats.count() == 0:
+        # empty corpus: no epochs to measure, zero-init weights stand
+        curve = pd.DataFrame({"epoch": pd.Series(dtype="int64"),
+                              "loss": pd.Series(dtype="float64"),
+                              "accuracy": pd.Series(dtype="float64"),
+                              "grad_norm": pd.Series(dtype="float64")})
+        return curve, np.zeros(QC_DIM + 1, dtype=np.float64)
 
     w = np.zeros(QC_DIM, dtype=np.float64)
     b = 0.0
@@ -209,7 +216,12 @@ def quality_classifier_filter(sf_dir: str):
     planted corpus in ``tests/test_qctrain.py``."""
     import ray
 
-    _, wb = train_weights(sf_dir)
+    curve, wb = train_weights(sf_dir)
+    if not len(curve):
+        # empty corpus: schema-stable empty result
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64"),
+                             "keep": pd.Series(dtype="bool")})
     wb_ref = ray.put(wb)
 
     def score(df: pd.DataFrame, _ref=wb_ref) -> pd.DataFrame:

@@ -83,3 +83,19 @@ def test_featurize_shapes():
     assert len(f["idx"][0]) == 2           # {a, b}
     assert abs(float(f["val"][0].sum()) - 1.0) < 1e-6
     assert len(f["idx"][1]) == 0           # empty doc carries no feature
+
+
+def test_qctrain_empty_corpus(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string())}),
+        tmp_path / "documents.parquet")
+    curve = QC.quality_classifier_train(str(tmp_path))
+    assert len(curve) == 0
+    assert list(curve.columns) == ["epoch", "loss", "accuracy", "grad_norm"]
+    out = QC.quality_classifier_filter(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["doc_id", "score", "keep"]
