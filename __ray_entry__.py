@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_promo_windows": RO.orders_promo_windows,
         "orders_skyline": RO.orders_skyline,
         "ann_recall_eval": S.ann_recall_eval,
+        "events_trimmed_mean": AX.events_trimmed_mean,
         "bpe_train_merges": C.bpe_train_merges,
         "bpe_encode_stats": C.bpe_encode_stats,
         "train_split_stats": C.train_split_stats,
@@ -310,6 +311,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_substring": C.DEDUP_SUBSTRING_SQL,
         "orders_promo_windows": RO.ORDERS_PROMO_WINDOWS_SQL,
         "orders_skyline": RO.ORDERS_SKYLINE_SQL,
+        "events_trimmed_mean": AX.EVENTS_TRIMMED_MEAN_SQL,
         "pack_sequences": C.PACK_SEQUENCES_SQL,
         "curate_corpus": C.CURATE_CORPUS_SQL,
         "cap_per_source": C.CAP_PER_SOURCE_SQL,

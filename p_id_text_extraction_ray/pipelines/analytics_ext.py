@@ -909,3 +909,75 @@ SELECT l_returnflag, n AS n_rows,
              / CAST(n AS DOUBLE), 6) AS intercept_cents
 FROM s ORDER BY l_returnflag
 """
+
+
+def events_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """(event_type, lo, hi, n_kept, trimmed_mean) — robust per-type
+    value aggregate: percentile_disc(0.05/0.95) bounds, then the exact
+    mean of the values inside [lo, hi] (the winsorize-free trimmed mean
+    an outlier-robust profiling pass reports).
+
+    Scale shape: values are 2-decimal, so the distributed part reduces
+    to an exact (event_type, value-cents) histogram — per-batch counts,
+    one bucketed sum; the shuffle carries one row per DISTINCT
+    (type, cents) pair per batch, bounded by the value GRID (types ×
+    ~56k cents), independent of row count. Quantile ranks and the
+    trimmed sum are read off per-type cumulative counts on the driver
+    (grid-sized frame). Same exactness argument as
+    ``textstats.doc_length_quantiles``; rank rule matches DuckDB
+    ``quantile_disc`` (first value with cumulative count >=
+    max(1, ceil(q*n)))."""
+    from ._util import bucketed_group_sum
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": df["event_type"].values,
+                          "v_c": cents(df["value"]),
+                          "cnt": np.ones(len(df), dtype=np.int64)})
+        return g.groupby(["event_type", "v_c"], as_index=False).sum()
+
+    from ._util import collect_with_schema
+    hist = collect_with_schema(
+        bucketed_group_sum(ev.map_batches(partial, batch_format="pandas"),
+                           ["event_type", "v_c"], ["cnt"]),
+        pa.schema([("event_type", pa.string()), ("v_c", pa.int64()),
+                   ("cnt", pa.int64())])) \
+        .sort_values(["event_type", "v_c"], kind="mergesort")
+
+    out = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        v = g["v_c"].to_numpy()
+        c = g["cnt"].to_numpy()
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        lo = v[np.searchsorted(cum, max(1, int(np.ceil(0.05 * n))))]
+        hi = v[np.searchsorted(cum, max(1, int(np.ceil(0.95 * n))))]
+        keep = (v >= lo) & (v <= hi)
+        n_kept = int(c[keep].sum())
+        sum_c = int((v[keep] * c[keep]).sum())
+        out.append({"event_type": etype, "lo": lo / 100.0, "hi": hi / 100.0,
+                    "n_kept": n_kept,
+                    # operand order mirrors the oracle: cents / 100.0 / n
+                    "trimmed_mean": sum_c / 100.0 / n_kept})
+    return pd.DataFrame(out, columns=["event_type", "lo", "hi", "n_kept",
+                                      "trimmed_mean"])
+
+
+EVENTS_TRIMMED_MEAN_SQL = """
+WITH q AS (
+  SELECT event_type,
+         quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events GROUP BY event_type),
+a AS (
+  SELECT e.event_type,
+         count(*) AS n_kept,
+         sum(CAST(round(e.value * 100) AS BIGINT)) / 100.0 / count(*)
+           AS trimmed_mean
+  FROM events e JOIN q USING (event_type)
+  WHERE e.value >= q.lo AND e.value <= q.hi
+  GROUP BY e.event_type)
+SELECT a.event_type, q.lo, q.hi, a.n_kept, a.trimmed_mean
+FROM a JOIN q USING (event_type)
+"""

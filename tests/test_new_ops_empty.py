@@ -164,3 +164,17 @@ def test_scan_skips_null_values(ray_session, tmp_path):
     orc = con.execute(SC.EVENTS_RUNNING_RECORDS_SQL).df()
     assert out["event_id"].tolist() == orc["event_id"].tolist()
     assert out["event_id"].tolist() == [0, 1, 3, 5]
+
+
+def test_events_trimmed_mean_empty(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.pipelines import analytics_ext as AX
+    pq.write_table(pa.table({
+        "event_type": pa.array([], type=pa.string()),
+        "value": pa.array([], type=pa.float64())}),
+        tmp_path / "events.parquet")
+    out = AX.events_trimmed_mean(str(tmp_path))
+    assert len(out) == 0
+    assert list(out.columns) == ["event_type", "lo", "hi", "n_kept",
+                                 "trimmed_mean"]
