@@ -120,3 +120,26 @@ def test_rangeops_empty_orders(ray_session, tmp_path):
     promo = RO.orders_promo_windows(str(tmp_path))
     assert len(promo) == 0
     assert set(promo.columns) == {"promo", "n_orders", "total_price"}
+
+
+def test_interval_join_random_bruteforce(ray_session):
+    """Randomized (seeded) parity of the distributed interval join vs a
+    pandas cross-product re-derivation: arbitrary overlapping/nested/
+    degenerate intervals, multiple blocks."""
+    import ray.data as rd
+    rng = np.random.default_rng(19)
+    n, m = 3000, 25
+    vals = rng.integers(0, 100, n).astype(np.float64)
+    lo = rng.integers(0, 100, m).astype(np.float64)
+    hi = lo + rng.integers(0, 30, m)            # zero-width allowed
+    left = pd.DataFrame({"id": np.arange(n, dtype=np.int64), "v": vals})
+    ivals = pd.DataFrame({"iv": np.arange(m, dtype=np.int64),
+                          "lo": lo, "hi": hi})
+    got = broadcast_interval_join(
+        rd.from_pandas(left, override_num_blocks=7), ivals,
+        value_col="v", chunk=256) \
+        .to_pandas().sort_values(["id", "iv"]).reset_index(drop=True)
+    cross = left.merge(ivals, how="cross")
+    want = cross[(cross["v"] >= cross["lo"]) & (cross["v"] < cross["hi"])] \
+        [["id", "v", "iv"]].sort_values(["id", "iv"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["id", "v", "iv"]], want)
