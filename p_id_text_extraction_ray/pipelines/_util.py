@@ -100,6 +100,71 @@ def user_bucket(df: pd.DataFrame, col: str = "user_id",
     return df.assign(bucket=b.astype(np.int64))
 
 
+def md5_buckets(tokens: np.ndarray, cache: dict, nhex: int = 4) -> np.ndarray:
+    """md5-hex-prefix bucket per token (object array of str), memoized in
+    ``cache``. Callers pass only batch-DISTINCT tokens so the md5 cost is
+    once per new token per actor, not once per (doc, token) occurrence."""
+    import hashlib
+    out = np.empty(len(tokens), np.int64)
+    get = cache.get
+    for i, t in enumerate(tokens):
+        v = get(t)
+        if v is None:
+            v = cache[t] = int(
+                hashlib.md5(t.encode()).hexdigest()[:nhex], 16)
+        out[i] = v
+    return out
+
+
+def doc_token_weight_sums(texts, values: np.ndarray, cache: dict):
+    """Per-document ``sum(tf(token) * values[md5_bucket(token)])`` with
+    the summation in ascending distinct-token order, left-associative —
+    bit-exact with DuckDB's ``sum(x ORDER BY t)`` and with the scalar
+    loop it replaces (``acc = acc + tf * v`` over ``sorted(counter)``).
+
+    The shared kernel of the hashed-LM scoring stages, vectorized per
+    the round-3 verdict: ONE ``np.unique`` over the batch's token
+    stream, md5 only for batch-distinct tokens (memoized per actor),
+    per-(doc, token) term frequencies from sorted-key segment
+    boundaries, and per-doc sums as Python float adds over the
+    contribution slices (plain ``sum`` is left-associative; numpy's
+    pairwise reduction is not bit-stable against the oracle).
+
+    Returns ``(doc_positions, n_tokens, sums)`` — positions index into
+    ``texts``, restricted to docs with >=1 token (tokenless docs drop,
+    like the SQL unnest), in input order.
+    """
+    tok_lists = [t.split() for t in texts]
+    lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                       len(tok_lists))
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64), []
+    all_tokens = np.empty(total, dtype=object)
+    pos = 0
+    for x in tok_lists:
+        if x:
+            all_tokens[pos:pos + len(x)] = x
+            pos += len(x)
+    doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+    uniq, inv = np.unique(all_tokens, return_inverse=True)
+    vals = values[md5_buckets(uniq, cache)]
+    u = len(uniq)
+    key = doc_idx * u + inv
+    sk = np.sort(key)
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    tf = np.diff(np.r_[starts, len(sk)])
+    gk = sk[starts]
+    g_doc = gk // u
+    contrib = (tf * vals[gk % u]).tolist()
+    d_starts = np.flatnonzero(np.r_[True, g_doc[1:] != g_doc[:-1]])
+    d_ends = np.r_[d_starts[1:], len(g_doc)]
+    sums = [sum(contrib[a:b], 0.0)
+            for a, b in zip(d_starts.tolist(), d_ends.tolist())]
+    doc_positions = g_doc[d_starts]
+    return doc_positions, lens[doc_positions], sums
+
+
 def cents(values: np.ndarray | pd.Series) -> np.ndarray:
     """Dollars->cents as exact int64 (rint: values are integers +/- fp eps,
     never near .5). Exact integer sums make money aggregates independent of

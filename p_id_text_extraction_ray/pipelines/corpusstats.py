@@ -201,30 +201,19 @@ class _DsirScoreStage:
         import numpy as np
         self.lt = np.asarray(lt, np.float64)
         self.lr = np.asarray(lr, np.float64)
+        # per-bucket contribution values: lt[b] - lr[b] is the same
+        # float64 subtraction the scalar loop performed per term
+        self.diff = self.lt - self.lr
         self._bucket: dict[str, int] = {}
 
-    def _h(self, token: str) -> int:
-        h = self._bucket.get(token)
-        if h is None:
-            h = int(hashlib.md5(token.encode()).hexdigest()[:4], 16)
-            self._bucket[token] = h
-        return h
-
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        from collections import Counter
-        ids, ws = [], []
-        for d, text in zip(df["doc_id"], df["text"]):
-            cnt = Counter(text.split())
-            if not cnt:
-                continue
-            acc = 0.0
-            for t in sorted(cnt):   # == SQL sum(x ORDER BY t)
-                b = self._h(t)
-                acc = acc + cnt[t] * (self.lt[b] - self.lr[b])
-            ids.append(d)
-            ws.append(round(acc, 6))
-        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
-                             "log_importance": np.array(ws, np.float64)})
+        from ._util import doc_token_weight_sums
+        pos, _, sums = doc_token_weight_sums(
+            df["text"].tolist(), self.diff, self._bucket)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[pos],
+            "log_importance": np.array([round(s, 6) for s in sums],
+                                       np.float64)})
 
 
 def dsir_importance_weights(sf_dir: str):
@@ -243,24 +232,34 @@ def dsir_importance_weights(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "source", "text"])
 
     def partial_counts(df: pd.DataFrame) -> pd.DataFrame:
-        hcache: dict[str, int] = {}
-
-        def h(t: str) -> int:
-            v = hcache.get(t)
-            if v is None:
-                v = hcache[t] = int(
-                    hashlib.md5(t.encode()).hexdigest()[:4], 16)
-            return v
-
-        ct = np.zeros(DSIR_BUCKETS, np.int64)
-        cr = np.zeros(DSIR_BUCKETS, np.int64)
-        for s, text in zip(df["source"], df["text"]):
-            arr = ct if s == DSIR_TARGET_SOURCE else cr
-            for w in text.split():
-                arr[h(w)] += 1
+        # vectorized per-bucket counts: ONE np.unique over the batch's
+        # token stream, md5 only the batch-distinct tokens, bincount per
+        # source class (exact integers — no ordering concerns)
+        from ._util import md5_buckets
+        tok_lists = [t.split() for t in df["text"]]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                           len(tok_lists))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame({"b": np.empty(0, np.int64),
+                                 "ct": np.empty(0, np.int64),
+                                 "cr": np.empty(0, np.int64)})
+        all_tokens = np.empty(total, dtype=object)
+        p = 0
+        for x in tok_lists:
+            if x:
+                all_tokens[p:p + len(x)] = x
+                p += len(x)
+        is_tgt = np.repeat(
+            (df["source"] == DSIR_TARGET_SOURCE).to_numpy(), lens)
+        uniq, inv = np.unique(all_tokens, return_inverse=True)
+        b_all = md5_buckets(uniq, {})[inv]
+        ct = np.bincount(b_all[is_tgt], minlength=DSIR_BUCKETS)
+        cr = np.bincount(b_all[~is_tgt], minlength=DSIR_BUCKETS)
         nz = np.flatnonzero(ct | cr)
         return pd.DataFrame({"b": nz.astype(np.int64),
-                             "ct": ct[nz], "cr": cr[nz]})
+                             "ct": ct[nz].astype(np.int64),
+                             "cr": cr[nz].astype(np.int64)})
 
     from ._util import bucketed_group_sum
     counts = bucketed_group_sum(

@@ -159,34 +159,20 @@ class QualityModelStage:
         self.w = np.arange(65536, dtype=np.float64) / 65536.0 - 0.5
         self._bucket: dict[str, int] = {}
 
-    def _h(self, token: str) -> int:
-        h = self._bucket.get(token)
-        if h is None:
-            import hashlib
-            h = int(hashlib.md5(token.encode()).hexdigest()[:4], 16)
-            self._bucket[token] = h
-        return h
-
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         import math
-        from collections import Counter
 
         import numpy as np
-        ids, ns, scores = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            cnt = Counter(text.split())
-            if not cnt:
-                continue  # tokenless docs drop, like the SQL unnest
-            num = 0.0
-            for t in sorted(cnt):
-                num = num + cnt[t] * self.w[self._h(t)]
-            n = sum(cnt.values())
-            ids.append(doc_id)
-            ns.append(n)
-            scores.append(round(1.0 / (1.0 + math.exp(-(num / n))), 6))
-        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
-                             "n_tokens": np.array(ns, np.int64),
-                             "quality_score": np.array(scores, np.float64)})
+
+        from ._util import doc_token_weight_sums
+        pos, ns, sums = doc_token_weight_sums(
+            df["text"].tolist(), self.w, self._bucket)
+        scores = [round(1.0 / (1.0 + math.exp(-(s / n))), 6)
+                  for s, n in zip(sums, ns.tolist())]
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64)[pos],
+            "n_tokens": ns,
+            "quality_score": np.array(scores, np.float64)})
 
 
 def quality_model_score(sf_dir: str):
