@@ -78,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model_score": WF.quality_model_score,
         "vocab_growth_curve": CS.vocab_growth_curve,
         "resample_to_lang_mix": CS.resample_to_lang_mix,
+        "resample_temperature_mix": CS.resample_temperature_mix,
+        "embedding_pq_codes": S.embedding_pq_codes,
+        "ann_pq_topk": S.ann_pq_topk,
         "dedup_exact": D.dedup_exact,
         "dedup_ngram_jaccard": D.dedup_ngram_jaccard,
         "dedup_embedding_cosine": D.dedup_embedding_cosine,
@@ -371,6 +374,7 @@ def oracle_sql() -> dict[str, str]:
         "curate_web_pipeline": WF.CURATE_WEB_PIPELINE_SQL,
         "vocab_growth_curve": CS.VOCAB_GROWTH_CURVE_SQL,
         "resample_to_lang_mix": CS.RESAMPLE_TO_LANG_MIX_SQL,
+        "resample_temperature_mix": CS.RESAMPLE_TEMPERATURE_MIX_SQL,
         "dsir_importance_weights": CS.DSIR_IMPORTANCE_WEIGHTS_SQL,
         # rows-only (approximate or non-SQL-expressible):
         # dedup_minhash_lsh, dedup_simhash, ann_lsh_topk, doc_fingerprints,

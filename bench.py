@@ -152,7 +152,9 @@ def run_bench() -> dict:
                      "bpe_encode_stats", "train_split_stats",
                      "dedup_substring", "quality_classifier_train",
                      "orders_promo_windows", "orders_skyline",
-                     "ann_recall_eval", "events_trimmed_mean"):
+                     "ann_recall_eval", "events_trimmed_mean",
+                     "resample_temperature_mix", "embedding_pq_codes",
+                     "ann_pq_topk"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

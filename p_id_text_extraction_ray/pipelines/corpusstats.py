@@ -314,3 +314,65 @@ FROM dt LEFT JOIN tgt USING (b) LEFT JOIN rawc USING (b)
 CROSS JOIN nt CROSS JOIN nr
 GROUP BY doc_id
 """
+
+
+# ------------------------------------- temperature-smoothed lang mixing
+
+MIX_ALPHA = 0.7   # the multilingual-LM exponent (XLM-R / mBERT style)
+
+
+def resample_temperature_mix(sf_dir: str):
+    """Kept (doc_id, lang) rows after temperature-based language
+    resampling: target share of lang l is n_l^alpha / sum_k n_k^alpha
+    (alpha = 0.7 — the standard multilingual-pretraining smoothing that
+    upweights low-resource languages without flattening the mix the way
+    the uniform resample does). Per-doc acceptance probability is
+    q_l = (n_min / n_l)^(1 - alpha) (the smallest language keeps
+    everything; alpha = 0 degenerates to `resample_to_lang_mix`),
+    applied as a deterministic md5-uniform threshold per doc_id.
+
+    Scale shape: identical to `resample_to_lang_mix` — one streaming
+    counts pass reduced to |langs| driver rows, then a pure row-local
+    accept filter (zero shuffle). Determinism contract vs the oracle:
+    q_l uses libm `pow` on exact doubles (DuckDB `power` is the same
+    libm call), the uniform is the exact integer md5_52(doc_id), and
+    the comparison u < q_l * 2^52 happens in float64 on both sides
+    (u < 2^52 is exactly representable)."""
+    docs = _docs(sf_dir, ["doc_id", "lang"])
+
+    part = docs.map_batches(
+        lambda df: df["lang"].value_counts().rename_axis("lang")
+        .reset_index(name="n"), batch_format="pandas").to_pandas()
+    counts = (part.groupby("lang")["n"].sum()
+              if "lang" in part.columns else pd.Series([], dtype=np.int64))
+    if counts.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "lang": pd.Series([], dtype=object)})
+    m = int(counts.min())
+    # threshold per lang, float64: (m / n_l) ** (1 - alpha) * 2^52
+    thr = {lang: ((m / int(n)) ** (1.0 - MIX_ALPHA)) * float(_U52)
+           for lang, n in counts.items()}
+
+    def accept(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        t = df["lang"].map(thr).to_numpy(np.float64)
+        u = np.fromiter(
+            (float(int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16))
+             for d in ids), dtype=np.float64, count=len(ids))
+        keep = u < t
+        return pd.DataFrame({"doc_id": ids[keep],
+                             "lang": df["lang"].to_numpy()[keep]})
+
+    return docs.map_batches(accept, batch_format="pandas")
+
+
+RESAMPLE_TEMPERATURE_MIX_SQL = f"""
+WITH nl AS (SELECT lang, count(*) n FROM documents GROUP BY lang),
+m AS (SELECT min(n) m FROM nl)
+SELECT doc_id, lang
+FROM documents JOIN nl USING (lang) CROSS JOIN m
+WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                AS BIGINT) AS DOUBLE)
+      < power(CAST(m AS DOUBLE) / n, {1.0 - MIX_ALPHA})
+        * {float(_U52)!r}
+"""

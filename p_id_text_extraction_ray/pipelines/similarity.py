@@ -773,10 +773,10 @@ FROM sims WHERE rank <= {HARD_NEG_K}
 
 
 def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
-    """(method, n_queries, recall_at_k) — recall@TOP_K of the two
-    approximate ANN paths (hyperplane-LSH multiprobe, IVF) against the
-    exact brute-force top-k: the quality gate an ANN deployment
-    measures before trading exactness for probe cost.
+    """(method, n_queries, recall_at_k) — recall@TOP_K of the three
+    approximate ANN paths (hyperplane-LSH multiprobe, IVF, PQ-ADC)
+    against the exact brute-force top-k: the quality gate an ANN
+    deployment measures before trading exactness for probe cost.
 
     Scale shape: the three ANN pipelines themselves are the distributed
     work (each already bucketed/streamed); every result set is
@@ -797,7 +797,8 @@ def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
     n_queries = int(exact["query_id"].nunique())
     out = []
     for method, fn in (("bruteforce", ann_topk_bruteforce),
-                       ("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+                       ("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
+                       ("pq", ann_pq_topk)):
         got = fn(sf_dir).to_pandas()
         hits = sum((q, v) in truth
                    for q, v in zip(got["query_id"].to_numpy(),
@@ -805,3 +806,176 @@ def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
         out.append({"method": method, "n_queries": n_queries,
                     "recall_at_k": round(hits / max(1, len(truth)), 6)})
     return pd.DataFrame(out)
+
+
+# ------------------------------------------------- product quantization
+
+PQ_M = 8          # subspaces (dim 64 -> 8 dims each; dim 32 -> 4 each)
+PQ_K = 16         # centroids per subspace: 4-bit codes, 16x compression
+PQ_SAMPLE = 512
+PQ_ITERS = 12
+PQ_SEED = 9
+
+
+def _pq_codebooks(sf_dir: str) -> "np.ndarray":
+    """Per-subspace k-means codebooks (Jégou et al. 2011, Product
+    Quantization) trained on the same deterministic bottom-k-by-hash
+    distributed sample as IVF (`_ivf_centroids`): partition-invariant,
+    never corpus-scale on the driver. Vectors are L2-normalized BEFORE
+    the subspace split so the ADC lookup-sum approximates the cosine
+    (inner product of unit vectors). Returns (M, K, d_m) with subspace
+    dims from `np.array_split` (last subspaces may be thinner when
+    dim % PQ_M != 0; all-zero padding keeps the array rectangular and
+    contributes nothing to distances or inner products)."""
+    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["vec_id"].to_numpy()
+        h = _splitmix64(ids)
+        take = np.argsort(h, kind="mergesort")[:PQ_SAMPLE]
+        return pd.DataFrame({"h": h[take],
+                             "embedding": df["embedding"].to_numpy()[take]})
+
+    parts = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]) \
+        .map_batches(bottomk, batch_format="pandas").to_pandas()
+    keep = np.argsort(parts["h"].to_numpy(), kind="mergesort")[:PQ_SAMPLE]
+    v = np.array(parts["embedding"].to_numpy()[keep].tolist(),
+                 dtype=np.float64)
+    nv = np.linalg.norm(v, axis=1)
+    nv[nv == 0] = 1.0
+    vn = v / nv[:, None]
+    dim = vn.shape[1]
+    splits = np.array_split(np.arange(dim), PQ_M)
+    dmax = max(len(s) for s in splits)
+    rng = np.random.default_rng(PQ_SEED)
+    books = np.zeros((PQ_M, PQ_K, dmax), np.float64)
+    for m, cols in enumerate(splits):
+        sub = vn[:, cols]
+        k = min(PQ_K, len(sub))
+        C = sub[rng.choice(len(sub), size=k, replace=False)].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    C[c] = sub[mask].mean(axis=0)
+        books[m, :k, :len(cols)] = C
+        if k < PQ_K:
+            # duplicate the first centroid into unused slots so argmin
+            # never selects an all-zero phantom cell
+            books[m, k:, :len(cols)] = C[0]
+    return books
+
+
+def _pq_encode(vn: "np.ndarray", books: "np.ndarray") -> "np.ndarray":
+    """(N, M) uint8 codes: per subspace, the index of the nearest
+    centroid (vectorized ||x||^2 - 2xC' + ||C||^2 argmin)."""
+    dim = vn.shape[1]
+    splits = np.array_split(np.arange(dim), PQ_M)
+    codes = np.empty((len(vn), PQ_M), np.uint8)
+    for m, cols in enumerate(splits):
+        sub = vn[:, cols]
+        C = books[m, :, :len(cols)]
+        d2 = (-2.0 * (sub @ C.T)
+              + (C * C).sum(axis=1)[None, :])
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def embedding_pq_codes(sf_dir: str):
+    """(vec_id, code: list<int64>, recon_err) per vector — PQ-encode the
+    corpus against broadcast per-subspace codebooks; recon_err is the
+    squared L2 gap between the unit vector and its codebook
+    reconstruction (the quantization-quality audit column).
+
+    Scale shape: codebooks are (M*K*d) floats trained on a bounded
+    distributed sample and shipped once via ``ray.put``; encoding is
+    row-local vectorized argmin inside ``map_batches`` (no shuffle); the
+    output codes are ~16x smaller than the embeddings, which is the
+    point — downstream ANN scans read codes, not vectors. Rows-only
+    driver check; numpy parity + recall pytests carry correctness."""
+    import ray
+
+    books = _pq_codebooks(sf_dir)
+    b_ref = ray.put(books)
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        bks = ray.get(b_ref)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        vn = v / nv[:, None]
+        codes = _pq_encode(vn, bks)
+        dim = vn.shape[1]
+        splits = np.array_split(np.arange(dim), PQ_M)
+        recon = np.concatenate(
+            [bks[m, codes[:, m], :len(cols)]
+             for m, cols in enumerate(splits)], axis=1)
+        err = ((vn - recon) ** 2).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "code": list(codes.astype(np.int64)),
+            "recon_err": np.round(err, 6)})
+
+    return _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                     columns=["vec_id", "embedding"]) \
+        .map_batches(encode, batch_format="pandas")
+
+
+def ann_pq_topk(sf_dir: str):
+    """PQ asymmetric-distance cosine top-5: the corpus is first encoded
+    to (vec_id, code) rows (16x smaller than the vectors), then each
+    query scans CODES ONLY — per-query lookup tables LUT[m][k] =
+    q_m · C[m][k] are broadcast, and the approximate cosine of a coded
+    vector is the M-term table sum (ADC, Jégou et al. 2011). This is
+    the memory-bound ANN regime: at 100 TB of embeddings the code table
+    is ~6 TB and the scan never touches the raw vectors.
+
+    Rows-only driver check (approximate scores); recall >= 0.9 and
+    exact-rank-1 on the planted-neighbor fixture are pytest-pinned."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir)
+    books = _pq_codebooks(sf_dir)
+    dim = qmat.shape[1]
+    splits = np.array_split(np.arange(dim), PQ_M)
+    # LUT[j, m, k]: query j's inner product with centroid k of subspace m
+    lut = np.stack([
+        np.stack([books[m, :, :len(cols)] @ q[cols]
+                  for m, cols in enumerate(splits)])
+        for q in qmat])
+    q_ref = ray.put((qids, lut))
+    codes_ds = embedding_pq_codes(sf_dir)
+
+    def adc_topk(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, tables = ray.get(q_ref)
+        codes = np.array(df["code"].to_list(), dtype=np.int64)
+        vids = df["vec_id"].to_numpy(np.int64)
+        marange = np.arange(PQ_M)
+        out = []
+        for j, qid in enumerate(ids_q):
+            sims = tables[j][marange[:, None], codes.T].sum(axis=0)
+            mask = vids != qid
+            s, bids = sims[mask], vids[mask]
+            take = min(TOP_K, len(s))
+            if take == 0:
+                continue
+            top = np.lexsort((bids, -s))[:take]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": bids[top],
+                                     "sim": s[top]}))
+        if not out:
+            return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                                 "vec_id": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        return pd.concat(out, ignore_index=True)
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"],
+                            ascending=[False, True]).head(TOP_K)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64),
+                       adc_score=np.round(df["sim"].to_numpy(), 6))
+        return df[["query_id", "rank", "vec_id", "adc_score"]]
+
+    return (codes_ds.map_batches(adc_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(reduce_topk,
+                                            batch_format="pandas"))

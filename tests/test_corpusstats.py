@@ -140,3 +140,37 @@ def test_dsir_prefers_target_like_docs(ray_session, tmp_path):
                                 / (nr + DSIR_BUCKETS)))
     assert out.loc[31, "log_importance"] == pytest.approx(round(acc, 6),
                                                           abs=1e-9)
+
+
+def test_resample_temperature_mix_semantics(ray_session, tmp_path):
+    """alpha = 0.7 temperature resampling: the smallest language keeps
+    every doc, larger languages keep with probability (m/n)^0.3, and
+    the accepted set equals a direct per-doc re-derivation of the
+    md5-threshold rule (pure function of doc_id — deterministic)."""
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.pipelines.corpusstats import (
+        MIX_ALPHA, _U52, resample_temperature_mix)
+    langs = ["rare"] * 5 + ["mid"] * 50 + ["big"] * 445
+    docs = pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "text": pa.array(["w"] * 500), "lang": pa.array(langs),
+        "source": pa.array(["s"] * 500),
+        "n_chars": pa.array([1] * 500, pa.int64())})
+    root = str(tmp_path)
+    pq.write_table(docs, f"{root}/documents.parquet")
+    kept = resample_temperature_mix(root).to_pandas()
+    n = {"rare": 5, "mid": 50, "big": 445}
+    want = set()
+    for d, lang in enumerate(langs):
+        u = float(int(hashlib.md5(str(d).encode()).hexdigest()[:13], 16))
+        if u < ((5 / n[lang]) ** (1.0 - MIX_ALPHA)) * float(_U52):
+            want.add(d)
+    assert set(kept["doc_id"]) == want
+    assert (kept["lang"] == "rare").sum() == 5          # min lang keeps all
+    # temperature keeps MORE of the big lang than the uniform resample
+    # would (uniform expectation ~ m/n * 445 = 5): upweighting is gentle
+    assert (kept["lang"] == "big").sum() > 5
+    again = resample_temperature_mix(root).to_pandas()
+    assert set(again["doc_id"]) == want

@@ -215,3 +215,56 @@ def test_ann_recall_eval_query(ray_session, neighbor_dir):
             total += len(bset)
         assert out.loc[method, "recall_at_k"] == round(hits / total, 6)
         assert out.loc[method, "recall_at_k"] >= 0.9
+
+
+def test_ann_pq_recall(ray_session, neighbor_dir):
+    """PQ-ADC (8 subspaces x 16 centroids) recall vs brute force >= 0.9
+    on the planted-neighbor fixture; the closest planted neighbor is
+    rank-1 (deterministic: hash sample + fixed k-means seed)."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_pq_topk, ann_topk_bruteforce)
+    brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
+    pqr = ann_pq_topk(neighbor_dir).to_pandas()
+    hits = total = 0
+    for q in range(4):
+        bset = set(brute[brute["query_id"] == q]["vec_id"])
+        pset = set(pqr[pqr["query_id"] == q]["vec_id"])
+        hits += len(bset & pset)
+        total += len(bset)
+        p1 = pqr[(pqr["query_id"] == q) & (pqr["rank"] == 1)]["vec_id"].iloc[0]
+        assert p1 == 100 + 5 * q
+    assert hits / total >= 0.9
+
+
+def test_pq_codes_numpy_parity_and_determinism(ray_session, neighbor_dir):
+    """PQ encoding matches an independent driver-side re-derivation
+    (same codebooks, brute argmin per subspace), recon_err is the true
+    squared L2 gap, and the whole thing is a pure function of the input
+    (identical across runs — the bottom-k hash sample is
+    partition-invariant)."""
+    import pyarrow.parquet as pq_
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        PQ_M, _pq_codebooks, embedding_pq_codes)
+    out = embedding_pq_codes(neighbor_dir).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    books = _pq_codebooks(neighbor_dir)
+    t = pq_.read_table(f"{neighbor_dir}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    v = np.array(t["embedding"].to_pylist(), np.float64)[order]
+    vn = v / np.linalg.norm(v, axis=1)[:, None]
+    splits = np.array_split(np.arange(vn.shape[1]), PQ_M)
+    got_codes = np.array(out["code"].to_list(), np.int64)
+    for m, cols in enumerate(splits):
+        C = books[m, :, :len(cols)]
+        d2 = ((vn[:, None, cols] - C[None]) ** 2).sum(axis=2)
+        want = np.argmin(d2, axis=1)
+        assert (got_codes[:, m] == want).all()
+    recon = np.concatenate([books[m, got_codes[:, m], :len(cols)]
+                            for m, cols in enumerate(splits)], axis=1)
+    err = ((vn - recon) ** 2).sum(axis=1)
+    assert np.allclose(out["recon_err"].to_numpy(), np.round(err, 6))
+    again = embedding_pq_codes(neighbor_dir).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert (np.array(again["code"].to_list(), np.int64)
+            == got_codes).all()
