@@ -117,18 +117,26 @@ def md5_buckets(tokens: np.ndarray, cache: dict, nhex: int = 4) -> np.ndarray:
 
 
 def doc_token_weight_sums(texts, values: np.ndarray, cache: dict):
-    """Per-document ``sum(tf(token) * values[md5_bucket(token)])`` with
-    the summation in ascending distinct-token order, left-associative —
-    bit-exact with DuckDB's ``sum(x ORDER BY t)`` and with the scalar
-    loop it replaces (``acc = acc + tf * v`` over ``sorted(counter)``).
+    """Per-document ``sum(tf(token) * values[md5_bucket(token)])`` —
+    the hashed-LM scoring kernel; see ``doc_token_value_sums``."""
+    return doc_token_value_sums(
+        texts, lambda uniq: values[md5_buckets(uniq, cache)])
 
-    The shared kernel of the hashed-LM scoring stages, vectorized per
-    the round-3 verdict: ONE ``np.unique`` over the batch's token
-    stream, md5 only for batch-distinct tokens (memoized per actor),
-    per-(doc, token) term frequencies from sorted-key segment
-    boundaries, and per-doc sums as Python float adds over the
-    contribution slices (plain ``sum`` is left-associative; numpy's
-    pairwise reduction is not bit-stable against the oracle).
+
+def doc_token_value_sums(texts, uniq_values_fn):
+    """Per-document ``sum(tf(token) * value(token))`` with the summation
+    in ascending distinct-token order, left-associative — bit-exact with
+    DuckDB's ``sum(x ORDER BY t)`` and with the scalar loop it replaces
+    (``acc = acc + tf * v`` over ``sorted(counter)``).
+
+    The shared kernel of the LM scoring stages, vectorized per the
+    round-3 verdict: ONE ``np.unique`` over the batch's token stream,
+    ``uniq_values_fn`` maps only the batch-DISTINCT token array to their
+    float64 values (md5 buckets, count-table lookups, ...), per-(doc,
+    token) term frequencies come from sorted-key segment boundaries, and
+    per-doc sums are Python float adds over the contribution slices
+    (plain ``sum`` is left-associative; numpy's pairwise reduction is
+    not bit-stable against the oracle).
 
     Returns ``(doc_positions, n_tokens, sums)`` — positions index into
     ``texts``, restricted to docs with >=1 token (tokenless docs drop,
@@ -148,7 +156,7 @@ def doc_token_weight_sums(texts, values: np.ndarray, cache: dict):
             pos += len(x)
     doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
     uniq, inv = np.unique(all_tokens, return_inverse=True)
-    vals = values[md5_buckets(uniq, cache)]
+    vals = uniq_values_fn(uniq)
     u = len(uniq)
     key = doc_idx * u + inv
     sk = np.sort(key)

@@ -74,16 +74,29 @@ def vocab_growth_curve(sf_dir: str):
     cuts = np.array([mn + (k * (mx - mn)) // N_CHECKPOINTS
                      for k in range(1, N_CHECKPOINTS + 1)], dtype=np.int64)
 
-    # token -> first doc_id: per-batch partial min, bucket-shuffled exact min
+    # token -> first doc_id: per-batch partial min, bucket-shuffled exact
+    # min (vectorized: one np.unique over the batch token stream, then an
+    # unbuffered minimum scatter — integer-exact, no ordering concerns)
     def partial_first(df: pd.DataFrame) -> pd.DataFrame:
-        ids, toks = [], []
-        for d, t in zip(df["doc_id"].to_numpy(), df["text"]):
-            ws = set(t.split())
-            ids.extend([d] * len(ws))
-            toks.extend(ws)
-        out = pd.DataFrame({"t": pd.Series(toks, dtype=object),
-                            "fd": np.array(ids, dtype=np.int64)})
-        out = out.groupby("t", as_index=False)["fd"].min()
+        tok_lists = [t.split() for t in df["text"]]
+        lens = np.fromiter((len(x) for x in tok_lists), np.int64,
+                           len(tok_lists))
+        total = int(lens.sum())
+        if total == 0:
+            return pd.DataFrame({"t": pd.Series([], dtype=object),
+                                 "fd": pd.Series([], dtype=np.int64),
+                                 "__bucket": pd.Series([], dtype=np.int64)})
+        all_tokens = np.empty(total, dtype=object)
+        p = 0
+        for x in tok_lists:
+            if x:
+                all_tokens[p:p + len(x)] = x
+                p += len(x)
+        doc_of = np.repeat(df["doc_id"].to_numpy(np.int64), lens)
+        uniq, inv = np.unique(all_tokens, return_inverse=True)
+        fd = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(fd, inv, doc_of)
+        out = pd.DataFrame({"t": pd.Series(uniq, dtype=object), "fd": fd})
         out["__bucket"] = _bucket_of(out["t"], 64)
         return out
 

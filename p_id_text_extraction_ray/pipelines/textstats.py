@@ -715,9 +715,6 @@ def doc_unigram_logprob(sf_dir: str, _with_lang: bool = False):
     # empty corpus: the partial-sum frame has no columns at all
     grand = int(gn["n"].sum()) if "n" in gn.columns else 0
 
-    out_schema = {"doc_id": np.int64, "n_tokens": np.int64,
-                  "avg_logprob": np.float64, "perplexity": np.float64}
-
     n_terms = g.count()
     if n_terms <= UNIGRAM_BROADCAST_TERM_CAP:
         gdf = g.to_pandas()
@@ -726,40 +723,36 @@ def doc_unigram_logprob(sf_dir: str, _with_lang: bool = False):
                 if "t" in gdf.columns else {})
 
         def score_local(df: pd.DataFrame) -> pd.DataFrame:
-            from collections import Counter
+            # vectorized via the shared kernel: np.unique once per batch,
+            # ln once per distinct global count, per-doc sums
+            # left-associative in ascending term order (== the oracle's
+            # sum(x ORDER BY t); see _util.doc_token_value_sums)
+            from ._util import doc_token_value_sums
             lp_of: dict = {}
-            langs = df["lang"] if _with_lang else None
-            out_id, out_n, out_avg, out_ppl, out_lang = [], [], [], [], []
-            for j, (doc_id, text) in enumerate(
-                    zip(df["doc_id"].to_numpy(), df["text"])):
-                cnt = Counter(text.split())
-                if not cnt:
-                    continue
-                # left-assoc sum over distinct terms ascending ==
-                # SQL sum(x ORDER BY t)
-                lnc = np.empty(len(cnt), np.float64)
-                n = 0
-                for i, t in enumerate(sorted(cnt)):
-                    tf = cnt[t]
+
+            def uniq_vals(uniq):
+                out = np.empty(len(uniq), np.float64)
+                for i, t in enumerate(uniq):
                     c = cmap[t]
                     lp = lp_of.get(c)
                     if lp is None:
                         lp = lp_of[c] = math.log((c * 1.0) / grand)
-                    lnc[i] = tf * lp
-                    n += tf
-                s = np.add.accumulate(lnc)[-1]
-                avg = s / float(n)
-                out_id.append(doc_id)
-                out_n.append(n)
-                out_avg.append(round(avg, 6))
-                out_ppl.append(round(math.exp(-avg), 6))
-                if langs is not None:
-                    out_lang.append(langs.iat[j])
-            out = pd.DataFrame({k: np.array(v, dtype=d) for (k, d), v in
-                                zip(out_schema.items(),
-                                    (out_id, out_n, out_avg, out_ppl))})
-            if langs is not None:
-                out["lang"] = pd.Series(out_lang, dtype=object)
+                    out[i] = lp
+                return out
+
+            pos, ns, sums = doc_token_value_sums(
+                df["text"].tolist(), uniq_vals)
+            avgs = [s / float(n) for s, n in zip(sums, ns.tolist())]
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(np.int64)[pos],
+                "n_tokens": ns,
+                "avg_logprob": np.array([round(a, 6) for a in avgs],
+                                        np.float64),
+                "perplexity": np.array(
+                    [round(math.exp(-a), 6) for a in avgs], np.float64)})
+            if _with_lang:
+                out["lang"] = pd.Series(
+                    df["lang"].to_numpy()[pos], dtype=object)
             return out
 
         ds = score_in.map_batches(score_local, batch_format="pandas")
