@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": D.dedup_incremental,
         "doc_novelty_score": D.doc_novelty_score,
         "decontaminate_train": C.decontaminate_train,
+        "decontaminate_fuzzy": C.decontaminate_fuzzy,
         "ngram_contamination_rate": C.ngram_contamination_rate,
         "dedup_substring": C.dedup_substring,
         "quality_classifier_train": QC.quality_classifier_train,

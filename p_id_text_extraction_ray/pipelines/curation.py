@@ -1137,3 +1137,83 @@ SELECT doc_id,
        count(*) - count(*) FILTER (WHERE rn = 1) AS n_dropped
 FROM k GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ----------------------------------- fuzzy (MinHash) decontamination
+
+FUZZY_DECON_JACCARD = 0.5   # GPT-3-style fuzzy overlap gate
+
+
+def decontaminate_fuzzy(sf_dir: str):
+    """(doc_id, holdout_id, jaccard) for every TRAIN doc whose shingle
+    set is near-duplicate (exact Jaccard >= 0.5 after MinHash-LSH
+    candidate probing) of some HOLDOUT doc — fuzzy eval-set
+    decontamination (the GPT-3 appendix-C / Brown et al. 2020 shape:
+    exact n-gram matching misses paraphrased or lightly edited
+    contamination; MinHash banding catches it). One row per flagged
+    train doc, keeping its best match (max Jaccard, ties to the
+    smallest holdout_id).
+
+    Scale shape: the holdout side is an EVAL BENCHMARK — fixed-size by
+    construction (thousands of docs, not corpus-proportional) — so its
+    band index + shingle sets broadcast once via ``ray.put`` and the
+    train side streams row-locally with zero shuffle: probe the band
+    dict, exact-verify only bucket collisions. (A corpus-proportional
+    holdout would instead take `dedup_minhash_lsh`'s bucketed
+    band-join shape.) Approximate recall by construction (LSH), so no
+    SQL oracle: rows-only driver check; planted paraphrase recall and
+    clean-doc precision are pytest-pinned."""
+    import ray
+
+    from ..functions.hashing import (jaccard, lsh_band_keys,
+                                     minhash_signatures_batch,
+                                     word_shingles)
+    from .dedup import NUM_BANDS, NUM_PERM, SHINGLE_K
+
+    hold = _docs(sf_dir).map_batches(
+        lambda df: df[df["doc_id"] % HOLDOUT_MOD == 0],
+        batch_format="pandas").to_pandas()
+    if hold.empty:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                             "holdout_id": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+    hold = hold.sort_values("doc_id").reset_index(drop=True)
+    h_ids = hold["doc_id"].to_numpy(np.int64)
+    h_sets = [word_shingles(t, SHINGLE_K) for t in hold["text"]]
+    h_keys = lsh_band_keys(
+        minhash_signatures_batch(h_sets, NUM_PERM), NUM_BANDS)
+    index: dict = {}
+    for j in range(len(h_ids)):
+        for b in range(NUM_BANDS):
+            index.setdefault((b, int(h_keys[j, b])), []).append(j)
+    h_ref = ray.put((h_ids, h_sets, index))
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        ids_h, sets_h, idx = ray.get(h_ref)
+        train = df[df["doc_id"] % HOLDOUT_MOD != 0]
+        if train.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "holdout_id": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        sets_t = [word_shingles(t, SHINGLE_K) for t in train["text"]]
+        keys_t = lsh_band_keys(
+            minhash_signatures_batch(sets_t, NUM_PERM), NUM_BANDS)
+        out_id, out_h, out_j = [], [], []
+        for i, did in enumerate(train["doc_id"].to_numpy(np.int64)):
+            cands: set[int] = set()
+            for b in range(NUM_BANDS):
+                cands.update(idx.get((b, int(keys_t[i, b])), ()))
+            best_j, best_h = -1.0, -1
+            for j in sorted(cands):
+                sim = jaccard(sets_t[i], sets_h[j])
+                if sim > best_j:
+                    best_j, best_h = sim, int(ids_h[j])
+            if best_j >= FUZZY_DECON_JACCARD:
+                out_id.append(did)
+                out_h.append(best_h)
+                out_j.append(round(best_j, 6))
+        return pd.DataFrame({"doc_id": np.array(out_id, np.int64),
+                             "holdout_id": np.array(out_h, np.int64),
+                             "jaccard": np.array(out_j, np.float64)})
+
+    return _docs(sf_dir).map_batches(probe, batch_format="pandas")

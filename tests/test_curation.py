@@ -109,3 +109,39 @@ def test_dedup_substring_planted(ray_session, tmp_path):
     assert out.loc[3, "n_dup_positions"] == 0
     assert out.loc[4, "n_dup_positions"] == 0
     assert out.loc[4, "dup_rate"] == 0.0
+
+
+def test_decontaminate_fuzzy_planted(ray_session, tmp_path):
+    """A train doc that paraphrases a holdout doc (a few words changed —
+    invisible to exact 8-gram matching at this length, visible to
+    MinHash shingle overlap) is flagged with the right holdout match;
+    an unrelated train doc is not; the flagged jaccard equals a direct
+    shingle-set re-derivation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from p_id_text_extraction_ray.functions.hashing import (jaccard,
+                                                            word_shingles)
+    from p_id_text_extraction_ray.pipelines.curation import (
+        FUZZY_DECON_JACCARD, decontaminate_fuzzy)
+    from p_id_text_extraction_ray.pipelines.dedup import SHINGLE_K
+    base = ("the quick brown fox jumps over the lazy dog while seventeen "
+            "sailors count yellow marbles beside an ancient harbor wall "
+            "and the evening tide slowly turns under a copper sky")
+    near = base.replace("quick", "swift").replace("copper", "silver")
+    other = ("completely unrelated text about matrix decompositions and "
+             "sparse eigenvalue solvers on distributed hardware stacks "
+             "with no shared vocabulary whatsoever in this entire doc")
+    docs = pa.table({
+        "doc_id": pa.array([10, 3, 7], pa.int64()),   # 10 -> holdout
+        "text": pa.array([base, near, other]),
+        "lang": pa.array(["en"] * 3), "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([len(base), len(near), len(other)], pa.int64())})
+    root = str(tmp_path)
+    pq.write_table(docs, f"{root}/documents.parquet")
+    out = decontaminate_fuzzy(root).to_pandas()
+    assert set(out["doc_id"]) == {3}
+    assert out.iloc[0]["holdout_id"] == 10
+    want = jaccard(word_shingles(near, SHINGLE_K),
+                   word_shingles(base, SHINGLE_K))
+    assert want >= FUZZY_DECON_JACCARD
+    assert out.iloc[0]["jaccard"] == round(want, 6)
