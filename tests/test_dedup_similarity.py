@@ -201,12 +201,14 @@ def test_ann_recall_eval_query(ray_session, neighbor_dir):
     the approximate paths; values must equal an independent per-query
     set-intersection re-derivation."""
     from p_id_text_extraction_ray.pipelines.similarity import (
-        ann_ivf_topk, ann_lsh_topk, ann_recall_eval, ann_topk_bruteforce)
+        ann_ivf_topk, ann_lsh_topk, ann_pq_topk, ann_recall_eval,
+        ann_topk_bruteforce)
     out = ann_recall_eval(neighbor_dir).set_index("method")
     assert out.loc["bruteforce", "recall_at_k"] == 1.0
     assert (out["n_queries"] == 4).all()
     brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
-    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
+                       ("pq", ann_pq_topk)):
         got = fn(neighbor_dir).to_pandas()
         hits = total = 0
         for q in range(4):
