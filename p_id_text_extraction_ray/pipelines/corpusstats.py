@@ -44,9 +44,42 @@ def _docs(sf_dir: str, columns: list[str]):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
-def _scalar_minmax_docid(ds) -> tuple[int, int]:
-    """(min, max+1) of doc_id via per-batch partials; driver sees one row
-    per block."""
+def _scalar_minmax_docid(ds, parquet_path: str | None = None
+                         ) -> tuple[int, int]:
+    """(min, max+1) of doc_id. With ``parquet_path``, read the answer
+    from the parquet ROW-GROUP STATISTICS — a pure footer read, no data
+    pass (the standard pruning metadata every writer emits; at 100 TB
+    this saves a full corpus scan). Falls back to per-batch partials on
+    missing stats (driver sees one row per block)."""
+    if parquet_path is not None:
+        import os
+        import pyarrow.parquet as pq
+        files = ([parquet_path] if os.path.isfile(parquet_path) else
+                 sorted(os.path.join(r, f)
+                        for r, _, ns in os.walk(parquet_path)
+                        for f in ns if f.endswith((".parquet", ".pq"))))
+        mns, mxs, ok = [], [], bool(files)
+        for fp in files:
+            md = pq.ParquetFile(fp).metadata
+            if md.num_rows == 0:
+                continue
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = next((rg.column(i).statistics
+                           for i in range(rg.num_columns)
+                           if rg.column(i).path_in_schema == "doc_id"),
+                          None)
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mns.append(int(st.min))
+                mxs.append(int(st.max))
+            if not ok:
+                break
+        if ok:
+            if not mns:        # zero rows in every file
+                return 0, 0
+            return min(mns), max(mxs) + 1
     part = ds.map_batches(
         lambda df: pd.DataFrame({"mn": [df["doc_id"].min()],
                                  "mx": [df["doc_id"].max()]}),
@@ -61,7 +94,7 @@ def vocab_growth_curve(sf_dir: str):
     from .joins import _bucket_of, DEFAULT_SHUFFLE_PARTITIONS
 
     docs = _docs(sf_dir, ["doc_id", "text"])
-    mn, mx = _scalar_minmax_docid(docs)
+    mn, mx = _scalar_minmax_docid(docs, f"{sf_dir}/documents.parquet")
     if mx == 0 and mn == 0:
         # empty corpus: zero counts and NULL cutoffs, exactly like the
         # oracle (min/max over zero rows is NULL) — NaN is pandas' null
