@@ -1186,10 +1186,12 @@ def decontaminate_fuzzy(sf_dir: str):
     for j in range(len(h_ids)):
         for b in range(NUM_BANDS):
             index.setdefault((b, int(h_keys[j, b])), []).append(j)
-    h_ref = ray.put((h_ids, h_sets, index))
+    # per-band sorted key arrays for the vectorized np.isin pre-filter
+    bkeys = [np.unique(h_keys[:, b]) for b in range(NUM_BANDS)]
+    h_ref = ray.put((h_ids, h_sets, index, bkeys))
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
-        ids_h, sets_h, idx = ray.get(h_ref)
+        ids_h, sets_h, idx, band_keys = ray.get(h_ref)
         train = df[df["doc_id"] % HOLDOUT_MOD != 0]
         if train.empty:
             return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
@@ -1198,8 +1200,16 @@ def decontaminate_fuzzy(sf_dir: str):
         sets_t = [word_shingles(t, SHINGLE_K) for t in train["text"]]
         keys_t = lsh_band_keys(
             minhash_signatures_batch(sets_t, NUM_PERM), NUM_BANDS)
+        # vectorized pre-filter: most train docs share NO band key with
+        # the benchmark — np.isin per band narrows the Python probe loop
+        # to the (rare) docs with at least one band hit
+        hit = np.zeros(len(train), dtype=bool)
+        for b in range(NUM_BANDS):
+            hit |= np.isin(keys_t[:, b], band_keys[b])
         out_id, out_h, out_j = [], [], []
-        for i, did in enumerate(train["doc_id"].to_numpy(np.int64)):
+        t_ids = train["doc_id"].to_numpy(np.int64)
+        for i in np.flatnonzero(hit):
+            did = t_ids[i]
             cands: set[int] = set()
             for b in range(NUM_BANDS):
                 cands.update(idx.get((b, int(keys_t[i, b])), ()))
