@@ -154,7 +154,8 @@ def run_bench() -> dict:
                      "orders_promo_windows", "orders_skyline",
                      "ann_recall_eval", "events_trimmed_mean",
                      "resample_temperature_mix", "embedding_pq_codes",
-                     "ann_pq_topk", "decontaminate_fuzzy"):
+                     "ann_pq_topk", "decontaminate_fuzzy",
+                     "quality_rank_fusion"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -1446,3 +1446,98 @@ SELECT doc_id, n AS n_chars_text,
            AS char_entropy
 FROM cc JOIN n USING (doc_id) GROUP BY doc_id, n
 """
+
+
+# --------------------------- reciprocal-rank-fusion quality score
+
+RRF_K = 60           # the standard RRF smoothing constant
+RRF_LONG_WORD = 8    # chars; signal 3 counts words at least this long
+
+
+def quality_rank_fusion(sf_dir: str):
+    """(doc_id, n_tokens, n_distinct, n_long, rrf_score): combine three
+    discrete quality signals — token count, distinct-token count, and
+    long-word count — into one reciprocal-rank-fusion score
+    (Cormack et al. 2009): rrf = Σ_s 1/(60 + rank_s(doc)), with SQL
+    ``rank()`` tie semantics (rank = 1 + number of docs strictly
+    better). The rank-fusion pattern that quality-ensemble curation
+    uses when classifier scores, heuristics, and LM perplexities
+    disagree on scale.
+
+    Scale shape: one row-local signals pass; per signal a bucketed
+    distinct-VALUE count table (signals are small-integer-valued, so
+    each table is bounded by the value domain — tens to hundreds of
+    rows, NOT corpus-sized), cumulated on the driver and broadcast
+    back into a second row-local pass. No corpus-scale driver state,
+    two streaming passes, zero data shuffles beyond the bounded count
+    reduce. Bit-exact vs the oracle: integer ranks, float adds in
+    fixed signal order (left-associative both sides), 6 dp."""
+    import numpy as np
+
+    docs = _docs(sf_dir)
+
+    def signals(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        toks = [t.split() for t in df["text"]]
+        n_tok = np.fromiter((len(x) for x in toks), np.int64, len(toks))
+        n_dis = np.fromiter((len(set(x)) for x in toks), np.int64,
+                            len(toks))
+        n_lng = np.fromiter(
+            (sum(1 for w in x if len(w) >= RRF_LONG_WORD) for x in toks),
+            np.int64, len(toks))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "n_tokens": n_tok, "n_distinct": n_dis,
+                             "n_long": n_lng})
+
+    sig = docs.map_batches(signals, batch_format="pandas").materialize()
+
+    def rank_map(col: str) -> dict:
+        """value -> SQL rank() (1 + count strictly greater), from the
+        bounded distinct-value count table."""
+        part = sig.map_batches(
+            lambda df, c=col: df[c].value_counts().rename_axis("v")
+            .reset_index(name="n"), batch_format="pandas").to_pandas()
+        if "v" not in part.columns or part.empty:
+            return {}
+        counts = part.groupby("v")["n"].sum().sort_index(ascending=False)
+        ranks = np.r_[0, counts.to_numpy()[:-1]].cumsum() + 1
+        return dict(zip(counts.index.to_numpy(), ranks.astype(np.int64)))
+
+    r_tok = rank_map("n_tokens")
+    r_dis = rank_map("n_distinct")
+    r_lng = rank_map("n_long")
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        r1 = df["n_tokens"].map(r_tok).to_numpy(np.int64)
+        r2 = df["n_distinct"].map(r_dis).to_numpy(np.int64)
+        r3 = df["n_long"].map(r_lng).to_numpy(np.int64)
+        # fixed-order left-associative float adds == the SQL expression
+        score = (1.0 / (RRF_K + r1) + 1.0 / (RRF_K + r2)) \
+            + 1.0 / (RRF_K + r3)
+        return df.assign(rrf_score=np.round(score, 6))
+
+    return sig.map_batches(fuse, batch_format="pandas")
+
+
+QUALITY_RANK_FUSION_SQL = rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(regexp_extract_all(text, '\S+')))
+              AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(regexp_extract_all(text, '\S+'),
+                              w -> len(w) >= {RRF_LONG_WORD}))
+              AS BIGINT) AS n_long
+  FROM documents),
+r AS (
+  SELECT doc_id, n_tokens, n_distinct, n_long,
+         rank() OVER (ORDER BY n_tokens DESC) AS r1,
+         rank() OVER (ORDER BY n_distinct DESC) AS r2,
+         rank() OVER (ORDER BY n_long DESC) AS r3
+  FROM s)
+SELECT doc_id, n_tokens, n_distinct, n_long,
+       round(1.0/({RRF_K} + r1) + 1.0/({RRF_K} + r2)
+             + 1.0/({RRF_K} + r3), 6) AS rrf_score
+FROM r
+"""
