@@ -56,6 +56,10 @@ def _load_queries(sf_dir: str, columns: list[str] | None = None):
                       columns=["vec_id", "embedding"] + extra,
                       filters=[("vec_id", "<", N_QUERIES)])
     ids = t.column("vec_id").to_numpy()
+    if len(ids) == 0:   # empty corpus: no query vectors at all
+        out = [ids.astype(np.int64), np.zeros((0, 1), np.float64)]
+        out.extend(t.column(c).to_numpy() for c in extra)
+        return tuple(out)
     order = np.argsort(ids, kind="mergesort")
     q = np.array(t.column("embedding").to_pylist(), dtype=np.float64)[order]
     qn = np.linalg.norm(q, axis=1)
@@ -837,6 +841,10 @@ def _pq_codebooks(sf_dir: str) -> "np.ndarray":
     parts = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]) \
         .map_batches(bottomk, batch_format="pandas").to_pandas()
+    if "h" not in parts.columns or parts.empty:
+        # empty corpus: no codebooks to train; encode/search paths emit
+        # schema-stable empty frames downstream
+        return np.zeros((PQ_M, PQ_K, 1), np.float64)
     keep = np.argsort(parts["h"].to_numpy(), kind="mergesort")[:PQ_SAMPLE]
     v = np.array(parts["embedding"].to_numpy()[keep].tolist(),
                  dtype=np.float64)
@@ -900,6 +908,10 @@ def embedding_pq_codes(sf_dir: str):
     b_ref = ray.put(books)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "code": pd.Series([], dtype=object),
+                                 "recon_err": pd.Series([], dtype="float64")})
         bks = ray.get(b_ref)
         v = np.array(df["embedding"].to_list(), dtype=np.float64)
         nv = np.linalg.norm(v, axis=1)
@@ -936,6 +948,11 @@ def ann_pq_topk(sf_dir: str):
     import ray
 
     qids, qmat = _load_queries(sf_dir)
+    if len(qids) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "adc_score": pd.Series([], dtype="float64")})
     books = _pq_codebooks(sf_dir)
     dim = qmat.shape[1]
     splits = np.array_split(np.arange(dim), PQ_M)

@@ -178,3 +178,53 @@ def test_events_trimmed_mean_empty(ray_session, tmp_path):
     assert len(out) == 0
     assert list(out.columns) == ["event_type", "lo", "hi", "n_kept",
                                  "trimmed_mean"]
+
+
+@pytest.fixture(scope="module")
+def empty_dir2(tmp_path_factory):
+    """Empty documents + embeddings (for the continuation-session ops)."""
+    root = str(tmp_path_factory.mktemp("empty_tables2"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([], type=pa.int64()),
+        "text": pa.array([], type=pa.string()),
+        "lang": pa.array([], type=pa.string()),
+        "source": pa.array([], type=pa.string()),
+        "n_chars": pa.array([], type=pa.int64())}),
+        os.path.join(root, "documents.parquet"))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([], type=pa.int64()),
+        "embedding": pa.array([], type=pa.list_(pa.float64())),
+        "label": pa.array([], type=pa.int32())}),
+        os.path.join(root, "embeddings.parquet"))
+    return root
+
+
+def test_empty_continuation_ops(ray_session, empty_dir2):
+    import pandas as pd
+    from p_id_text_extraction_ray.pipelines.corpusstats import \
+        resample_temperature_mix
+    from p_id_text_extraction_ray.pipelines.curation import decontaminate_fuzzy
+    from p_id_text_extraction_ray.pipelines.textstats import quality_rank_fusion
+
+    t = resample_temperature_mix(empty_dir2)
+    t = t.to_pandas() if not isinstance(t, pd.DataFrame) else t
+    assert len(t) == 0 and list(t.columns) == ["doc_id", "lang"]
+
+    f = decontaminate_fuzzy(empty_dir2)
+    f = f.to_pandas() if not isinstance(f, pd.DataFrame) else f
+    assert len(f) == 0
+    assert list(f.columns) == ["doc_id", "holdout_id", "jaccard"]
+
+    q = quality_rank_fusion(empty_dir2)
+    q = q.to_pandas() if not isinstance(q, pd.DataFrame) else q
+    assert len(q) == 0
+
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_pq_topk, embedding_pq_codes)
+    c = embedding_pq_codes(empty_dir2)
+    c = c.to_pandas() if not isinstance(c, pd.DataFrame) else c
+    assert len(c) == 0
+    k = ann_pq_topk(empty_dir2)
+    k = k.to_pandas() if not isinstance(k, pd.DataFrame) else k
+    assert len(k) == 0
+    assert list(k.columns) == ["query_id", "rank", "vec_id", "adc_score"]
