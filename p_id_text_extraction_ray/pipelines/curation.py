@@ -1142,6 +1142,11 @@ FROM k GROUP BY doc_id ORDER BY doc_id
 # ----------------------------------- fuzzy (MinHash) decontamination
 
 FUZZY_DECON_JACCARD = 0.5   # GPT-3-style fuzzy overlap gate
+# Benchmark-size bound: at most this many holdout docs enter the broadcast
+# index (lowest doc_ids win — deterministic). Eval benchmarks are
+# fixed-size; this cap makes the broadcast bounded BY CONSTRUCTION even
+# when the corpus's modular holdout definition scales with the corpus.
+FUZZY_BENCH_CAP = 10_000
 
 
 def decontaminate_fuzzy(sf_dir: str):
@@ -1154,13 +1159,18 @@ def decontaminate_fuzzy(sf_dir: str):
     train doc, keeping its best match (max Jaccard, ties to the
     smallest holdout_id).
 
-    Scale shape: the holdout side is an EVAL BENCHMARK — fixed-size by
-    construction (thousands of docs, not corpus-proportional) — so its
-    band index + shingle sets broadcast once via ``ray.put`` and the
-    train side streams row-locally with zero shuffle: probe the band
-    dict, exact-verify only bucket collisions. (A corpus-proportional
-    holdout would instead take `dedup_minhash_lsh`'s bucketed
-    band-join shape.) Approximate recall by construction (LSH), so no
+    Scale shape: the holdout side is an EVAL BENCHMARK — bounded by
+    construction at ``FUZZY_BENCH_CAP`` docs (the lowest-doc_id holdout
+    docs; eval sets are fixed-size, and the cap keeps the broadcast
+    bounded even though this corpus derives its holdout modularly from
+    doc_id, which would otherwise scale with the corpus) — so its band
+    index + shingle sets broadcast once via ``ray.put`` and the train
+    side streams row-locally with zero shuffle: probe the band dict,
+    exact-verify only bucket collisions. (A corpus-proportional holdout
+    would instead take `dedup_minhash_lsh`'s bucketed band-join shape.)
+    Zero-shingle (blank) docs are excluded from both sides — an empty
+    shingle set is vacuously 'identical' to another blank doc, not
+    contamination. Approximate recall by construction (LSH), so no
     SQL oracle: rows-only driver check; planted paraphrase recall and
     clean-doc precision are pytest-pinned."""
     import ray
@@ -1170,14 +1180,23 @@ def decontaminate_fuzzy(sf_dir: str):
                                      word_shingles)
     from .dedup import NUM_BANDS, NUM_PERM, SHINGLE_K
 
+    # bounded benchmark pull: per-batch filter + bounded head, driver
+    # keeps only the FUZZY_BENCH_CAP lowest doc_ids
     hold = _docs(sf_dir).map_batches(
-        lambda df: df[df["doc_id"] % HOLDOUT_MOD == 0],
+        lambda df: df[df["doc_id"] % HOLDOUT_MOD == 0]
+        .nsmallest(FUZZY_BENCH_CAP, "doc_id"),
         batch_format="pandas").to_pandas()
+    if not hold.empty:
+        hold = hold.nsmallest(FUZZY_BENCH_CAP, "doc_id") \
+            .sort_values("doc_id").reset_index(drop=True)
+        nonblank = np.fromiter(
+            (len(word_shingles(t, SHINGLE_K)) > 0 for t in hold["text"]),
+            dtype=bool, count=len(hold))
+        hold = hold.loc[nonblank].reset_index(drop=True)
     if hold.empty:
         return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
                              "holdout_id": pd.Series([], dtype=np.int64),
                              "jaccard": pd.Series([], dtype=np.float64)})
-    hold = hold.sort_values("doc_id").reset_index(drop=True)
     h_ids = hold["doc_id"].to_numpy(np.int64)
     h_sets = [word_shingles(t, SHINGLE_K) for t in hold["text"]]
     h_keys = lsh_band_keys(
@@ -1202,10 +1221,15 @@ def decontaminate_fuzzy(sf_dir: str):
             minhash_signatures_batch(sets_t, NUM_PERM), NUM_BANDS)
         # vectorized pre-filter: most train docs share NO band key with
         # the benchmark — np.isin per band narrows the Python probe loop
-        # to the (rare) docs with at least one band hit
-        hit = np.zeros(len(train), dtype=bool)
+        # to the (rare) docs with at least one band hit; zero-shingle
+        # (blank) docs never probe (their all-max signature would
+        # band-collide with any other blank doc)
+        hit = np.fromiter((len(s) > 0 for s in sets_t), dtype=bool,
+                          count=len(sets_t))
+        band_hit = np.zeros(len(train), dtype=bool)
         for b in range(NUM_BANDS):
-            hit |= np.isin(keys_t[:, b], band_keys[b])
+            band_hit |= np.isin(keys_t[:, b], band_keys[b])
+        hit &= band_hit
         out_id, out_h, out_j = [], [], []
         t_ids = train["doc_id"].to_numpy(np.int64)
         for i in np.flatnonzero(hit):

@@ -200,32 +200,42 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return z ^ (z >> np.uint64(31))
 
 
-def _ivf_centroids(sf_dir: str) -> np.ndarray:
-    """Spherical k-means centroids trained on a deterministic fixed-size
-    DISTRIBUTED sample: bottom-k-by-hash (Cohen '97) — every batch keeps
-    its IVF_SAMPLE rows with the smallest splitmix64(vec_id), the driver
-    reduces the per-batch candidates to the global IVF_SAMPLE smallest.
-    The driver and the shuffle only ever see O(batches x IVF_SAMPLE)
+def _sampled_unit_vectors(sf_dir: str, n_sample: int) -> np.ndarray:
+    """Deterministic fixed-size DISTRIBUTED sample of L2-normalized
+    embeddings: bottom-k-by-hash (Cohen '97) — every batch keeps its
+    n_sample rows with the smallest splitmix64(vec_id), the driver
+    reduces the per-batch candidates to the global n_sample smallest.
+    The driver and the shuffle only ever see O(batches x n_sample)
     candidate rows, never the corpus, and the sample is identical under
-    any partitioning (hash of the id, not of the position). Driver-side
-    Lloyd on <= IVF_SAMPLE vectors is O(sample x cells x iters) —
-    trivial."""
+    any partitioning (hash of the id, not of the position). Shared by
+    the IVF and PQ codebook trainers. Empty corpus -> (0, 1) array."""
     def bottomk(df: pd.DataFrame) -> pd.DataFrame:
         ids = df["vec_id"].to_numpy()
         h = _splitmix64(ids)
-        take = np.argsort(h, kind="mergesort")[:IVF_SAMPLE]
+        take = np.argsort(h, kind="mergesort")[:n_sample]
         return pd.DataFrame({"h": h[take],
                              "embedding": df["embedding"].to_numpy()[take]})
 
     parts = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]) \
         .map_batches(bottomk, batch_format="pandas").to_pandas()
-    keep = np.argsort(parts["h"].to_numpy(), kind="mergesort")[:IVF_SAMPLE]
+    if "h" not in parts.columns or parts.empty:
+        return np.zeros((0, 1), np.float64)
+    keep = np.argsort(parts["h"].to_numpy(), kind="mergesort")[:n_sample]
     v = np.array(parts["embedding"].to_numpy()[keep].tolist(),
                  dtype=np.float64)
     nv = np.linalg.norm(v, axis=1)
     nv[nv == 0] = 1.0
-    vn = v / nv[:, None]
+    return v / nv[:, None]
+
+
+def _ivf_centroids(sf_dir: str) -> np.ndarray:
+    """Spherical k-means centroids on the shared bottom-k-by-hash sample
+    (`_sampled_unit_vectors`). Driver-side Lloyd on <= IVF_SAMPLE
+    vectors is O(sample x cells x iters) — trivial."""
+    vn = _sampled_unit_vectors(sf_dir, IVF_SAMPLE)
+    if len(vn) == 0:
+        return np.zeros((0, 1), np.float64)
     k = min(IVF_CELLS, len(vn))
     rng = np.random.default_rng(IVF_SEED)
     C = vn[rng.choice(len(vn), size=k, replace=False)]
@@ -831,26 +841,11 @@ def _pq_codebooks(sf_dir: str) -> "np.ndarray":
     dims from `np.array_split` (last subspaces may be thinner when
     dim % PQ_M != 0; all-zero padding keeps the array rectangular and
     contributes nothing to distances or inner products)."""
-    def bottomk(df: pd.DataFrame) -> pd.DataFrame:
-        ids = df["vec_id"].to_numpy()
-        h = _splitmix64(ids)
-        take = np.argsort(h, kind="mergesort")[:PQ_SAMPLE]
-        return pd.DataFrame({"h": h[take],
-                             "embedding": df["embedding"].to_numpy()[take]})
-
-    parts = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"]) \
-        .map_batches(bottomk, batch_format="pandas").to_pandas()
-    if "h" not in parts.columns or parts.empty:
+    vn = _sampled_unit_vectors(sf_dir, PQ_SAMPLE)
+    if len(vn) == 0:
         # empty corpus: no codebooks to train; encode/search paths emit
         # schema-stable empty frames downstream
         return np.zeros((PQ_M, PQ_K, 1), np.float64)
-    keep = np.argsort(parts["h"].to_numpy(), kind="mergesort")[:PQ_SAMPLE]
-    v = np.array(parts["embedding"].to_numpy()[keep].tolist(),
-                 dtype=np.float64)
-    nv = np.linalg.norm(v, axis=1)
-    nv[nv == 0] = 1.0
-    vn = v / nv[:, None]
     dim = vn.shape[1]
     splits = np.array_split(np.arange(dim), PQ_M)
     dmax = max(len(s) for s in splits)
@@ -902,9 +897,14 @@ def embedding_pq_codes(sf_dir: str):
     output codes are ~16x smaller than the embeddings, which is the
     point — downstream ANN scans read codes, not vectors. Rows-only
     driver check; numpy parity + recall pytests carry correctness."""
+    return _pq_encode_ds(sf_dir, _pq_codebooks(sf_dir))
+
+
+def _pq_encode_ds(sf_dir: str, books: "np.ndarray"):
+    """The encode pass against ALREADY-TRAINED codebooks (so composed
+    callers like `ann_pq_topk` train once, not per consumer)."""
     import ray
 
-    books = _pq_codebooks(sf_dir)
     b_ref = ray.put(books)
 
     def encode(df: pd.DataFrame) -> pd.DataFrame:
@@ -962,7 +962,7 @@ def ann_pq_topk(sf_dir: str):
                   for m, cols in enumerate(splits)])
         for q in qmat])
     q_ref = ray.put((qids, lut))
-    codes_ds = embedding_pq_codes(sf_dir)
+    codes_ds = _pq_encode_ds(sf_dir, books)   # books trained ONCE above
 
     def adc_topk(df: pd.DataFrame) -> pd.DataFrame:
         ids_q, tables = ray.get(q_ref)

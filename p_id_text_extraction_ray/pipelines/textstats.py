@@ -1491,15 +1491,27 @@ def quality_rank_fusion(sf_dir: str):
 
     sig = docs.map_batches(signals, batch_format="pandas").materialize()
 
+    # ONE counts pass for all three signals: per batch, melt the three
+    # value_counts into (sig, v, n) rows; the driver reduces the bounded
+    # union (signals are small-integer-valued)
+    def melt_counts(df: pd.DataFrame) -> pd.DataFrame:
+        parts = []
+        for c in ("n_tokens", "n_distinct", "n_long"):
+            vc = df[c].value_counts()
+            parts.append(pd.DataFrame({
+                "sig": c, "v": vc.index.to_numpy(np.int64),
+                "n": vc.to_numpy(np.int64)}))
+        return pd.concat(parts, ignore_index=True)
+
+    part = sig.map_batches(melt_counts, batch_format="pandas").to_pandas()
+
     def rank_map(col: str) -> dict:
         """value -> SQL rank() (1 + count strictly greater), from the
         bounded distinct-value count table."""
-        part = sig.map_batches(
-            lambda df, c=col: df[c].value_counts().rename_axis("v")
-            .reset_index(name="n"), batch_format="pandas").to_pandas()
-        if "v" not in part.columns or part.empty:
+        if "sig" not in part.columns or part.empty:
             return {}
-        counts = part.groupby("v")["n"].sum().sort_index(ascending=False)
+        counts = part.loc[part["sig"] == col].groupby("v")["n"].sum() \
+            .sort_index(ascending=False)
         ranks = np.r_[0, counts.to_numpy()[:-1]].cumsum() + 1
         return dict(zip(counts.index.to_numpy(), ranks.astype(np.int64)))
 
