@@ -229,11 +229,14 @@ def _sampled_unit_vectors(sf_dir: str, n_sample: int) -> np.ndarray:
     return v / nv[:, None]
 
 
-def _ivf_centroids(sf_dir: str) -> np.ndarray:
+def _ivf_centroids(sf_dir: str, vn: "np.ndarray | None" = None
+                   ) -> np.ndarray:
     """Spherical k-means centroids on the shared bottom-k-by-hash sample
-    (`_sampled_unit_vectors`). Driver-side Lloyd on <= IVF_SAMPLE
-    vectors is O(sample x cells x iters) — trivial."""
-    vn = _sampled_unit_vectors(sf_dir, IVF_SAMPLE)
+    (`_sampled_unit_vectors`; pass ``vn`` to reuse one sampling pass
+    across trainers). Driver-side Lloyd on <= IVF_SAMPLE vectors is
+    O(sample x cells x iters) — trivial."""
+    if vn is None:
+        vn = _sampled_unit_vectors(sf_dir, IVF_SAMPLE)
     if len(vn) == 0:
         return np.zeros((0, 1), np.float64)
     k = min(IVF_CELLS, len(vn))
@@ -831,7 +834,8 @@ PQ_ITERS = 12
 PQ_SEED = 9
 
 
-def _pq_codebooks(sf_dir: str) -> "np.ndarray":
+def _pq_codebooks(sf_dir: str, vn: "np.ndarray | None" = None
+                  ) -> "np.ndarray":
     """Per-subspace k-means codebooks (Jégou et al. 2011, Product
     Quantization) trained on the same deterministic bottom-k-by-hash
     distributed sample as IVF (`_ivf_centroids`): partition-invariant,
@@ -840,8 +844,10 @@ def _pq_codebooks(sf_dir: str) -> "np.ndarray":
     (inner product of unit vectors). Returns (M, K, d_m) with subspace
     dims from `np.array_split` (last subspaces may be thinner when
     dim % PQ_M != 0; all-zero padding keeps the array rectangular and
-    contributes nothing to distances or inner products)."""
-    vn = _sampled_unit_vectors(sf_dir, PQ_SAMPLE)
+    contributes nothing to distances or inner products). Pass ``vn``
+    to reuse one sampling pass across trainers."""
+    if vn is None:
+        vn = _sampled_unit_vectors(sf_dir, PQ_SAMPLE)
     if len(vn) == 0:
         # empty corpus: no codebooks to train; encode/search paths emit
         # schema-stable empty frames downstream
@@ -994,5 +1000,100 @@ def ann_pq_topk(sf_dir: str):
         return df[["query_id", "rank", "vec_id", "adc_score"]]
 
     return (codes_ds.map_batches(adc_topk, batch_format="pandas")
+            .groupby("query_id").map_groups(reduce_topk,
+                                            batch_format="pandas"))
+
+
+IVFPQ_NPROBE = 4
+
+
+def ann_ivfpq_topk(sf_dir: str):
+    """IVF-PQ approximate cosine top-5 — the composed FAISS-style index
+    (Jégou et al. 2011): vectors assign to their nearest of IVF_CELLS
+    spherical-kmeans centroids AND carry a PQ code; each query scans
+    only the CODES of its IVFPQ_NPROBE closest cells, scoring by the
+    ADC lookup-sum. Combines the IVF probe's scan reduction
+    (nprobe/cells of the corpus touched) with PQ's memory reduction
+    (16x smaller rows) — the shape that makes trillion-vector ANN fit
+    a fixed cluster.
+
+    Scale shape: both codebooks train on ONE shared bottom-k-by-hash
+    sample (bounded, partition-invariant); the encode pass is row-local
+    with broadcast codebooks; the search pass is row-local over the
+    code table with broadcast per-query LUTs + probe lists, followed by
+    the tiny per-query top-k reduce. Rows-only driver check; recall
+    >= 0.9 and exact-rank-1 on the planted-neighbor fixture are
+    pytest-pinned."""
+    import ray
+
+    qids, qmat = _load_queries(sf_dir)
+    if len(qids) == 0:
+        return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "vec_id": pd.Series([], dtype="int64"),
+                             "adc_score": pd.Series([], dtype="float64")})
+    sample = _sampled_unit_vectors(sf_dir, max(IVF_SAMPLE, PQ_SAMPLE))
+    C = _ivf_centroids(sf_dir, vn=sample[:IVF_SAMPLE])
+    books = _pq_codebooks(sf_dir, vn=sample[:PQ_SAMPLE])
+    dim = qmat.shape[1]
+    splits = np.array_split(np.arange(dim), PQ_M)
+    lut = np.stack([
+        np.stack([books[m, :, :len(cols)] @ q[cols]
+                  for m, cols in enumerate(splits)])
+        for q in qmat])
+    qcells = np.argsort(-(qmat @ C.T), axis=1)[:, :min(IVFPQ_NPROBE, len(C))]
+    refs = ray.put((qids, lut, qcells, C, books))
+
+    def encode_cells(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                                 "cell": pd.Series([], dtype="int64"),
+                                 "code": pd.Series([], dtype=object)})
+        _, _, _, cen, bks = ray.get(refs)
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = 1.0
+        vn = v / nv[:, None]
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "cell": np.argmax(vn @ cen.T, axis=1).astype(np.int64),
+            "code": list(_pq_encode(vn, bks).astype(np.int64))})
+
+    codes_ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "embedding"]) \
+        .map_batches(encode_cells, batch_format="pandas")
+
+    def adc_probe_topk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
+                              "vec_id": pd.Series([], dtype="int64"),
+                              "sim": pd.Series([], dtype="float64")})
+        if df.empty:
+            return empty
+        ids_q, tables, probe, _, _ = ray.get(refs)
+        codes = np.array(df["code"].to_list(), dtype=np.int64)
+        cells = df["cell"].to_numpy(np.int64)
+        vids = df["vec_id"].to_numpy(np.int64)
+        marange = np.arange(PQ_M)
+        out = []
+        for j, qid in enumerate(ids_q):
+            mask = np.isin(cells, probe[j]) & (vids != qid)
+            if not mask.any():
+                continue
+            sims = tables[j][marange[:, None], codes[mask].T].sum(axis=0)
+            bids = vids[mask]
+            take = min(TOP_K, len(sims))
+            top = np.lexsort((bids, -sims))[:take]
+            out.append(pd.DataFrame({"query_id": qid, "vec_id": bids[top],
+                                     "sim": sims[top]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    def reduce_topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["sim", "vec_id"],
+                            ascending=[False, True]).head(TOP_K)
+        df = df.assign(rank=np.arange(1, len(df) + 1, dtype=np.int64),
+                       adc_score=np.round(df["sim"].to_numpy(), 6))
+        return df[["query_id", "rank", "vec_id", "adc_score"]]
+
+    return (codes_ds.map_batches(adc_probe_topk, batch_format="pandas")
             .groupby("query_id").map_groups(reduce_topk,
                                             batch_format="pandas"))

@@ -270,3 +270,22 @@ def test_pq_codes_numpy_parity_and_determinism(ray_session, neighbor_dir):
         .sort_values("vec_id").reset_index(drop=True)
     assert (np.array(again["code"].to_list(), np.int64)
             == got_codes).all()
+
+
+def test_ann_ivfpq_recall(ray_session, neighbor_dir):
+    """Composed IVF-PQ (probe 4 of 16 cells, score by PQ-ADC over codes)
+    recall vs brute force >= 0.9 on the planted-neighbor fixture; the
+    closest planted neighbor is rank-1 (deterministic seeds)."""
+    from p_id_text_extraction_ray.pipelines.similarity import (
+        ann_ivfpq_topk, ann_topk_bruteforce)
+    brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
+    got = ann_ivfpq_topk(neighbor_dir).to_pandas()
+    hits = total = 0
+    for q in range(4):
+        bset = set(brute[brute["query_id"] == q]["vec_id"])
+        gset = set(got[got["query_id"] == q]["vec_id"])
+        hits += len(bset & gset)
+        total += len(bset)
+        g1 = got[(got["query_id"] == q) & (got["rank"] == 1)]["vec_id"].iloc[0]
+        assert g1 == 100 + 5 * q
+    assert hits / total >= 0.9
