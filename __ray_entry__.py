@@ -65,9 +65,68 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- interleaved: curation / dedup / webfilter / corpusstats /
-        # graph / textstats first, so the driver's 50-query sample
-        # exercises every family (round-3 verdict item #3)
+        # --- round-5 rotation: the 56 queries that had never received a
+        # driver CORRECTNESS row in rounds 1-4 come first, so the
+        # driver's 50-query sample finally covers them (VERDICT r4 #1).
+        "semdedup_prune": S.semdedup_prune,
+        "html_main_content": _html_main_content,
+        "fix_text_encoding": _fix_text_encoding,
+        "knn_label_propagation": S.knn_label_propagation,
+        "ann_ivf_topk": S.ann_ivf_topk,
+        "quality_rank_fusion": T.quality_rank_fusion,
+        "media_ahash_index": MD.media_ahash_index,
+        "media_near_dup_pairs": MD.media_near_dup_pairs,
+        "curate_web_corpus": _curate_web_corpus,
+        "curate_web_checkpointed": WF.curate_web_checkpointed,
+        "pid_pdf_ingest": pid_pdf_ingest,
+        "pid_pdf_ocr": pid_pdf_ocr,
+        "embedding_label_centroids": S.embedding_label_centroids,
+        "hard_negatives_topk": S.hard_negatives_topk,
+        "embedding_pca_project": S.embedding_pca_project,
+        "embedding_quantize_int8": S.embedding_quantize_int8,
+        "embedding_kmeans_clusters": S.embedding_kmeans_clusters,
+        "chi2_term_source": PF.chi2_term_source,
+        "heavy_hitter_tokens": K.heavy_hitter_tokens,
+        "chunk_documents": CH.chunk_documents,
+        "vocab_oov_rate": CH.vocab_oov_rate,
+        "fuzzy_token_pairs": F.fuzzy_token_pairs,
+        "strip_boilerplate_ngrams": F.strip_boilerplate_ngrams,
+        "source_vocab_overlap": C.source_vocab_overlap,
+        "source_kl_divergence": C.source_kl_divergence,
+        "sample_mix": T.sample_mix,
+        "top_bigrams": T.top_bigrams,
+        "retention_cohorts": AX.retention_cohorts,
+        "doc_length_median_by_lang": T.doc_length_median_by_lang,
+        "doc_length_mad_by_lang": T.doc_length_mad_by_lang,
+        "doc_length_quantiles": T.doc_length_quantiles,
+        "price_quantity_regression": AX.price_quantity_regression,
+        "stratified_sample_by_source": SP.stratified_sample_by_source,
+        "events_window_dedup": SP.events_window_dedup,
+        "doc_ntile_by_lang": RK.doc_ntile_by_lang,
+        "brand_revenue_rank": RK.brand_revenue_rank,
+        "events_hourly_gapfill": AX.events_hourly_gapfill,
+        "profile_lineitem": PF.profile_lineitem,
+        "audit_lineitem": PF.audit_lineitem,
+        "events_running_records": SC.events_running_records,
+        "weighted_sample_docs": SP.weighted_sample_docs,
+        "doc_compression_ratio": T.doc_compression_ratio,
+        "events_error_followups": TM.events_error_followups,
+        "event_transition_matrix": TM.event_transition_matrix,
+        "user_decayed_value": TM.user_decayed_value,
+        "events_trailing_window": TM.events_trailing_window,
+        "user_activity_streaks": TM.user_activity_streaks,
+        "events_value_percentile": RK.events_value_percentile,
+        "lineitem_corr_matrix": PF.lineitem_corr_matrix,
+        "user_mode_event_type": AX.user_mode_event_type,
+        "discount_quantity_spearman": AX.discount_quantity_spearman,
+        # positions 51-56: rows-only sketch/media ops with strong pytest
+        # coverage — the least loss if the 50-sample cuts here.
+        "cms_user_event_counts": K.cms_user_event_counts,
+        "approx_distinct_users": K.approx_distinct_users,
+        "approx_length_quantiles": K.approx_length_quantiles,
+        "audio_features": AV.audio_features,
+        "video_frame_sample": AV.video_frame_sample,
+        # --- previously driver-verified families below (r01-r04 green)
         "dedup_paragraphs": C.dedup_paragraphs,
         "curate_web_pipeline": WF.curate_web_pipeline,
         "dsir_importance_weights": CS.dsir_importance_weights,
@@ -118,24 +177,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": RT.bm25_search,
         "token_cooccurrence": RT.token_cooccurrence,
         "ann_topk_bruteforce": S.ann_topk_bruteforce,
-        "knn_label_propagation": S.knn_label_propagation,
-        "embedding_label_centroids": S.embedding_label_centroids,
-        "hard_negatives_topk": S.hard_negatives_topk,
-        "chi2_term_source": PF.chi2_term_source,
-        "heavy_hitter_tokens": K.heavy_hitter_tokens,
-        "chunk_documents": CH.chunk_documents,
-        "vocab_oov_rate": CH.vocab_oov_rate,
-        "fuzzy_token_pairs": F.fuzzy_token_pairs,
-        "strip_boilerplate_ngrams": F.strip_boilerplate_ngrams,
-        "source_vocab_overlap": C.source_vocab_overlap,
-        "source_kl_divergence": C.source_kl_divergence,
         "doc_token_stats": T.doc_token_stats,
         "lang_id_pred": T.lang_id_pred,
         "tag_extract": T.tag_extract,
         "quality_filter_docs": T.quality_filter_docs,
-        "quality_rank_fusion": T.quality_rank_fusion,
-        "sample_mix": T.sample_mix,
-        "top_bigrams": T.top_bigrams,
         # --- relational / analytics / windows / sketches / flagship
         "q1_pricing_summary": R.q1_pricing_summary,
         "q3_shipping_priority": R.q3_shipping_priority,
@@ -188,58 +233,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_latency": AX.funnel_latency,
         "segment_priority_rollup": AX.segment_priority_rollup,
         "segment_status_cube": AX.segment_status_cube,
-        "retention_cohorts": AX.retention_cohorts,
-        "doc_length_median_by_lang": T.doc_length_median_by_lang,
-        "doc_length_mad_by_lang": T.doc_length_mad_by_lang,
-        "cms_user_event_counts": K.cms_user_event_counts,
-        "approx_distinct_users": K.approx_distinct_users,
-        "approx_length_quantiles": K.approx_length_quantiles,
         "dedup_minhash_lsh": D.dedup_minhash_lsh,
         "dedup_simhash": D.dedup_simhash,
         "ann_lsh_topk": S.ann_lsh_topk,
-        "ann_ivf_topk": S.ann_ivf_topk,
-        "embedding_pca_project": S.embedding_pca_project,
-        "embedding_quantize_int8": S.embedding_quantize_int8,
-        "embedding_kmeans_clusters": S.embedding_kmeans_clusters,
-        "semdedup_prune": S.semdedup_prune,
         "doc_fingerprints": T.doc_fingerprints,
-        "doc_length_quantiles": T.doc_length_quantiles,
         "text_clean": T.text_clean,
         "split_train_holdout": T.split_train_holdout,
-        "price_quantity_regression": AX.price_quantity_regression,
-        "stratified_sample_by_source": SP.stratified_sample_by_source,
-        "events_window_dedup": SP.events_window_dedup,
-        "doc_ntile_by_lang": RK.doc_ntile_by_lang,
-        "brand_revenue_rank": RK.brand_revenue_rank,
-        "events_hourly_gapfill": AX.events_hourly_gapfill,
-        "profile_lineitem": PF.profile_lineitem,
-        "audit_lineitem": PF.audit_lineitem,
-        "events_running_records": SC.events_running_records,
-        "weighted_sample_docs": SP.weighted_sample_docs,
-        "doc_compression_ratio": T.doc_compression_ratio,
-        "events_error_followups": TM.events_error_followups,
-        "event_transition_matrix": TM.event_transition_matrix,
-        "user_decayed_value": TM.user_decayed_value,
-        "events_trailing_window": TM.events_trailing_window,
-        "user_activity_streaks": TM.user_activity_streaks,
-        "events_value_percentile": RK.events_value_percentile,
-        "lineitem_corr_matrix": PF.lineitem_corr_matrix,
-        "user_mode_event_type": AX.user_mode_event_type,
-        "discount_quantity_spearman": AX.discount_quantity_spearman,
         "pid_extract": pid_extract,
-        "pid_pdf_ingest": pid_pdf_ingest,
-        "pid_pdf_ocr": pid_pdf_ocr,
-        "html_main_content": _html_main_content,
-        "fix_text_encoding": _fix_text_encoding,
-        "curate_web_corpus": _curate_web_corpus,
         "pid_extract_pdf_points": pid_extract_pdf_points,
         "pid_grouping_stats": pid_grouping_stats,
-        "media_ahash_index": MD.media_ahash_index,
-        "media_near_dup_pairs": MD.media_near_dup_pairs,
         "media_resize": media_resize,
-        "audio_features": AV.audio_features,
-        "video_frame_sample": AV.video_frame_sample,
-        "curate_web_checkpointed": WF.curate_web_checkpointed,
     }
 
 

@@ -808,7 +808,18 @@ def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
     near-equidistant — the regime where bucketed ANN genuinely cannot
     work and a recall gate tells you so (that is its job). On the
     planted-neighbor fixture both paths measure ≥ 0.9."""
-    exact = ann_topk_bruteforce(sf_dir).to_pandas()
+    def _as_pandas(res) -> pd.DataFrame:
+        # ANN ops return a Dataset normally but a schema-typed pandas
+        # frame on the empty-corpus path (ADVICE r4)
+        return res if isinstance(res, pd.DataFrame) else res.to_pandas()
+
+    exact = _as_pandas(ann_topk_bruteforce(sf_dir))
+    if exact.empty:
+        # empty corpus: a 0-row Dataset drops its columns in to_pandas,
+        # so bail out before touching them
+        return pd.DataFrame({"method": pd.Series([], dtype=object),
+                             "n_queries": pd.Series([], dtype="int64"),
+                             "recall_at_k": pd.Series([], dtype="float64")})
     truth = set(zip(exact["query_id"].to_numpy(),
                     exact["vec_id"].to_numpy()))
     n_queries = int(exact["query_id"].nunique())
@@ -816,7 +827,7 @@ def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
     for method, fn in (("bruteforce", ann_topk_bruteforce),
                        ("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
                        ("pq", ann_pq_topk)):
-        got = fn(sf_dir).to_pandas()
+        got = _as_pandas(fn(sf_dir))
         hits = sum((q, v) in truth
                    for q, v in zip(got["query_id"].to_numpy(),
                                    got["vec_id"].to_numpy()))
@@ -955,6 +966,10 @@ def ann_pq_topk(sf_dir: str):
 
     qids, qmat = _load_queries(sf_dir)
     if len(qids) == 0:
+        # schema-typed pandas frame on the empty path: a 0-row Ray
+        # Dataset loses its columns through .to_pandas(), so the typed
+        # frame is the schema-stable choice; Dataset-expecting callers
+        # go through _as_pandas (ADVICE r4)
         return pd.DataFrame({"query_id": pd.Series([], dtype="int64"),
                              "rank": pd.Series([], dtype="int64"),
                              "vec_id": pd.Series([], dtype="int64"),

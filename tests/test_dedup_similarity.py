@@ -259,7 +259,11 @@ def test_pq_codes_numpy_parity_and_determinism(ray_session, neighbor_dir):
     got_codes = np.array(out["code"].to_list(), np.int64)
     for m, cols in enumerate(splits):
         C = books[m, :, :len(cols)]
-        d2 = ((vn[:, None, cols] - C[None]) ** 2).sum(axis=2)
+        # same expanded-form distance as _pq_encode (-2xC' + ||C||^2):
+        # the direct ((x-C)^2).sum form differs in the last ulp, which
+        # can flip a near-tie argmin on other BLAS builds (ADVICE r4)
+        sub = vn[:, cols]
+        d2 = -2.0 * (sub @ C.T) + (C * C).sum(axis=1)[None, :]
         want = np.argmin(d2, axis=1)
         assert (got_codes[:, m] == want).all()
     recon = np.concatenate([books[m, got_codes[:, m], :len(cols)]
