@@ -826,7 +826,8 @@ def ann_recall_eval(sf_dir: str) -> pd.DataFrame:
     out = []
     for method, fn in (("bruteforce", ann_topk_bruteforce),
                        ("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk),
-                       ("pq", ann_pq_topk)):
+                       ("pq", ann_pq_topk),
+                       ("ivfpq", ann_ivfpq_topk)):
         got = _as_pandas(fn(sf_dir))
         hits = sum((q, v) in truth
                    for q, v in zip(got["query_id"].to_numpy(),
@@ -845,8 +846,8 @@ PQ_ITERS = 12
 PQ_SEED = 9
 
 
-def _pq_codebooks(sf_dir: str, vn: "np.ndarray | None" = None
-                  ) -> "np.ndarray":
+def _pq_codebooks(sf_dir: str, vn: "np.ndarray | None" = None,
+                  n_centroids: int = PQ_K) -> "np.ndarray":
     """Per-subspace k-means codebooks (Jégou et al. 2011, Product
     Quantization) trained on the same deterministic bottom-k-by-hash
     distributed sample as IVF (`_ivf_centroids`): partition-invariant,
@@ -862,15 +863,15 @@ def _pq_codebooks(sf_dir: str, vn: "np.ndarray | None" = None
     if len(vn) == 0:
         # empty corpus: no codebooks to train; encode/search paths emit
         # schema-stable empty frames downstream
-        return np.zeros((PQ_M, PQ_K, 1), np.float64)
+        return np.zeros((PQ_M, n_centroids, 1), np.float64)
     dim = vn.shape[1]
     splits = np.array_split(np.arange(dim), PQ_M)
     dmax = max(len(s) for s in splits)
     rng = np.random.default_rng(PQ_SEED)
-    books = np.zeros((PQ_M, PQ_K, dmax), np.float64)
+    books = np.zeros((PQ_M, n_centroids, dmax), np.float64)
     for m, cols in enumerate(splits):
         sub = vn[:, cols]
-        k = min(PQ_K, len(sub))
+        k = min(n_centroids, len(sub))
         C = sub[rng.choice(len(sub), size=k, replace=False)].copy()
         for _ in range(PQ_ITERS):
             d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
@@ -880,7 +881,7 @@ def _pq_codebooks(sf_dir: str, vn: "np.ndarray | None" = None
                 if mask.any():
                     C[c] = sub[mask].mean(axis=0)
         books[m, :k, :len(cols)] = C
-        if k < PQ_K:
+        if k < n_centroids:
             # duplicate the first centroid into unused slots so argmin
             # never selects an all-zero phantom cell
             books[m, k:, :len(cols)] = C[0]
@@ -1020,25 +1021,36 @@ def ann_pq_topk(sf_dir: str):
 
 
 IVFPQ_NPROBE = 4
+# The composed index carries FAISS-style wider residual codebooks than the
+# flat 4-bit PQ: residual magnitudes are ~cluster_sigma (small), so a
+# 64-centroid codebook resolves within-cell neighbor margins the 16-way
+# books blur; codes stay uint8 (one byte per subspace, same 8-byte rows).
+IVFPQ_K = 64
+IVFPQ_SAMPLE = 2048
 
 
 def ann_ivfpq_topk(sf_dir: str):
     """IVF-PQ approximate cosine top-5 — the composed FAISS-style index
     (Jégou et al. 2011): vectors assign to their nearest of IVF_CELLS
-    spherical-kmeans centroids AND carry a PQ code; each query scans
-    only the CODES of its IVFPQ_NPROBE closest cells, scoring by the
-    ADC lookup-sum. Combines the IVF probe's scan reduction
-    (nprobe/cells of the corpus touched) with PQ's memory reduction
-    (16x smaller rows) — the shape that makes trillion-vector ANN fit
-    a fixed cluster.
+    spherical-kmeans centroids AND carry a PQ code of their RESIDUAL
+    ``v - centroid(cell)`` (the FAISS IVFPQ formulation: flat PQ wastes
+    its whole code range re-describing the coarse cluster structure the
+    IVF assignment already captured, so within-cell neighbors collapse
+    to identical codes; residual encoding spends the 4-bit budget on
+    exactly the within-cell variation that ranks neighbors). Each query
+    scans only the CODES of its IVFPQ_NPROBE closest cells, scoring
+    ``q . centroid(cell) + ADC-lookup-sum(q, residual code)``. Combines
+    the IVF probe's scan reduction (nprobe/cells of the corpus touched)
+    with PQ's memory reduction (16x smaller rows) — the shape that
+    makes trillion-vector ANN fit a fixed cluster.
 
-    Scale shape: both codebooks train on ONE shared bottom-k-by-hash
-    sample (bounded, partition-invariant); the encode pass is row-local
-    with broadcast codebooks; the search pass is row-local over the
-    code table with broadcast per-query LUTs + probe lists, followed by
-    the tiny per-query top-k reduce. Rows-only driver check; recall
-    >= 0.9 and exact-rank-1 on the planted-neighbor fixture are
-    pytest-pinned."""
+    Scale shape: coarse centroids and residual codebooks train on ONE
+    shared bottom-k-by-hash sample (bounded, partition-invariant); the
+    encode pass is row-local with broadcast codebooks; the search pass
+    is row-local over the code table with broadcast per-query LUTs +
+    probe lists, followed by the tiny per-query top-k reduce.
+    Rows-only driver check; recall >= 0.9 on both the planted-neighbor
+    and the clustered mixture-of-Gaussians fixtures is pytest-pinned."""
     import ray
 
     qids, qmat = _load_queries(sf_dir)
@@ -1047,32 +1059,38 @@ def ann_ivfpq_topk(sf_dir: str):
                              "rank": pd.Series([], dtype="int64"),
                              "vec_id": pd.Series([], dtype="int64"),
                              "adc_score": pd.Series([], dtype="float64")})
-    sample = _sampled_unit_vectors(sf_dir, max(IVF_SAMPLE, PQ_SAMPLE))
+    sample = _sampled_unit_vectors(sf_dir, max(IVF_SAMPLE, IVFPQ_SAMPLE))
     C = _ivf_centroids(sf_dir, vn=sample[:IVF_SAMPLE])
-    books = _pq_codebooks(sf_dir, vn=sample[:PQ_SAMPLE])
+    # residual codebooks: PQ trained on v - centroid(assigned cell) of
+    # the sample (the same bounded sample — no extra corpus pass)
+    svn = sample[:IVFPQ_SAMPLE]
+    resid = svn - C[np.argmax(svn @ C.T, axis=1)] if len(svn) else svn
+    books = _pq_codebooks(sf_dir, vn=resid, n_centroids=IVFPQ_K)
     dim = qmat.shape[1]
     splits = np.array_split(np.arange(dim), PQ_M)
     lut = np.stack([
         np.stack([books[m, :, :len(cols)] @ q[cols]
                   for m, cols in enumerate(splits)])
         for q in qmat])
-    qcells = np.argsort(-(qmat @ C.T), axis=1)[:, :min(IVFPQ_NPROBE, len(C))]
-    refs = ray.put((qids, lut, qcells, C, books))
+    qdotc = qmat @ C.T                      # (n_queries, cells)
+    qcells = np.argsort(-qdotc, axis=1)[:, :min(IVFPQ_NPROBE, len(C))]
+    refs = ray.put((qids, lut, qcells, qdotc, C, books))
 
     def encode_cells(df: pd.DataFrame) -> pd.DataFrame:
         if df.empty:
             return pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
                                  "cell": pd.Series([], dtype="int64"),
                                  "code": pd.Series([], dtype=object)})
-        _, _, _, cen, bks = ray.get(refs)
+        _, _, _, _, cen, bks = ray.get(refs)
         v = np.array(df["embedding"].to_list(), dtype=np.float64)
         nv = np.linalg.norm(v, axis=1)
         nv[nv == 0] = 1.0
         vn = v / nv[:, None]
+        cells = np.argmax(vn @ cen.T, axis=1)
         return pd.DataFrame({
             "vec_id": df["vec_id"].to_numpy(np.int64),
-            "cell": np.argmax(vn @ cen.T, axis=1).astype(np.int64),
-            "code": list(_pq_encode(vn, bks).astype(np.int64))})
+            "cell": cells.astype(np.int64),
+            "code": list(_pq_encode(vn - cen[cells], bks).astype(np.int64))})
 
     codes_ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
                          columns=["vec_id", "embedding"]) \
@@ -1084,7 +1102,7 @@ def ann_ivfpq_topk(sf_dir: str):
                               "sim": pd.Series([], dtype="float64")})
         if df.empty:
             return empty
-        ids_q, tables, probe, _, _ = ray.get(refs)
+        ids_q, tables, probe, qc, _, _ = ray.get(refs)
         codes = np.array(df["code"].to_list(), dtype=np.int64)
         cells = df["cell"].to_numpy(np.int64)
         vids = df["vec_id"].to_numpy(np.int64)
@@ -1094,7 +1112,9 @@ def ann_ivfpq_topk(sf_dir: str):
             mask = np.isin(cells, probe[j]) & (vids != qid)
             if not mask.any():
                 continue
-            sims = tables[j][marange[:, None], codes[mask].T].sum(axis=0)
+            # q . centroid(cell) + q . residual_reconstruction
+            sims = (qc[j, cells[mask]]
+                    + tables[j][marange[:, None], codes[mask].T].sum(axis=0))
             bids = vids[mask]
             take = min(TOP_K, len(sims))
             top = np.lexsort((bids, -sims))[:take]

@@ -277,9 +277,13 @@ def test_pq_codes_numpy_parity_and_determinism(ray_session, neighbor_dir):
 
 
 def test_ann_ivfpq_recall(ray_session, neighbor_dir):
-    """Composed IVF-PQ (probe 4 of 16 cells, score by PQ-ADC over codes)
+    """Composed IVF-PQ (probe 4 of 16 cells, residual-PQ ADC over codes)
     recall vs brute force >= 0.9 on the planted-neighbor fixture; the
-    closest planted neighbor is rank-1 (deterministic seeds)."""
+    rank-1 hit is one of the planted near-duplicates. (Exact rank-1
+    equality is NOT asserted: the five planted neighbors differ by
+    ~1e-4 cosine, below ADC resolution by design — the coarser flat-PQ
+    codes used to collapse them to a vec_id tiebreak, the finer
+    residual codes legitimately reorder within the set.)"""
     from p_id_text_extraction_ray.pipelines.similarity import (
         ann_ivfpq_topk, ann_topk_bruteforce)
     brute = ann_topk_bruteforce(neighbor_dir).to_pandas()
@@ -291,5 +295,5 @@ def test_ann_ivfpq_recall(ray_session, neighbor_dir):
         hits += len(bset & gset)
         total += len(bset)
         g1 = got[(got["query_id"] == q) & (got["rank"] == 1)]["vec_id"].iloc[0]
-        assert g1 == 100 + 5 * q
+        assert g1 in {100 + 5 * q + i for i in range(5)}
     assert hits / total >= 0.9
