@@ -263,14 +263,35 @@ class TemplateRecognizer(StubRecognizer):
         """Best reading across binarization levels: the Otsu cut first;
         if the match is borderline (blurred downsampled strokes close
         glyph counters — 8 reads as B), retry at a tighter and a looser
-        cut and keep the most confident reading."""
-        base = min(self.INK_THRESHOLD, _otsu(crop))
+        cut and keep the most confident reading.
+
+        Two scanned-sheet preprocessing steps (VERDICT r4 item 5):
+        min-max contrast stretch (a pure range expansion — identity on
+        full-range crops — so low-contrast scans put their two modes
+        where Otsu's clamp expects them), then polarity auto-detect
+        (ink must be the minority class; a light-on-dark blueprint
+        render binarizes to >50% 'ink', so invert and re-threshold)."""
+        lo, hi = int(crop.min()), int(crop.max())
+        if 0 < hi - lo < 250:
+            crop = ((crop.astype(np.float64) - lo) * (255.0 / (hi - lo))) \
+                .astype(np.uint8)
+        if np.median(crop) < 128:            # blueprint polarity: the
+            # median pixel is the background; ink is the minority class
+            crop = (255 - crop.astype(np.int16)).astype(np.uint8)
+        otsu_t = _otsu(crop)
+        base = min(self.INK_THRESHOLD, otsu_t)
         text, conf = self._read_at(crop, base)
         if conf < 0.85:
-            for scale in (0.8, 1.2):
-                t2, c2 = self._read_at(crop, int(base * scale))
+            # noise tails can defeat the min-max stretch, leaving the true
+            # ink mode above the INK_THRESHOLD cap — the uncapped Otsu cut
+            # joins the retry candidates
+            cands = [int(base * 0.8), int(base * 1.2)]
+            if otsu_t > base:
+                cands.append(otsu_t)
+            for t2 in cands:
+                tx2, c2 = self._read_at(crop, t2)
                 if c2 > conf:
-                    text, conf = t2, c2
+                    text, conf = tx2, c2
         return text, conf
 
     def _read_at(self, crop: np.ndarray,

@@ -157,6 +157,46 @@ def _noise(img, amt, seed):
                    + rng.normal(0, amt, img.shape), 0, 255).astype(np.uint8)
 
 
+def _persp(img, dx_top, dx_bot, dy_l=0.0, dy_r=0.0):
+    """Inverse-map bilinear perspective warp: the top edge shifts
+    ``dx_top`` px and the bottom ``dx_bot`` (trapezoid), plus a vertical
+    skew between the left/right edges — the photographed-sheet camera
+    tilt the reference's CRAFT tolerates."""
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    t = yy / max(1, h - 1)
+    s = xx / max(1, w - 1)
+    xs = xx + (1 - t) * dx_top + t * dx_bot
+    ys = yy + (1 - s) * dy_l + s * dy_r
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    x1 = np.clip(x0 + 1, 0, w - 1)
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    y1 = np.clip(y0 + 1, 0, h - 1)
+    fx = np.clip(xs - x0, 0, 1)
+    fy = np.clip(ys - y0, 0, 1)
+    f = img.astype(np.float64)
+    out = (f[y0, x0] * (1 - fx) * (1 - fy) + f[y0, x1] * fx * (1 - fy)
+           + f[y1, x0] * (1 - fx) * fy + f[y1, x1] * fx * fy)
+    out[(xs < 0) | (xs > w - 1) | (ys < 0) | (ys > h - 1)] = 255
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def _salt(img, frac, seed):
+    """Salt-and-pepper: flip ``frac`` of pixels to pure black/white."""
+    rng = np.random.default_rng(seed)
+    out = img.copy()
+    m = rng.random(img.shape)
+    out[m < frac / 2] = 0
+    out[(m >= frac / 2) & (m < frac)] = 255
+    return out
+
+
+def _lowc(img, lo, hi):
+    """Compress the full range into [lo, hi] — faded/low-contrast scan."""
+    return (lo + (img.astype(np.float64) / 255.0) * (hi - lo)) \
+        .astype(np.uint8)
+
+
 _DEGRADE = {
     "blur": _box3,
     "blur2x": lambda im: _box3(_box3(im)),
@@ -170,15 +210,32 @@ _DEGRADE = {
     "noise40": lambda im: _noise(im, 40, 2),
     "blur+noise20": lambda im: _noise(_box3(im), 20, 3),
     "rot-2+noise30": lambda im: _noise(_rot(im, -2), 30, 4),
+    # --- round-5 extension (VERDICT r4 item 5): perspective warp,
+    # gaussian+salt noise, low-contrast and inverted-polarity renders
+    "persp3": lambda im: _persp(im, -3, 3),
+    "persp6": lambda im: _persp(im, -6, 6),
+    "persp3+skew": lambda im: _persp(im, -3, 3, 2, -2),
+    "persp6+lowc": lambda im: _lowc(_persp(im, -6, 6), 100, 170),
+    "salt2%": lambda im: _salt(im, 0.02, 5),
+    "salt5%": lambda im: _salt(im, 0.05, 6),
+    "gauss30+salt2%": lambda im: _salt(_noise(im, 30, 7), 0.02, 8),
+    "lowc_110_160": lambda im: _lowc(im, 110, 160),
+    "lowc_110_160+g10": lambda im: _noise(_lowc(im, 110, 160), 10, 9),
+    "lowc_60_120": lambda im: _lowc(im, 60, 120),
+    "blueprint_inverted": lambda im: _lowc(255 - im, 40, 110),
+    "blueprint_inv+g10": lambda im: _noise(_lowc(255 - im, 40, 110),
+                                           10, 10),
 }
 
 
 def test_degraded_render_matrix_recovery(recognizer):
     """The photographed/scanned-sheet regime the reference's CRAFT
-    handles (VERDICT r3 item 5): anti-aliased, slightly rotated,
-    downscaled and noisy renders. Gate: >= 95% exact-tag recovery
-    over the full matrix (Otsu binarization + component despeckle +
-    shear-search deskew + multi-threshold retry)."""
+    handles (VERDICT r3 item 5 + r4 item 5): anti-aliased, slightly
+    rotated, downscaled, noisy, perspective-warped, salt-speckled,
+    low-contrast and polarity-inverted renders. Gate: >= 95% exact-tag
+    recovery over the full 24-case matrix (contrast stretch +
+    median-polarity inversion + Otsu binarization + component
+    despeckle + shear-search deskew + multi-threshold retry)."""
     tags = ["PV-2205", "FT-101", "LIC-5488", "TK-880", "HV-3021"]
     pages = {}
     for tag in tags:
