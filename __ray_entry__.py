@@ -44,11 +44,9 @@ from p_id_text_extraction_ray.pipelines import corpusstats as CS
 from p_id_text_extraction_ray.pipelines import webfilter as WF
 from p_id_text_extraction_ray.pipelines import qctrain as QC
 from p_id_text_extraction_ray.pipelines import rangeops as RO
-from p_id_text_extraction_ray.pipelines.flagship import (media_resize, pid_extract,
-                                                         pid_extract_pdf_points,
-                                                         pid_grouping_stats,
-                                                         pid_pdf_ingest,
-                                                         pid_pdf_ocr)
+from p_id_text_extraction_ray.pipelines.flagship import (
+    PID_EXTRACT_SPANS_SQL, media_resize, pid_extract, pid_extract_pdf_points,
+    pid_extract_spans_check, pid_grouping_stats, pid_pdf_ingest, pid_pdf_ocr)
 from p_id_text_extraction_ray.pipelines.webextract import \
     curate_web_corpus as _curate_web_corpus
 from p_id_text_extraction_ray.pipelines.webextract import \
@@ -68,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- round-5 rotation: the 56 queries that had never received a
         # driver CORRECTNESS row in rounds 1-4 come first, so the
         # driver's 50-query sample finally covers them (VERDICT r4 #1).
+        "pid_extract_spans_check": pid_extract_spans_check,
         "semdedup_prune": S.semdedup_prune,
         "html_main_content": _html_main_content,
         "fix_text_encoding": _fix_text_encoding,
@@ -248,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "pid_extract_spans_check": PID_EXTRACT_SPANS_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,
