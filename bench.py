@@ -155,7 +155,9 @@ def run_bench() -> dict:
                      "ann_recall_eval", "events_trimmed_mean",
                      "resample_temperature_mix", "embedding_pq_codes",
                      "ann_pq_topk", "decontaminate_fuzzy",
-                     "quality_rank_fusion", "ann_ivfpq_topk"):
+                     "quality_rank_fusion", "ann_ivfpq_topk",
+                     "pid_extract_spans_check", "unigram_tokenizer_train",
+                     "unigram_encode_stats"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):
