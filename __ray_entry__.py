@@ -45,6 +45,7 @@ from p_id_text_extraction_ray.pipelines import webfilter as WF
 from p_id_text_extraction_ray.pipelines import qctrain as QC
 from p_id_text_extraction_ray.pipelines import rangeops as RO
 from p_id_text_extraction_ray.pipelines import sptokenizer as SPT
+from p_id_text_extraction_ray.pipelines import cdcdedup as CDC
 from p_id_text_extraction_ray.pipelines.flagship import (
     PID_EXTRACT_SPANS_SQL, media_resize, pid_extract, pid_extract_pdf_points,
     pid_extract_spans_check, pid_grouping_stats, pid_pdf_ingest, pid_pdf_ocr)
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pid_extract_spans_check": pid_extract_spans_check,
         "unigram_tokenizer_train": SPT.unigram_tokenizer_train,
         "unigram_encode_stats": SPT.unigram_encode_stats,
+        "dedup_cdc_chunks": CDC.dedup_cdc_chunks,
         "semdedup_prune": S.semdedup_prune,
         "html_main_content": _html_main_content,
         "fix_text_encoding": _fix_text_encoding,

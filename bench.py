@@ -157,7 +157,7 @@ def run_bench() -> dict:
                      "ann_pq_topk", "decontaminate_fuzzy",
                      "quality_rank_fusion", "ann_ivfpq_topk",
                      "pid_extract_spans_check", "unigram_tokenizer_train",
-                     "unigram_encode_stats"):
+                     "unigram_encode_stats", "dedup_cdc_chunks"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):
