@@ -46,6 +46,7 @@ from p_id_text_extraction_ray.pipelines import qctrain as QC
 from p_id_text_extraction_ray.pipelines import rangeops as RO
 from p_id_text_extraction_ray.pipelines import sptokenizer as SPT
 from p_id_text_extraction_ray.pipelines import cdcdedup as CDC
+from p_id_text_extraction_ray.pipelines import corpusqa as CQ
 from p_id_text_extraction_ray.pipelines.flagship import (
     PID_EXTRACT_SPANS_SQL, media_resize, pid_extract, pid_extract_pdf_points,
     pid_extract_spans_check, pid_grouping_stats, pid_pdf_ingest, pid_pdf_ocr)
@@ -72,6 +73,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_tokenizer_train": SPT.unigram_tokenizer_train,
         "unigram_encode_stats": SPT.unigram_encode_stats,
         "dedup_cdc_chunks": CDC.dedup_cdc_chunks,
+        "lang_confusion_matrix": CQ.lang_confusion_matrix,
+        "ngram_diversity": CQ.ngram_diversity,
+        "zipf_slope": CQ.zipf_slope,
         "semdedup_prune": S.semdedup_prune,
         "html_main_content": _html_main_content,
         "fix_text_encoding": _fix_text_encoding,
@@ -253,6 +257,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pid_extract_spans_check": PID_EXTRACT_SPANS_SQL,
+        "lang_confusion_matrix": CQ.LANG_CONFUSION_SQL,
+        "ngram_diversity": CQ.NGRAM_DIVERSITY_SQL,
+        "zipf_slope": CQ.ZIPF_SLOPE_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,

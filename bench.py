@@ -157,7 +157,9 @@ def run_bench() -> dict:
                      "ann_pq_topk", "decontaminate_fuzzy",
                      "quality_rank_fusion", "ann_ivfpq_topk",
                      "pid_extract_spans_check", "unigram_tokenizer_train",
-                     "unigram_encode_stats", "dedup_cdc_chunks"):
+                     "unigram_encode_stats", "dedup_cdc_chunks",
+                     "lang_confusion_matrix", "ngram_diversity",
+                     "zipf_slope"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):
