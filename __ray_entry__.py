@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_tokenizer_train": SPT.unigram_tokenizer_train,
         "unigram_encode_stats": SPT.unigram_encode_stats,
         "dedup_cdc_chunks": CDC.dedup_cdc_chunks,
+        "embedding_opq_codes": S.embedding_opq_codes,
+        "ann_opq_topk": S.ann_opq_topk,
         "lang_confusion_matrix": CQ.lang_confusion_matrix,
         "ngram_diversity": CQ.ngram_diversity,
         "zipf_slope": CQ.zipf_slope,
