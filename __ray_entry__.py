@@ -47,6 +47,7 @@ from p_id_text_extraction_ray.pipelines import rangeops as RO
 from p_id_text_extraction_ray.pipelines import sptokenizer as SPT
 from p_id_text_extraction_ray.pipelines import cdcdedup as CDC
 from p_id_text_extraction_ray.pipelines import corpusqa as CQ
+from p_id_text_extraction_ray.pipelines import basket as BK
 from p_id_text_extraction_ray.pipelines.flagship import (
     PID_EXTRACT_SPANS_SQL, media_resize, pid_extract, pid_extract_pdf_points,
     pid_extract_spans_check, pid_grouping_stats, pid_pdf_ingest, pid_pdf_ocr)
@@ -78,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_confusion_matrix": CQ.lang_confusion_matrix,
         "ngram_diversity": CQ.ngram_diversity,
         "zipf_slope": CQ.zipf_slope,
+        "order_basket_rules": BK.order_basket_rules,
         "semdedup_prune": S.semdedup_prune,
         "html_main_content": _html_main_content,
         "fix_text_encoding": _fix_text_encoding,
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion_matrix": CQ.LANG_CONFUSION_SQL,
         "ngram_diversity": CQ.NGRAM_DIVERSITY_SQL,
         "zipf_slope": CQ.ZIPF_SLOPE_SQL,
+        "order_basket_rules": BK.ORDER_BASKET_RULES_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,
         "q5_local_supplier_volume": R.Q5_SQL,

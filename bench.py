@@ -159,7 +159,8 @@ def run_bench() -> dict:
                      "pid_extract_spans_check", "unigram_tokenizer_train",
                      "unigram_encode_stats", "dedup_cdc_chunks",
                      "lang_confusion_matrix", "ngram_diversity",
-                     "zipf_slope", "embedding_opq_codes", "ann_opq_topk"):
+                     "zipf_slope", "embedding_opq_codes", "ann_opq_topk",
+                     "order_basket_rules"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

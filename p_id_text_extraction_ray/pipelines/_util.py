@@ -178,3 +178,12 @@ def cents(values: np.ndarray | pd.Series) -> np.ndarray:
     never near .5). Exact integer sums make money aggregates independent of
     summation order — bit-identical between Ray and the DuckDB oracle."""
     return np.rint(np.asarray(values, dtype=np.float64) * 100).astype(np.int64)
+
+
+def round_sql(x, ndigits: int = 6):
+    """DuckDB-compatible rounding for non-negative doubles: round half
+    AWAY from zero (np.round is banker's/half-even, which flips exact
+    .5-boundary values like 2.3015625 the other way than the SQL
+    oracle)."""
+    scale = 10.0 ** ndigits
+    return np.floor(np.asarray(x, dtype=np.float64) * scale + 0.5) / scale
