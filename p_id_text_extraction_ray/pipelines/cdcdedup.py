@@ -139,8 +139,13 @@ def dedup_cdc_chunks(sf_dir: str):
                              "h": np.array(hs, np.int64),
                              "nb": np.array(ln, np.int64)})
 
+    # 3 int64 cols per chunk, consumed twice (distinct-doc count + the
+    # verdict join) hence materialized: chunking is the expensive pass,
+    # the hash table is 24 B/chunk and SPILLS if it outgrows the store;
+    # a 100-TB run would point this at a parquet checkpoint instead
+    # (the `curate_web_checkpointed` pattern) — same plan either way.
     chunks = docs.map_batches(chunk_rows, batch_format="pandas") \
-        .materialize()                     # 3 int64 cols per chunk
+        .materialize()
 
     # distinct docs per chunk hash (exact: all rows of a hash share a
     # bucket after the shuffle; per-batch pre-dedup bounds the rows)

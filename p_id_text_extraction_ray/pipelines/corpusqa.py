@@ -101,8 +101,12 @@ def ngram_diversity(sf_dir: str):
     Scale shape: per batch, trigram totals collapse to one count per
     source AND (source, gram) pairs pre-dedupe before the shuffle; one
     bucketed shuffle keyed on the gram then dedupes globally and emits
-    per-source distinct partials; both reduce to |sources|-row
-    tables."""
+    per-source distinct partials; both reduce to |sources|-row tables.
+    The shuffle carries 8-byte gram HASHES, never gram text (the
+    `dedup_substring` stance: blake2b-64 collisions are negligible at
+    any corpus size, and the distinct count over hashes equals the
+    oracle's distinct count over strings absent a collision)."""
+    from ..functions.hashing import stable_hash64
     from ._util import bucketed_group_sum
 
     n = NGRAM_DIVERSITY_N
@@ -125,13 +129,13 @@ def ngram_diversity(sf_dir: str):
         "source", ["n_grams"]).to_pandas()
 
     def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        seen: set[tuple[str, str]] = set()
+        seen: set[tuple[str, int]] = set()
         for src, text in zip(df["source"], df["text"]):
             for g in grams_of(text):
-                seen.add((src, g))
+                seen.add((src, stable_hash64(g) - (1 << 63)))
         return pd.DataFrame({
             "source": pd.Series([p[0] for p in seen], dtype=object),
-            "g": pd.Series([p[1] for p in seen], dtype=object)})
+            "g": np.fromiter((p[1] for p in seen), np.int64, len(seen))})
 
     def distinct_partial(df: pd.DataFrame) -> pd.DataFrame:
         d = df.drop_duplicates(["source", "g"])

@@ -231,12 +231,13 @@ def unigram_tokenizer_train(sf_dir: str,
 
     seed_sum = bucketed_group_sum(
         words.map_batches(seed_partials, batch_format="pandas"),
-        "p", ["n"])
-    chars_df = seed_sum.filter(
-        lambda row: len(row["p"]) == 1).to_pandas()    # alphabet-sized
-    multi = (seed_sum.filter(lambda row: len(row["p"]) > 1)
-             .map_batches(lambda df: df.sort_values(
-                 ["n", "p"], ascending=[False, True])
+        "p", ["n"]).materialize()
+    chars_df = seed_sum.map_batches(
+        lambda df: df[df["p"].str.len() == 1],
+        batch_format="pandas").to_pandas()             # alphabet-sized
+    multi = (seed_sum.map_batches(
+                 lambda df: df[df["p"].str.len() > 1].sort_values(
+                     ["n", "p"], ascending=[False, True])
                  .head(UNIGRAM_SEED_CAP), batch_format="pandas")
              .sort(["n", "p"], descending=[True, False])
              .limit(max(0, UNIGRAM_SEED_CAP - len(chars_df)))
