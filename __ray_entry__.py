@@ -49,8 +49,9 @@ from p_id_text_extraction_ray.pipelines import cdcdedup as CDC
 from p_id_text_extraction_ray.pipelines import corpusqa as CQ
 from p_id_text_extraction_ray.pipelines import basket as BK
 from p_id_text_extraction_ray.pipelines.flagship import (
-    PID_EXTRACT_SPANS_SQL, media_resize, pid_extract, pid_extract_pdf_points,
-    pid_extract_spans_check, pid_grouping_stats, pid_pdf_ingest, pid_pdf_ocr)
+    PID_EXTRACT_SPANS_SQL, PID_TRAINING_TEXT_SQL, media_resize, pid_extract,
+    pid_extract_pdf_points, pid_extract_spans_check, pid_grouping_stats,
+    pid_pdf_ingest, pid_pdf_ocr, pid_training_text)
 from p_id_text_extraction_ray.pipelines.webextract import \
     curate_web_corpus as _curate_web_corpus
 from p_id_text_extraction_ray.pipelines.webextract import \
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver CORRECTNESS row in rounds 1-4 come first, so the
         # driver's 50-query sample finally covers them (VERDICT r4 #1).
         "pid_extract_spans_check": pid_extract_spans_check,
+        "pid_training_text": pid_training_text,
         "unigram_tokenizer_train": SPT.unigram_tokenizer_train,
         "unigram_encode_stats": SPT.unigram_encode_stats,
         "dedup_cdc_chunks": CDC.dedup_cdc_chunks,
@@ -261,6 +263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "pid_extract_spans_check": PID_EXTRACT_SPANS_SQL,
+        "pid_training_text": PID_TRAINING_TEXT_SQL,
         "lang_confusion_matrix": CQ.LANG_CONFUSION_SQL,
         "ngram_diversity": CQ.NGRAM_DIVERSITY_SQL,
         "zipf_slope": CQ.ZIPF_SLOPE_SQL,

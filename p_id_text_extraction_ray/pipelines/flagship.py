@@ -169,6 +169,45 @@ def pid_extract_spans_check(sf_dir: str):
         ["doc_id", "seq", "kind", "text", "media_ref", "offset"])
 
 
+PID_TRAINING_TEXT_SQL = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+       string_agg(CASE WHEN kind = 'text' THEN text
+                       ELSE '<' || kind || '>' || text END,
+                  ' ' ORDER BY seq) AS train_text
+FROM read_parquet('{GOLDEN_SPANS_PATH}')
+WHERE corpus_n = (SELECT count(*) FROM documents)
+  AND corpus_len = (SELECT sum(length(text)) FROM documents)
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def pid_training_text(sf_dir: str):
+    """(doc_id, n_spans, train_text) — the extraction output flattened
+    into one LLM-training string per document: spans joined in seq
+    order, non-text spans (tags / recognized image text) wrapped in
+    '<kind>' markers. This is the END USE of the whole engine — the
+    interleaved-document corpus rendered into trainable text — and it
+    is value-hash-checked against the committed golden span table
+    (same oracle mechanism as ``pid_extract_spans_check``).
+
+    Scale shape: one extraction run plus a doc-keyed groupby whose
+    groups are span-sequence-sized; the concat is per-group local."""
+    _ensure_committed_golden(sf_dir)
+
+    def to_text(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("seq")
+        parts = [t if k == "text" else f"<{k}>{t}"
+                 for k, t in zip(df["kind"], df["text"])]
+        return pd.DataFrame({
+            "doc_id": [df["doc_id"].iloc[0]],
+            "n_spans": np.array([len(df)], np.int64),
+            "train_text": [" ".join(parts)]})
+
+    return pid_extract(sf_dir) \
+        .select_columns(["doc_id", "seq", "kind", "text"]) \
+        .groupby("doc_id").map_groups(to_text, batch_format="pandas")
+
+
 def pid_extract_pdf_points(sf_dir: str):
     """Extraction output with pixel->PDF-point bbox columns (M11/S9 parity:
     ``/root/reference/src/convert_coord.py:17-23``, 72/dpi scale, 4 dp)."""
