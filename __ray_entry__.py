@@ -68,20 +68,16 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
-        # --- round-5 rotation: the 56 queries that had never received a
-        # driver CORRECTNESS row in rounds 1-4 come first, so the
-        # driver's 50-query sample finally covers them (VERDICT r4 #1).
+        # --- round-5 rotation (VERDICT r4 #1): 5 new oracle-backed ops
+        # lead, then the 56 queries that had never received a driver
+        # CORRECTNESS row in rounds 1-4 — the 50-query sample covers
+        # the 5 new + 45 of the 56; the remaining new ops sit directly
+        # after the 56-block.
         "pid_extract_spans_check": pid_extract_spans_check,
         "pid_training_text": pid_training_text,
-        "unigram_tokenizer_train": SPT.unigram_tokenizer_train,
-        "unigram_encode_stats": SPT.unigram_encode_stats,
-        "dedup_cdc_chunks": CDC.dedup_cdc_chunks,
-        "embedding_opq_codes": S.embedding_opq_codes,
-        "ann_opq_topk": S.ann_opq_topk,
-        "lang_confusion_matrix": CQ.lang_confusion_matrix,
+        "order_basket_rules": BK.order_basket_rules,
         "ngram_diversity": CQ.ngram_diversity,
         "zipf_slope": CQ.zipf_slope,
-        "order_basket_rules": BK.order_basket_rules,
         "semdedup_prune": S.semdedup_prune,
         "html_main_content": _html_main_content,
         "fix_text_encoding": _fix_text_encoding,
@@ -140,6 +136,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_length_quantiles": K.approx_length_quantiles,
         "audio_features": AV.audio_features,
         "video_frame_sample": AV.video_frame_sample,
+        # --- remaining round-5 additions (pytest-pinned rows-only /
+        # oracle-backed, directly after the rotation block)
+        "unigram_tokenizer_train": SPT.unigram_tokenizer_train,
+        "unigram_encode_stats": SPT.unigram_encode_stats,
+        "dedup_cdc_chunks": CDC.dedup_cdc_chunks,
+        "embedding_opq_codes": S.embedding_opq_codes,
+        "ann_opq_topk": S.ann_opq_topk,
+        "lang_confusion_matrix": CQ.lang_confusion_matrix,
         # --- previously driver-verified families below (r01-r04 green)
         "dedup_paragraphs": C.dedup_paragraphs,
         "curate_web_pipeline": WF.curate_web_pipeline,
