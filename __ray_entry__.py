@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_opq_codes": S.embedding_opq_codes,
         "ann_opq_topk": S.ann_opq_topk,
         "lang_confusion_matrix": CQ.lang_confusion_matrix,
+        "token_burstiness": CQ.token_burstiness,
         # --- previously driver-verified families below (r01-r04 green)
         "dedup_paragraphs": C.dedup_paragraphs,
         "curate_web_pipeline": WF.curate_web_pipeline,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion_matrix": CQ.LANG_CONFUSION_SQL,
         "ngram_diversity": CQ.NGRAM_DIVERSITY_SQL,
         "zipf_slope": CQ.ZIPF_SLOPE_SQL,
+        "token_burstiness": CQ.TOKEN_BURSTINESS_SQL,
         "order_basket_rules": BK.ORDER_BASKET_RULES_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,

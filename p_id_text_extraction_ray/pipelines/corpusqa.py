@@ -250,6 +250,109 @@ def zipf_slope(sf_dir: str):
         .reset_index(drop=True)
 
 
+# ------------------------------------------------ token burstiness
+
+BURST_TOP_K = 50
+
+
+def token_burstiness(sf_dir: str):
+    """(tok, n_docs_with, total_c, burstiness) for the corpus's
+    top-{BURST_TOP_K} tokens by total count: burstiness = the
+    variance-to-mean ratio (index of dispersion) of the token's
+    per-document count, zeros included — ~1 for Poisson-scattered
+    function words, >> 1 for topical/bursty terms (Church & Gale 1995).
+    The dispersion audit that separates glue vocabulary from content
+    vocabulary when building stopword lists or quality features.
+    6 dp; ordered by (total_c desc, tok).
+
+    Scale shape: one streaming pass emits per-(token) partials of
+    Σc and Σc² over the docs in each batch (zeros contribute nothing,
+    so only present-token pairs are counted) plus a doc-count partial;
+    a bucketed sum reduces to the token domain; the top-K cut happens
+    on per-block nlargest then a driver cut over blocks × K candidate
+    rows. Moments are exact integers; the division happens once at the
+    end."""
+    from ._util import bucketed_group_sum, round_sql
+
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        s: dict[str, int] = {}
+        s2: dict[str, int] = {}
+        nd: dict[str, int] = {}
+        for text in df["text"]:
+            cnt: dict[str, int] = {}
+            for w in text.split():
+                cnt[w] = cnt.get(w, 0) + 1
+            for w, c in cnt.items():
+                s[w] = s.get(w, 0) + c
+                s2[w] = s2.get(w, 0) + c * c
+                nd[w] = nd.get(w, 0) + 1
+        ks = list(s)
+        out = pd.DataFrame({
+            "tok": pd.Series(ks, dtype=object),
+            "c": np.fromiter((s[k] for k in ks), np.int64, len(ks)),
+            "c2": np.fromiter((s2[k] for k in ks), np.int64, len(ks)),
+            "nd": np.fromiter((nd[k] for k in ks), np.int64, len(ks))})
+        # one marker row per batch carries the doc count
+        return pd.concat([out, pd.DataFrame({
+            "tok": [""], "c": np.array([len(df)], np.int64),
+            "c2": np.zeros(1, np.int64), "nd": np.zeros(1, np.int64)})],
+            ignore_index=True)
+
+    agg = bucketed_group_sum(
+        _docs(sf_dir, ("text",)).map_batches(partials,
+                                             batch_format="pandas"),
+        "tok", ["c", "c2", "nd"])
+    part = agg.map_batches(
+        lambda df: pd.concat([df[df["tok"] == ""],
+                              df[df["tok"] != ""].nlargest(BURST_TOP_K,
+                                                           "c")]),
+        batch_format="pandas").to_pandas()
+    if "tok" not in part.columns or part.empty:
+        return pd.DataFrame({"tok": pd.Series([], dtype=object),
+                             "n_docs_with": pd.Series([], dtype=np.int64),
+                             "total_c": pd.Series([], dtype=np.int64),
+                             "burstiness": pd.Series([], dtype=np.float64)})
+    n_docs = int(part.loc[part["tok"] == "", "c"].sum())
+    top = part[part["tok"] != ""] \
+        .sort_values(["c", "tok"], ascending=[False, True],
+                     kind="mergesort").head(BURST_TOP_K)
+    c = top["c"].to_numpy(np.int64)
+    c2 = top["c2"].to_numpy(np.int64)
+    mean = c / n_docs
+    var = c2 / n_docs - mean * mean
+    return pd.DataFrame({
+        "tok": top["tok"].to_numpy(),
+        "n_docs_with": top["nd"].to_numpy(np.int64),
+        "total_c": c,
+        "burstiness": round_sql(var / mean)}).reset_index(drop=True)
+
+
+TOKEN_BURSTINESS_SQL = rf"""
+WITH dc AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok
+  FROM documents),
+per AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM dc GROUP BY doc_id, tok),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+tot AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_docs_with,
+         CAST(sum(c) AS BIGINT) AS total_c,
+         CAST(sum(c * c) AS BIGINT) AS total_c2
+  FROM per GROUP BY tok),
+top AS (
+  SELECT * FROM tot
+  QUALIFY row_number() OVER (ORDER BY total_c DESC, tok)
+          <= {BURST_TOP_K})
+SELECT tok, n_docs_with, total_c,
+       round(((total_c2 * 1.0 / n.n_docs)
+              - (total_c * 1.0 / n.n_docs) * (total_c * 1.0 / n.n_docs))
+             / (total_c * 1.0 / n.n_docs), 6) AS burstiness
+FROM top CROSS JOIN n
+ORDER BY total_c DESC, tok
+"""
+
+
 ZIPF_SLOPE_SQL = rf"""
 WITH tok AS (
   SELECT source, unnest(regexp_extract_all(text, '\S+')) AS t
