@@ -145,6 +145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_opq_topk": S.ann_opq_topk,
         "lang_confusion_matrix": CQ.lang_confusion_matrix,
         "token_burstiness": CQ.token_burstiness,
+        "embedding_outlier_scores": S.embedding_outlier_scores,
         # --- previously driver-verified families below (r01-r04 green)
         "dedup_paragraphs": C.dedup_paragraphs,
         "curate_web_pipeline": WF.curate_web_pipeline,
@@ -273,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_diversity": CQ.NGRAM_DIVERSITY_SQL,
         "zipf_slope": CQ.ZIPF_SLOPE_SQL,
         "token_burstiness": CQ.TOKEN_BURSTINESS_SQL,
+        "embedding_outlier_scores": S.EMBEDDING_OUTLIER_SQL,
         "order_basket_rules": BK.ORDER_BASKET_RULES_SQL,
         "q1_pricing_summary": R.Q1_SQL,
         "q3_shipping_priority": R.Q3_SQL,

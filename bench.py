@@ -160,7 +160,8 @@ def run_bench() -> dict:
                      "unigram_encode_stats", "dedup_cdc_chunks",
                      "lang_confusion_matrix", "ngram_diversity",
                      "zipf_slope", "embedding_opq_codes", "ann_opq_topk",
-                     "order_basket_rules", "token_burstiness"):
+                     "order_basket_rules", "token_burstiness",
+                     "embedding_outlier_scores"):
             t0 = time.perf_counter()
             res = queries[name](sf_dir)
             if isinstance(res, ray.data.Dataset):

@@ -1311,3 +1311,90 @@ def ann_opq_topk(sf_dir: str):
     return (codes_ds.map_batches(adc_topk, batch_format="pandas")
             .groupby("query_id").map_groups(reduce_topk,
                                             batch_format="pandas"))
+
+
+# --------------------------------------------- embedding outlier audit
+
+OUTLIER_MAHA_FACTOR = 2.0     # flag when maha2 > factor * dim
+
+
+def embedding_outlier_scores(sf_dir: str):
+    """(vec_id, maha2, is_outlier) — squared Mahalanobis distance of
+    every embedding to the corpus centroid under a DIAGONAL covariance
+    (the embedding-space outlier audit run before clustering/ANN
+    indexing: encoder failures and off-manifold junk sit far from the
+    mass in per-dimension z-units; E[maha2] = dim for well-behaved
+    data, so the flag threshold is a dim multiple). is_outlier =
+    maha2 > {factor} * dim.
+
+    Scale shape: one streaming pass reduces to per-dimension moment
+    partials (3 x dim floats per batch — constant-size), the driver
+    finishes mean/variance on a dim-sized table and broadcasts it, and
+    a second row-local pass scores each vector. Zero shuffle.
+    SQL oracle via unnest + var_pop (values match at 6 dp; DuckDB's
+    Welford variance differs from the moment form only in low-order
+    bits, inside the gate's 1e-9 tolerance)."""
+    import ray
+
+    from ._util import round_sql
+
+    ds = _emb_read(os.path.join(sf_dir, "embeddings.parquet"),
+                   columns=["vec_id", "embedding"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"d": pd.Series([], dtype="int64"),
+                                 "s": pd.Series([], dtype="float64"),
+                                 "s2": pd.Series([], dtype="float64"),
+                                 "n": pd.Series([], dtype="int64")})
+        v = np.array(df["embedding"].to_list(), dtype=np.float64)
+        return pd.DataFrame({
+            "d": np.arange(v.shape[1], dtype=np.int64),
+            "s": v.sum(axis=0), "s2": (v * v).sum(axis=0),
+            "n": np.full(v.shape[1], len(v), np.int64)})
+
+    part = ds.map_batches(moments, batch_format="pandas").to_pandas()
+    if "d" not in part.columns or part.empty:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "maha2": pd.Series([], dtype=np.float64),
+                             "is_outlier": pd.Series([], dtype=bool)})
+    g = part.groupby("d", as_index=False).sum().sort_values("d")
+    n = g["n"].to_numpy(np.float64)
+    mu = g["s"].to_numpy(np.float64) / n
+    var = g["s2"].to_numpy(np.float64) / n - mu * mu
+    var[var <= 0] = 1.0                  # constant dims score zero
+    dim = len(mu)
+    thresh = OUTLIER_MAHA_FACTOR * dim
+    ref = ray.put((mu, var))
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                                 "maha2": pd.Series([], dtype=np.float64),
+                                 "is_outlier": pd.Series([], dtype=bool)})
+        m, vv = ray.get(ref)
+        x = np.array(df["embedding"].to_list(), dtype=np.float64)
+        maha2 = (((x - m) ** 2) / vv).sum(axis=1)
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "maha2": round_sql(maha2),
+            "is_outlier": maha2 > thresh})
+
+    return ds.map_batches(score, batch_format="pandas")
+
+
+EMBEDDING_OUTLIER_SQL = f"""
+WITH e AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings),
+m AS (SELECT d, avg(x) AS mu,
+             CASE WHEN var_pop(x) > 0 THEN var_pop(x) ELSE 1.0 END AS v
+      FROM e GROUP BY d),
+dim AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM m),
+s AS (SELECT vec_id, sum((x - mu) * (x - mu) / v) AS maha2
+      FROM e JOIN m USING (d) GROUP BY vec_id)
+SELECT vec_id, round(maha2, 6) AS maha2,
+       maha2 > {OUTLIER_MAHA_FACTOR} * dim.nd AS is_outlier
+FROM s CROSS JOIN dim
+"""
